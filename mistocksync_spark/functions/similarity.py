@@ -1,0 +1,47 @@
+"""Ratcliff–Obershelp similarity (reference parity: C8).
+
+``difflib.SequenceMatcher(...).ratio()`` has no JVM builtin (``levenshtein``
+is a different metric), so this is one of the few places we pay the Python
+round-trip — as an **Arrow-batched pandas UDF**, never row-at-a-time.
+
+Reference: /root/reference/main.py:1274-1283 (lowercased both sides).
+"""
+
+from __future__ import annotations
+
+import difflib
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+@pandas_udf("double")
+def _ratcliff_ratio(a: pd.Series, b: pd.Series) -> pd.Series:
+    def ratio(x, y):
+        if not x or not y or not isinstance(x, str) or not isinstance(y, str):
+            return 0.0
+        return difflib.SequenceMatcher(None, x.lower(), y.lower()).ratio()
+
+    return pd.Series([ratio(x, y) for x, y in zip(a, b)], dtype="float64")
+
+
+def similarity(a: Column, b: Column) -> Column:
+    """difflib ratio of the lowercased strings; empty/null → 0.0."""
+    return _ratcliff_ratio(a, b)
+
+
+def jaccard_3gram(a: Column, b: Column) -> Column:
+    """Cheap JVM-side 3-gram Jaccard — used as a *blocking* prefilter before
+    the exact pandas-UDF similarity at scale (not a reference function)."""
+    def grams(c: Column) -> Column:
+        low = F.lower(c)
+        n = F.length(low) - 2
+        idx = F.sequence(F.lit(1), F.greatest(n, F.lit(1)))
+        return F.array_distinct(F.transform(idx, lambda i: F.substring(low, i, 3)))
+
+    ga, gb = grams(a), grams(b)
+    inter = F.size(F.array_intersect(ga, gb)).cast("double")
+    union = F.size(F.array_union(ga, gb)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))

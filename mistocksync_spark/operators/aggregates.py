@@ -1,0 +1,72 @@
+"""Aggregation / audit operators (reference parity: A1–A7).
+
+All are single groupBy/agg plans — map-side partial aggregation and AQE
+partition coalescing come for free from Catalyst.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def duplicate_audit(df: DataFrame, column: str, order_col: str = "row_id") -> DataFrame:
+    """A1: values occurring more than once in ``column``, with occurrence
+    count and the min/max Excel row numbers (order + 2 header offset)
+    (ref main.py:8164-8209).  String sentinels ''/'nan' are excluded like
+    the reference's dropna + str-cast path (main.py:8178-8182)."""
+    key = F.col(column).cast("string")
+    clean = df.filter(
+        F.col(column).isNotNull() & (key != "") & (F.lower(key) != "nan")
+    )
+    return (
+        clean.groupBy(key.alias("value"))
+        .agg(
+            F.count("*").alias("occurrences"),
+            (F.min(order_col) + 2).alias("first_row"),
+            (F.max(order_col) + 2).alias("last_row"),
+        )
+        .filter(F.col("occurrences") > 1)
+    )
+
+
+def top_value_histogram(df: DataFrame, column: str, k: int = 10) -> DataFrame:
+    """A3: top-k value histogram (ref main.py:774-781).  Deterministic
+    tie-break on the value itself so limit(k) is stable."""
+    return (
+        df.groupBy(F.col(column).alias("value"))
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("value").asc())
+        .limit(k)
+    )
+
+
+def null_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """A4: per-column null and non-null counts (ref main.py:726-738) as one
+    aggregation pass."""
+    cols = columns or df.columns
+    aggs = []
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"{c}_nulls"))
+        aggs.append(F.sum(F.col(c).isNotNull().cast("long")).alias(f"{c}_notnull"))
+    return df.agg(*aggs)
+
+
+def max_article_number(df: DataFrame, column: str = "article") -> DataFrame:
+    """A5: max numeric article (string-digit aware) for auto-numbering
+    inserted rows (ref main.py:7411-7445)."""
+    digits = F.regexp_extract(F.col(column).cast("string"), r"(\d+)", 1)
+    return df.agg(F.max(F.nullif(digits, F.lit("")).cast("long")).alias("max_article"))
+
+
+def price_filter_loss_accounting(df: DataFrame, price_column: str = "price_usd", threshold: float = 0.01) -> DataFrame:
+    """A7: removed-row breakdown of the price filter — NaN / zero / too-low
+    counts in one pass (ref main.py:1344-1371)."""
+    p = F.col(price_column)
+    return df.agg(
+        F.count("*").alias("total"),
+        F.sum(p.isNull().cast("long")).alias("nan_count"),
+        F.sum((p == 0).cast("long")).alias("zero_count"),
+        F.sum(((p > 0) & (p <= threshold)).cast("long")).alias("low_price_count"),
+        F.sum((p.isNotNull() & (p > threshold)).cast("long")).alias("kept"),
+    )

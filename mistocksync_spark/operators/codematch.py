@@ -1,0 +1,181 @@
+"""Code-based matching — cascade stages 2 and 3 (reference parity: J2, J3).
+
+The reference extracts a product code per row (from the name, and on the
+base side also from the supplier-article columns), groups rows into
+per-code variant lists, and for each supplier variant picks the best base
+variant by a fixed priority: color∧capacity → color → capacity → first
+variant (main.py:2269-2544 general codes, 2546-2802 bracket codes).
+
+Spark-first: code extraction is a projection, the variant-list grouping is
+an equi-join on the derived code, and the best-variant pick is a
+``row_number`` window ordered by (pair_tier, base_variant_order) — a single
+shuffle on the code key instead of nested Python loops.  ``pair_tier`` is
+the best priority tier the (supplier, base) pair satisfies; taking the
+min (tier, order) pair reproduces the reference's tiered first-in-order
+scan exactly.
+
+Divergence note: the reference reuses stale ``price_*_float`` locals when a
+base row's name has no code but its article columns do (main.py:2411-2422
+reads variables set on an earlier row) — we use the row's own prices.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from mistocksync_spark.functions.cleaning import safe_color
+from mistocksync_spark.functions.codes import battery_capacity, bracket_code, product_code_unified
+from mistocksync_spark.functions.pricing import base_price_from_config, pct_change_match
+
+
+def supplier_code_variants(
+    supplier: DataFrame,
+    extractor: Callable[[Column], Column],
+    article_col: str,
+    price_col: str = "price_usd",
+    name_col: str = "name",
+    color_col: str = "color",
+    order_col: str = "row_id",
+) -> DataFrame:
+    """Supplier-side variant extraction (ref main.py:2297-2335)."""
+    has_color = color_col in supplier.columns
+    return (
+        supplier.filter(F.col(name_col).isNotNull())
+        .withColumn("code", extractor(F.col(name_col)))
+        .filter(F.col("code").isNotNull())
+        .select(
+            "code",
+            F.col(order_col).alias("supplier_variant_order"),
+            F.col(name_col).alias("supplier_name"),
+            F.coalesce(F.col(price_col).cast("double"), F.lit(0.0)).alias("supplier_price"),
+            F.col(article_col).cast("string").alias("supplier_article"),
+            (safe_color(F.col(color_col)) if has_color else F.lit("")).alias("supplier_color"),
+            battery_capacity(F.col(name_col)).alias("supplier_capacity"),
+        )
+    )
+
+
+def base_code_variants(
+    base: DataFrame,
+    extractor: Callable[[Column], Column],
+    base_price_col: str,
+    name_col: str = "name",
+    color_col: str = "color",
+    article_col: str = "article",
+    supplier_article_cols: tuple[str, ...] = ("article_vitya", "article_dimi", "article_mila"),
+    order_col: str = "row_id",
+) -> DataFrame:
+    """Base-side variant extraction: one variant per code found in the name,
+    plus one per code found in each supplier-article column
+    (ref main.py:2337-2423).  ``base_variant_order`` preserves the
+    reference's append order: row-major, name before article columns.
+    """
+    width = 1 + len(supplier_article_cols)
+    common = [
+        F.col(order_col).alias("base_index"),
+        F.col(name_col).alias("base_name"),
+        F.col(article_col).cast("string").alias("base_article"),
+        safe_color(F.col(color_col)).alias("base_color"),
+        battery_capacity(F.col(name_col)).alias("base_capacity"),
+        base_price_from_config(F.col(base_price_col)).alias("base_price"),
+    ]
+    parts = []
+    name_codes = (
+        base.filter(F.col(name_col).isNotNull())
+        .withColumn("code", extractor(F.col(name_col)))
+        .filter(F.col("code").isNotNull())
+        .select(
+            "code",
+            (F.col(order_col) * width).alias("base_variant_order"),
+            F.lit("name").alias("matched_in"),
+            *common,
+        )
+    )
+    parts.append(name_codes)
+    for i, col in enumerate(supplier_article_cols):
+        if col not in base.columns:
+            continue
+        parts.append(
+            base.filter(F.col(col).isNotNull())
+            .withColumn("code", extractor(F.col(col).cast("string")))
+            .filter(F.col("code").isNotNull())
+            .select(
+                "code",
+                (F.col(order_col) * width + (i + 1)).alias("base_variant_order"),
+                F.lit(col).alias("matched_in"),
+                *common,
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def code_match(
+    supplier_variants: DataFrame,
+    base_variants: DataFrame,
+    match_type: str = "product_code",
+    broadcast_supplier: bool = True,
+) -> DataFrame:
+    """Join supplier and base variants on the derived code and keep the best
+    base variant per supplier variant (ref main.py:2429-2536)."""
+    sv = F.broadcast(supplier_variants) if broadcast_supplier else supplier_variants
+    joined = sv.join(base_variants, on="code", how="inner")
+
+    color_match = F.col("supplier_color") == F.col("base_color")
+    capacity_match = F.col("supplier_capacity").eqNullSafe(F.col("base_capacity"))
+    pair_tier = (
+        F.when(color_match & capacity_match, 1)
+        .when(color_match, 2)
+        .when(capacity_match, 3)
+        .otherwise(4)
+    )
+
+    w = Window.partitionBy("code", "supplier_variant_order").orderBy(
+        pair_tier.asc(), F.col("base_variant_order").asc()
+    )
+    best = (
+        joined.withColumn("__tier", pair_tier)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+    )
+
+    return best.select(
+        "code",
+        "supplier_name",
+        "base_name",
+        "supplier_price",
+        "base_price",
+        "supplier_article",
+        "base_article",
+        "supplier_color",
+        "base_color",
+        "supplier_capacity",
+        "base_capacity",
+        "base_index",
+        F.lit(match_type).alias("match_type"),
+        (F.col("__tier") <= 2).alias("color_match"),
+        ((F.col("__tier") == 1) | (F.col("__tier") == 3)).alias("capacity_match"),
+        pct_change_match(F.col("supplier_price"), F.col("base_price")).alias(
+            "price_change_percent"
+        ),
+        "supplier_variant_order",
+    )
+
+
+def product_code_match(supplier: DataFrame, base: DataFrame, article_col: str, base_price_col: str, **kw) -> DataFrame:
+    """J2: general unified-code match (bracket → brand → name code)."""
+    sv = supplier_code_variants(supplier, product_code_unified, article_col, **kw)
+    bv = base_code_variants(base, product_code_unified, base_price_col)
+    return code_match(sv, bv, match_type="product_code")
+
+
+def bracket_code_match(supplier: DataFrame, base: DataFrame, article_col: str, base_price_col: str, **kw) -> DataFrame:
+    """J3: the same algorithm restricted to parenthesized codes."""
+    sv = supplier_code_variants(supplier, bracket_code, article_col, **kw)
+    bv = base_code_variants(base, bracket_code, base_price_col)
+    return code_match(sv, bv, match_type="bracket_code")

@@ -1,0 +1,175 @@
+"""Fuzzy string matching — the similarity theta-join (reference parity: J4, J5).
+
+The reference runs an O(n·m) nested Python loop of
+``difflib.SequenceMatcher.ratio()`` calls (main.py:2878-2898, 4647-4692).
+Spark-first shape:
+
+  candidates × base  →  (optional JVM-side blocking prefilter)
+                     →  Arrow-batched pandas-UDF similarity score
+                     →  row_number window keeps the best base row
+
+Blocking is the scale story: a full cross join is quadratic, so at scale we
+prefilter pairs with a cheap JVM-side 3-gram Jaccard (`jaccard_3gram`) or a
+shared-3-gram equi-join (`blocking="ngram"`), which turns the cross join
+into an equi-join on shingles — the standard entity-resolution pattern.
+The exact difflib score is only computed for surviving pairs, preserving
+reference semantics whenever the true best match shares ≥1 trigram (with
+``sim ≥ 0.33`` and realistic names this always holds; ``blocking="none"``
+gives exact parity).
+
+Tie-breaking: the reference keeps the *first* base row among equal ratios
+(strict ``>`` update), reproduced by ordering on (ratio desc, base_order asc).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from mistocksync_spark.functions.cleaning import safe_color, strip_ws
+from mistocksync_spark.functions.pricing import FUZZY_THRESHOLD
+from mistocksync_spark.functions.similarity import similarity
+
+
+def _ngram_keys(col, n: int = 3):
+    low = F.lower(col)
+    cnt = F.greatest(F.length(low) - (n - 1), F.lit(1))
+    idx = F.sequence(F.lit(1), cnt)
+    return F.array_distinct(F.transform(idx, lambda i: F.substring(low, i, n)))
+
+
+def fuzzy_best_match(
+    candidates: DataFrame,
+    base: DataFrame,
+    candidate_name: str = "name",
+    base_name: str = "name",
+    candidate_order: str = "supplier_index",
+    base_order: str = "row_id",
+    threshold: float = FUZZY_THRESHOLD,
+    blocking: str = "none",
+) -> DataFrame:
+    """Best fuzzy base match per candidate with ratio ≥ threshold (J4).
+
+    Returns one row per matched candidate with base name/price/article/color,
+    similarity_ratio and match_type='fuzzy_string' (ref main.py:2804-2924).
+    """
+    cand = candidates.filter(F.col(candidate_name).isNotNull()).select(
+        F.col(candidate_order).alias("supplier_index"),
+        strip_ws(F.col(candidate_name).cast("string")).alias("supplier_name"),
+        *(
+            [F.col("price_usd").alias("supplier_price")]
+            if "price_usd" in candidates.columns
+            else [F.lit(0.0).alias("supplier_price")]
+        ),
+        *(
+            [F.col("article").cast("string").alias("supplier_article")]
+            if "article" in candidates.columns
+            else [F.lit("").alias("supplier_article")]
+        ),
+        *(
+            [safe_color(F.col("color")).alias("supplier_color")]
+            if "color" in candidates.columns
+            else [F.lit("").alias("supplier_color")]
+        ),
+    )
+    bs = (
+        base.filter(F.col(base_name).isNotNull())
+        .select(
+            F.col(base_order).alias("base_index"),
+            strip_ws(F.col(base_name).cast("string")).alias("base_name"),
+            *(
+                [F.col("price").alias("base_price")]
+                if "price" in base.columns
+                else [F.lit(0.0).alias("base_price")]
+            ),
+            *(
+                [F.col("article").cast("string").alias("base_article")]
+                if "article" in base.columns
+                else [F.lit("").alias("base_article")]
+            ),
+            *(
+                [safe_color(F.col("color")).alias("base_color")]
+                if "color" in base.columns
+                else [F.lit("").alias("base_color")]
+            ),
+        )
+        .filter(F.col("base_name") != "")
+    )
+
+    if blocking == "ngram":
+        # Equi-join on shared trigrams instead of a cross join: candidate
+        # pairs must share at least one trigram.  Distinct pair ids, then
+        # re-attach payloads — shuffles on small keys, never quadratic.
+        ck = cand.select("supplier_index", F.explode(_ngram_keys(F.col("supplier_name"))).alias("g"))
+        bk = bs.select("base_index", F.explode(_ngram_keys(F.col("base_name"))).alias("g"))
+        pair_ids = ck.join(bk, on="g").select("supplier_index", "base_index").distinct()
+        pairs = pair_ids.join(cand, on="supplier_index").join(bs, on="base_index")
+    else:
+        pairs = cand.crossJoin(bs)
+
+    scored = pairs.withColumn(
+        "similarity_ratio", similarity(F.col("supplier_name"), F.col("base_name"))
+    ).filter(F.col("similarity_ratio") >= threshold)
+
+    w = Window.partitionBy("supplier_index").orderBy(
+        F.col("similarity_ratio").desc(), F.col("base_index").asc()
+    )
+    best = scored.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
+
+    return best.select(
+        "supplier_index",
+        "supplier_name",
+        "supplier_price",
+        "supplier_article",
+        "supplier_color",
+        "base_index",
+        "base_name",
+        "base_price",
+        "base_article",
+        "base_color",
+        "similarity_ratio",
+        F.lit("fuzzy_string").alias("match_type"),
+        F.lit("name").alias("matched_in"),
+    )
+
+
+def annotate_new_items_with_fuzzy(
+    new_items: DataFrame,
+    base: DataFrame,
+    base_order: str = "row_id",
+    threshold: float = FUZZY_THRESHOLD,
+    blocking: str = "none",
+) -> DataFrame:
+    """J5: advisory fuzzy lookup per new item (ref main.py:4612-4705,
+    2216-2253).  Left join — unmatched items keep empty-string annotations.
+    The Excel row number of the best match is base_order + 2 (header offset),
+    the base price is rendered ``$%.2f``.
+    """
+    best = fuzzy_best_match(
+        new_items,
+        base,
+        candidate_name="name",
+        candidate_order="supplier_index",
+        base_order=base_order,
+        threshold=threshold,
+        blocking=blocking,
+    ).select(
+        "supplier_index",
+        F.col("base_name").alias("fuzzy_match_name"),
+        (F.col("base_index") + 2).cast("string").alias("fuzzy_match_row"),
+        F.when(F.col("base_color") == "", F.lit("N/A"))
+        .otherwise(F.col("base_color"))
+        .alias("fuzzy_match_color"),
+        F.format_string("$%.2f", F.col("base_price")).alias("fuzzy_match_price"),
+        F.col("similarity_ratio").alias("fuzzy_match_similarity"),
+    )
+    out = new_items.join(F.broadcast(best), on="supplier_index", how="left")
+    return out.na.fill(
+        {
+            "fuzzy_match_name": "",
+            "fuzzy_match_row": "",
+            "fuzzy_match_color": "",
+            "fuzzy_match_price": "",
+            "fuzzy_match_similarity": 0.0,
+        }
+    )

@@ -1,0 +1,127 @@
+"""Deterministic supplier/base-shaped feeds derived from the star-schema
+``part`` table.
+
+The reference's inputs are Excel price lists (vitya/dimi shapes) and a
+master base workbook (FIXTURES.md).  The driver's testdata is a TPC-H-ish
+star schema, so we synthesize those shapes from ``part`` with **pure SQL
+that parses identically in Spark SQL and DuckDB** — the exact same text is
+used to build the Spark DataFrame inputs and as a CTE inside every DuckDB
+oracle, guaranteeing input parity so the oracle checks test *operator*
+semantics, not data generation.
+
+Dialect-portability rules used here: ``||`` for concat (null-propagating in
+both), ``CAST(x AS STRING)``, ``floor`` (double in both), integer ``%``,
+``lpad``, CASE.  Doubles are derived via ``floor(x*100)`` cent arithmetic so
+both engines compute bit-identical values (no round-half differences).
+"""
+
+# Vitya-shaped supplier price list.  Columns mirror FIXTURES.md §2:
+#  - article_raw exercises the C2 cleaner ('-prefix, 000-prefix, digit-run
+#    concatenation AB..C.. → concatenated digits)
+#  - names exercise C3/C4/C5/C6 (bracket codes, brands, dashed codes,
+#    letter-digit codes, capacities) per FIXTURES.md §4
+#  - price_usd has NULL (pk%11=0) and 0.0 (pk%13=0) rows for F1
+#  - balance has the availability vocabulary incl NULL rows for F2/F3
+SUPPLIER_FEED_SQL = """
+SELECT
+  p_partkey AS row_id,
+  CASE WHEN p_partkey % 10 = 7 THEN p_partkey + 1000000 ELSE p_partkey END AS article_num,
+  CASE
+    WHEN p_partkey % 4 = 0 THEN '''' || CAST(CASE WHEN p_partkey % 10 = 7 THEN p_partkey + 1000000 ELSE p_partkey END AS STRING)
+    WHEN p_partkey % 4 = 1 THEN '000' || CAST(CASE WHEN p_partkey % 10 = 7 THEN p_partkey + 1000000 ELSE p_partkey END AS STRING)
+    WHEN p_partkey % 4 = 2 THEN 'AB' || CAST(CASE WHEN p_partkey % 10 = 7 THEN p_partkey + 1000000 ELSE p_partkey END AS STRING) || 'C' || CAST(p_partkey % 97 AS STRING)
+    ELSE CAST(CASE WHEN p_partkey % 10 = 7 THEN p_partkey + 1000000 ELSE p_partkey END AS STRING)
+  END AS article_raw,
+  CASE p_partkey % 6
+    WHEN 0 THEN 'Power Bank XIAOMI ' || CAST(5000 + (p_partkey % 20) * 1000 AS STRING) || 'mah 100w'
+    WHEN 1 THEN 'Кабель Type-C (P' || CAST(p_partkey % 100 AS STRING) || 'QDA-RGP) черный'
+    WHEN 2 THEN 'Зарядка SAMSUNG ' || CAST(10000 + (p_partkey % 10) * 5000 AS STRING) || ' mAh (EU)'
+    WHEN 3 THEN 'Адаптер AC-M' || CAST(p_partkey % 50 AS STRING) || '-SC белый'
+    WHEN 4 THEN 'Наушники MJKDDYJ' || lpad(CAST(p_partkey % 90 AS STRING), 2, '0') || 'HT'
+    ELSE 'Чехол basic ' || p_name
+  END AS name,
+  CASE p_partkey % 5
+    WHEN 0 THEN 'Black' WHEN 1 THEN 'White' WHEN 2 THEN '  RED  '
+    WHEN 3 THEN NULL ELSE 'nan'
+  END AS color,
+  CASE
+    WHEN p_partkey % 11 = 0 THEN NULL
+    WHEN p_partkey % 13 = 0 THEN 0.0
+    ELSE (floor(p_retailprice * 100) * CAST(100 + ((p_partkey % 9) - 4) * 7 AS DOUBLE)) / 10000.0
+  END AS price_usd,
+  CASE p_partkey % 5
+    WHEN 0 THEN 'Имеются в нал.' WHEN 1 THEN 'Распродажа'
+    WHEN 2 THEN 'Ожидается' WHEN 3 THEN 'Нет в наличии' ELSE NULL
+  END AS balance,
+  CASE
+    WHEN p_partkey % 17 = 3 THEN 'Ожидается'
+    WHEN p_partkey % 17 = 5 THEN 'В наличии' ELSE NULL
+  END AS balance1
+FROM part
+"""
+
+# Base-shaped master table (FIXTURES.md §1).  article_vitya covers most
+# supplier articles (missing for pk%10 in (3,7) → those become new items);
+# price_vitya_usd includes 0.0 and NULL rows; dup_key feeds the A1 audit.
+BASE_FEED_SQL = """
+SELECT
+  p_partkey AS row_id,
+  p_partkey AS article,
+  CASE (p_partkey + 2) % 6
+    WHEN 0 THEN 'Power Bank XIAOMI ' || CAST(5000 + (p_partkey % 20) * 1000 AS STRING) || 'mah 100w'
+    WHEN 1 THEN 'Кабель Type-C (P' || CAST(p_partkey % 100 AS STRING) || 'QDA-RGP) черный'
+    WHEN 2 THEN 'Зарядка SAMSUNG ' || CAST(10000 + (p_partkey % 10) * 5000 AS STRING) || ' mAh (EU)'
+    WHEN 3 THEN 'Адаптер AC-M' || CAST(p_partkey % 50 AS STRING) || '-SC белый'
+    WHEN 4 THEN 'Наушники MJKDDYJ' || lpad(CAST(p_partkey % 90 AS STRING), 2, '0') || 'HT'
+    ELSE 'Чехол basic ' || p_name
+  END AS name,
+  CASE p_partkey % 7
+    WHEN 0 THEN 'black' WHEN 1 THEN 'White' WHEN 2 THEN 'blue'
+    WHEN 3 THEN NULL ELSE 'Green'
+  END AS color,
+  floor(p_retailprice * 100) / 100.0 AS price,
+  CASE WHEN p_partkey % 10 IN (3, 7) THEN NULL ELSE p_partkey END AS article_vitya,
+  CASE
+    WHEN p_partkey % 10 IN (3, 7) THEN NULL
+    WHEN p_partkey % 20 = 0 THEN 0.0
+    WHEN p_partkey % 19 = 0 THEN NULL
+    ELSE floor(p_retailprice * 100) / 100.0
+  END AS price_vitya_usd,
+  CASE WHEN p_partkey % 3 = 0 THEN 'XM-' || CAST(p_partkey AS STRING) ELSE NULL END AS article_dimi,
+  CASE WHEN p_partkey % 3 = 0 THEN floor(p_retailprice * 95) / 100.0 ELSE NULL END AS price_dimi_usd,
+  CASE WHEN p_partkey % 4 = 0 THEN p_partkey + 5000000 ELSE NULL END AS article_mila,
+  CASE
+    WHEN p_partkey % 4 = 0 AND p_partkey % 8 = 0 THEN floor(p_retailprice * 90) / 100.0
+    WHEN p_partkey % 4 = 0 THEN 0.0 ELSE NULL
+  END AS price_mila_usd,
+  p_partkey % 700 AS dup_key
+FROM part
+"""
+
+
+def register_feeds(spark, sf_dir: str) -> None:
+    """Register ``part`` plus the derived supplier/base feeds as temp views."""
+    import os
+
+    spark.read.parquet(os.path.join(sf_dir, "part.parquet")).createOrReplaceTempView("part")
+    spark.sql(SUPPLIER_FEED_SQL).createOrReplaceTempView("supplier_feed")
+    spark.sql(BASE_FEED_SQL).createOrReplaceTempView("base_feed")
+
+
+def supplier_feed(spark, sf_dir: str):
+    import os
+
+    spark.read.parquet(os.path.join(sf_dir, "part.parquet")).createOrReplaceTempView("part")
+    return spark.sql(SUPPLIER_FEED_SQL)
+
+
+def base_feed(spark, sf_dir: str):
+    import os
+
+    spark.read.parquet(os.path.join(sf_dir, "part.parquet")).createOrReplaceTempView("part")
+    return spark.sql(BASE_FEED_SQL)
+
+
+def feed_ctes() -> str:
+    """CTE prefix reused by every DuckDB oracle."""
+    return f"WITH supplier_feed AS ({SUPPLIER_FEED_SQL}), base_feed AS ({BASE_FEED_SQL})"

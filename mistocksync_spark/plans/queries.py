@@ -1,0 +1,544 @@
+"""Query registry: one entry per implemented operator (SURVEY.md §2), each
+with a Spark implementation (using the library operators) and a DuckDB
+oracle SQL string that re-derives the same semantics independently.
+
+Input parity: both sides build the supplier/base feeds from ``part`` with
+the *same SQL text* (plans/feeds.py), so the oracle validates operator
+semantics, not data generation.
+
+Column-name contract: every computed column is aliased identically on both
+sides (the driver sorts columns by name before value-hashing).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mistocksync_spark.functions import (
+    battery_capacity,
+    bracket_code,
+    clean_article_dimi,
+    clean_article_vitya,
+    min_base_price,
+    product_code_unified,
+    safe_color,
+)
+from mistocksync_spark.operators import aggregates as agg
+from mistocksync_spark.operators import filters as flt
+from mistocksync_spark.operators import matching
+from mistocksync_spark.plans.feeds import BASE_FEED_SQL, SUPPLIER_FEED_SQL, base_feed, supplier_feed
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+_CTES = f"WITH supplier_feed AS ({SUPPLIER_FEED_SQL}), base_feed AS ({BASE_FEED_SQL})"
+
+# DuckDB fragments mirroring the cleaners (independent re-derivation of the
+# same reference semantics the Spark-side column expressions implement).
+_SQL_ART_PREP = (
+    "CASE WHEN replace({col}, '''', '') LIKE '000%' "
+    "THEN substr(replace({col}, '''', ''), 4) ELSE replace({col}, '''', '') END"
+)
+_SQL_CLEAN_VITYA = (
+    "COALESCE(TRY_CAST(array_to_string(regexp_extract_all(" + _SQL_ART_PREP + ", '\\d+'), '') AS BIGINT), 0)"
+)
+_SQL_CLEAN_DIMI = "NULLIF(" + _SQL_ART_PREP + ", '')"
+_SQL_SAFE_COLOR = (
+    "CASE WHEN lower(trim({col})) IS NULL OR lower(trim({col})) IN ('nan','none','') "
+    "THEN '' ELSE lower(trim({col})) END"
+)
+_SQL_BRACKET = (
+    "CASE WHEN regexp_matches(upper(trim(NULLIF(regexp_extract({col}, '\\(([^)]+)\\)', 1), ''))), '^[A-Za-zА-Яа-я0-9\\-]+$') "
+    "AND length(upper(trim(NULLIF(regexp_extract({col}, '\\(([^)]+)\\)', 1), '')))) >= 4 "
+    "THEN upper(trim(NULLIF(regexp_extract({col}, '\\(([^)]+)\\)', 1), ''))) ELSE NULL END"
+)
+_SQL_CAPACITY = (
+    "COALESCE("
+    + ", ".join(
+        "CASE WHEN TRY_CAST(NULLIF(regexp_extract(lower({{col}}), '{pat}', 1), '') AS BIGINT) BETWEEN 5 AND 999999 "
+        "THEN NULLIF(regexp_extract(lower({{col}}), '{pat}', 1), '') END".format(pat=p)
+        for p in [r"(\d+)\s*mah", r"(\d+)mah", r"(\d+)\s*мач", r"(\d+)мач", r"(\d+)\s*мч", r"(\d+)мч"]
+    )
+    + ")"
+)
+
+_CODE_EXCLUDE = (
+    r"NOT regexp_matches(lower(x), '^\d+mah$|^\d+w$|^\d+wh$|^\d+ma$') "
+    r"AND NOT regexp_matches(x, '^\d{5,}$') "
+    "AND x NOT IN ('USB-C','POWER','PORTABLE','CHARGER','BANK')"
+)
+_CODE_PATTERNS_SQL = [
+    (r"\b[A-Z0-9]+(?:-[A-Z0-9]+)+\b", 0),
+    (r"\b[A-Z]{2,}[0-9]{2,}[A-Z]*\b", 0),
+    (r"\b[0-9]{3,}[A-Z]{1,3}\b", 0),
+    (r"\b[A-Z][0-9]{4,}[A-Z][0-9]+\b", 0),
+    (r"\b[A-Z]{4,8}\b", 0),
+    (r"\b[A-Z][0-9]{1,3}\b", 0),
+    (r"(?:^|[^A-Za-z0-9_А-Яа-я])([А-Я][0-9]{1,3})(?:$|[^A-Za-z0-9_А-Яа-я])", 1),
+]
+
+
+def _sql_name_code(col: str) -> str:
+    # NB: standard SQL string literals do not process backslash escapes, so
+    # the regex backslashes pass through to RE2 verbatim.
+    parts = []
+    for pat, group in _CODE_PATTERNS_SQL:
+        parts.append(
+            f"list_extract(list_filter(regexp_extract_all(upper({col}), '{pat}', {group}), x -> {_CODE_EXCLUDE}), 1)"
+        )
+    return "COALESCE(" + ", ".join(parts) + ")"
+
+
+def _sql_unified_code(col: str) -> str:
+    brands = ["GREENOE", "XIAOMI", "SAMSUNG", "APPLE", "HUAWEI", "OPPO", "VIVO", "ONEPLUS"]
+    brand_sql = "COALESCE(" + ", ".join(
+        f"CASE WHEN upper({col}) LIKE '%{b}%' THEN '{b}' END" for b in brands
+    ) + ")"
+    name_code = _sql_name_code(col)
+    return (
+        f"COALESCE({_SQL_BRACKET.format(col=col)}, {brand_sql}, "
+        f"CASE WHEN length({name_code}) >= 4 THEN {name_code} END)"
+    )
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _preprocess_vitya(feed: DataFrame) -> DataFrame:
+    """Vitya preprocess pipeline (ref main.py:1375-1447): F1 price filter →
+    F2 balance filter → C2 article cleaning → supplier tag."""
+    df = flt.filter_by_price(feed, "price_usd")
+    df = flt.filter_vitya_balance(df)
+    return df.withColumn("article_vitya", clean_article_vitya(F.col("article_raw"))).withColumn(
+        "supplier_name", F.lit("Витя")
+    )
+
+
+_SQL_PREP_VITYA = f"""
+  SELECT row_id, name, color, price_usd, balance, balance1,
+         {_SQL_CLEAN_VITYA.format(col='article_raw')} AS article_vitya
+  FROM supplier_feed
+  WHERE price_usd IS NOT NULL AND price_usd > 0.01
+    AND balance IN ('Имеются в нал.', 'Распродажа')
+"""
+
+
+# --------------------------------------------------------------------------
+# Flagship: TPC-H Q1-style pricing summary (A2/F7-family aggregation shape)
+# --------------------------------------------------------------------------
+@query(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(SUM(l_quantity), 2) AS sum_qty,
+           round(SUM(l_extendedprice), 2) AS sum_base_price,
+           round(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(AVG(l_quantity), 4) AS avg_qty,
+           round(AVG(l_discount), 4) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# S1 feed canary — validates the shared feed derivation end-to-end
+# --------------------------------------------------------------------------
+@query(
+    "supplier_feed_rows",
+    _CTES + " SELECT row_id, article_raw, name, color, price_usd, balance, balance1 FROM supplier_feed",
+)
+def supplier_feed_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return supplier_feed(spark, sf_dir).select(
+        "row_id", "article_raw", "name", "color", "price_usd", "balance", "balance1"
+    )
+
+
+# --------------------------------------------------------------------------
+# F1 / F2 / F3 filters
+# --------------------------------------------------------------------------
+@query(
+    "price_filter",
+    _CTES + " SELECT row_id, price_usd FROM supplier_feed WHERE price_usd IS NOT NULL AND price_usd > 0.01",
+)
+def price_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return flt.filter_by_price(supplier_feed(spark, sf_dir), "price_usd").select("row_id", "price_usd")
+
+
+@query(
+    "vitya_balance_filter",
+    _CTES + " SELECT row_id, balance FROM supplier_feed WHERE balance IN ('Имеются в нал.', 'Распродажа')",
+)
+def vitya_balance_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return flt.filter_vitya_balance(supplier_feed(spark, sf_dir)).select("row_id", "balance")
+
+
+@query(
+    "dimi_balance_filter",
+    # pandas != semantics: NULL balances SURVIVE the filter
+    _CTES
+    + """
+    SELECT row_id, balance, balance1 FROM supplier_feed
+    WHERE (balance != 'Ожидается' OR balance IS NULL)
+      AND (balance1 != 'Ожидается' OR balance1 IS NULL)
+    """,
+)
+def dimi_balance_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return flt.filter_dimi_balance(supplier_feed(spark, sf_dir)).select("row_id", "balance", "balance1")
+
+
+# --------------------------------------------------------------------------
+# C2 / C2b / C3 / C4+C5 / C6 / C7 scalar cleaners & extractors
+# --------------------------------------------------------------------------
+@query(
+    "clean_article_vitya",
+    _CTES + f" SELECT row_id, article_raw, {_SQL_CLEAN_VITYA.format(col='article_raw')} AS article_clean FROM supplier_feed",
+)
+def clean_article_vitya_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return supplier_feed(spark, sf_dir).select(
+        "row_id", "article_raw", clean_article_vitya(F.col("article_raw")).alias("article_clean")
+    )
+
+
+@query(
+    "clean_article_dimi",
+    _CTES + f" SELECT row_id, article_raw, {_SQL_CLEAN_DIMI.format(col='article_raw')} AS article_clean FROM supplier_feed",
+)
+def clean_article_dimi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return supplier_feed(spark, sf_dir).select(
+        "row_id", "article_raw", clean_article_dimi(F.col("article_raw")).alias("article_clean")
+    )
+
+
+@query(
+    "safe_color",
+    _CTES + f" SELECT row_id, {_SQL_SAFE_COLOR.format(col='color')} AS color_clean FROM supplier_feed",
+)
+def safe_color_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return supplier_feed(spark, sf_dir).select("row_id", safe_color(F.col("color")).alias("color_clean"))
+
+
+@query(
+    "bracket_code_extract",
+    _CTES + f" SELECT row_id, {_SQL_BRACKET.format(col='name')} AS code FROM supplier_feed",
+)
+def bracket_code_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return supplier_feed(spark, sf_dir).select("row_id", bracket_code(F.col("name")).alias("code"))
+
+
+@query(
+    "product_code_extract",
+    _CTES + f" SELECT row_id, {_sql_unified_code('name')} AS code FROM supplier_feed",
+)
+def product_code_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return supplier_feed(spark, sf_dir).select("row_id", product_code_unified(F.col("name")).alias("code"))
+
+
+@query(
+    "battery_capacity_extract",
+    _CTES + f" SELECT row_id, {_SQL_CAPACITY.format(col='name')} AS capacity FROM supplier_feed",
+)
+def battery_capacity_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return supplier_feed(spark, sf_dir).select("row_id", battery_capacity(F.col("name")).alias("capacity"))
+
+
+# --------------------------------------------------------------------------
+# J1 exact article match + price changes + new items + A2 summary
+# --------------------------------------------------------------------------
+_SQL_J1 = (
+    _CTES
+    + f"""
+    , prep AS ({_SQL_PREP_VITYA})
+    , sup AS (
+        SELECT CAST(article_vitya AS STRING) AS article, price_usd AS supplier_price,
+               name AS supplier_name, row_id AS supplier_index,
+               row_number() OVER (PARTITION BY CAST(article_vitya AS STRING) ORDER BY row_id DESC) AS rn
+        FROM prep WHERE article_vitya IS NOT NULL
+    )
+    , supd AS (SELECT * FROM sup WHERE rn = 1)
+    , bas AS (
+        SELECT CAST(article_vitya AS STRING) AS article,
+               CASE WHEN price_vitya_usd > 0 THEN price_vitya_usd ELSE 0.0 END AS base_price,
+               name AS base_name, row_id AS base_index,
+               row_number() OVER (PARTITION BY CAST(article_vitya AS STRING) ORDER BY row_id DESC) AS rn
+        FROM base_feed WHERE article_vitya IS NOT NULL
+    )
+    , basd AS (SELECT * FROM bas WHERE rn = 1)
+    """
+)
+
+_SQL_J1_MATCHES = (
+    _SQL_J1
+    + """
+    SELECT s.article, s.supplier_price, b.base_price,
+           CASE WHEN s.supplier_name IS NULL OR s.supplier_name = '' THEN b.base_name ELSE s.supplier_name END AS name,
+           s.supplier_price - b.base_price AS price_diff,
+           CASE WHEN b.base_price > 0 THEN (s.supplier_price - b.base_price) / b.base_price * 100.0 ELSE 0.0 END AS price_change_percent,
+           b.base_index
+    FROM supd s JOIN basd b USING (article)
+    """
+)
+
+
+def _j1(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    sup = _preprocess_vitya(supplier_feed(spark, sf_dir))
+    bas = base_feed(spark, sf_dir)
+    return matching.exact_article_match(
+        sup,
+        bas,
+        supplier_article="article_vitya",
+        supplier_price="price_usd",
+        base_article="article_vitya",
+        base_price="price_vitya_usd",
+    )
+
+
+@query("exact_article_match", _SQL_J1_MATCHES)
+def exact_article_match_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _j1(spark, sf_dir)["matches"]
+
+
+@query(
+    "price_changes",
+    _SQL_J1_MATCHES.replace(
+        "FROM supd s JOIN basd b USING (article)",
+        """FROM supd s JOIN basd b USING (article)
+           WHERE abs(CASE WHEN b.base_price > 0 THEN (s.supplier_price - b.base_price) / b.base_price * 100.0 ELSE 0.0 END) > 5.0""",
+    ),
+)
+def price_changes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _j1(spark, sf_dir)["price_changes"]
+
+
+@query(
+    "price_warnings",
+    _SQL_J1_MATCHES.replace(
+        "FROM supd s JOIN basd b USING (article)",
+        """FROM supd s JOIN basd b USING (article)
+           WHERE abs(CASE WHEN b.base_price > 0 THEN (s.supplier_price - b.base_price) / b.base_price * 100.0 ELSE 0.0 END) > 20.0""",
+    ),
+)
+def price_warnings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return flt.significant_changes(_j1(spark, sf_dir)["matches"], threshold=20.0)
+
+
+@query(
+    "new_items",
+    _SQL_J1
+    + """
+    SELECT s.article, s.supplier_price AS price, s.supplier_name AS name, s.supplier_index
+    FROM supd s LEFT JOIN basd b USING (article) WHERE b.article IS NULL
+    """,
+)
+def new_items_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _j1(spark, sf_dir)["new_items"]
+
+
+@query(
+    "comparison_summary",
+    _SQL_J1
+    + """
+    SELECT (SELECT COUNT(*) FROM supd) AS supplier_total,
+           (SELECT COUNT(*) FROM supd s JOIN basd b USING (article)) AS matches,
+           (SELECT COUNT(*) FROM supd s LEFT JOIN basd b USING (article) WHERE b.article IS NULL) AS new_items,
+           CASE WHEN (SELECT COUNT(*) FROM supd) > 0
+                THEN (SELECT COUNT(*) FROM supd s JOIN basd b USING (article)) * 100.0 / (SELECT COUNT(*) FROM supd)
+                ELSE 0.0 END AS match_rate
+    """,
+)
+def comparison_summary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _j1(spark, sf_dir)
+    # supplier_total = deduped supplier keys = matches + new_items
+    m = r["matches"].agg(F.count("*").alias("matches"))
+    n = r["new_items"].agg(F.count("*").alias("new_items"))
+    return (
+        m.crossJoin(n)
+        .select(
+            (F.col("matches") + F.col("new_items")).alias("supplier_total"),
+            "matches",
+            "new_items",
+            F.when(
+                (F.col("matches") + F.col("new_items")) > 0,
+                F.col("matches") * 100.0 / (F.col("matches") + F.col("new_items")),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("match_rate"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# J7 price-update join (MERGE source)
+# --------------------------------------------------------------------------
+@query(
+    "price_update_join",
+    _SQL_J1
+    + """
+    SELECT b.article, b.old_price, s.new_price,
+           CASE WHEN b.old_price != 0 THEN (s.new_price - b.old_price) / b.old_price * 100.0 ELSE 100.0 END AS change_percent
+    FROM (
+        SELECT CAST(article_vitya AS STRING) AS article, price_vitya_usd AS old_price
+        FROM base_feed WHERE article_vitya IS NOT NULL
+    ) b
+    JOIN (SELECT article, supplier_price AS new_price FROM supd) s USING (article)
+    WHERE abs(s.new_price - b.old_price) >= 0.001
+    """,
+)
+def price_update_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = _preprocess_vitya(supplier_feed(spark, sf_dir)).na.drop(
+        subset=["article_vitya", "price_usd"]
+    )
+    return matching.price_update_join(
+        base_feed(spark, sf_dir),
+        sup,
+        base_article="article_vitya",
+        base_price="price_vitya_usd",
+        supplier_article="article_vitya",
+        supplier_price="price_usd",
+    )
+
+
+# --------------------------------------------------------------------------
+# A1 / A3 / A4 / A5 / A6 / A7 aggregates
+# --------------------------------------------------------------------------
+@query(
+    "duplicate_audit",
+    _CTES
+    + """
+    SELECT CAST(dup_key AS STRING) AS value, COUNT(*) AS occurrences,
+           MIN(row_id) + 2 AS first_row, MAX(row_id) + 2 AS last_row
+    FROM base_feed
+    WHERE dup_key IS NOT NULL AND CAST(dup_key AS STRING) != '' AND lower(CAST(dup_key AS STRING)) != 'nan'
+    GROUP BY CAST(dup_key AS STRING) HAVING COUNT(*) > 1
+    """,
+)
+def duplicate_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg.duplicate_audit(base_feed(spark, sf_dir), "dup_key")
+
+
+@query(
+    "top_event_types",
+    """
+    SELECT * FROM (
+      SELECT event_type AS value, COUNT(*) AS cnt FROM events GROUP BY event_type
+    ) ORDER BY cnt DESC, value ASC LIMIT 10
+    """,
+)
+def top_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mistocksync_spark.sources.testdata import load_events
+
+    return agg.top_value_histogram(load_events(spark, sf_dir), "event_type", 10)
+
+
+@query(
+    "null_profile",
+    _CTES
+    + """
+    SELECT SUM(CASE WHEN price_usd IS NULL THEN 1 ELSE 0 END) AS price_usd_nulls,
+           SUM(CASE WHEN price_usd IS NOT NULL THEN 1 ELSE 0 END) AS price_usd_notnull,
+           SUM(CASE WHEN color IS NULL THEN 1 ELSE 0 END) AS color_nulls,
+           SUM(CASE WHEN color IS NOT NULL THEN 1 ELSE 0 END) AS color_notnull,
+           SUM(CASE WHEN balance IS NULL THEN 1 ELSE 0 END) AS balance_nulls,
+           SUM(CASE WHEN balance IS NOT NULL THEN 1 ELSE 0 END) AS balance_notnull
+    FROM supplier_feed
+    """,
+)
+def null_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg.null_profile(supplier_feed(spark, sf_dir), ["price_usd", "color", "balance"])
+
+
+@query(
+    "max_article",
+    _CTES + " SELECT MAX(TRY_CAST(regexp_extract(CAST(article AS STRING), '(\\d+)', 1) AS BIGINT)) AS max_article FROM base_feed",
+)
+def max_article_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg.max_article_number(base_feed(spark, sf_dir), "article")
+
+
+@query(
+    "min_base_price",
+    _CTES
+    + """
+    SELECT row_id, COALESCE(LEAST(
+             CASE WHEN price_dimi_usd > 0 THEN price_dimi_usd END,
+             CASE WHEN price_vitya_usd > 0 THEN price_vitya_usd END,
+             CASE WHEN price_mila_usd > 0 THEN price_mila_usd END), 0.0) AS min_price
+    FROM base_feed
+    """,
+)
+def min_base_price_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return base_feed(spark, sf_dir).select(
+        "row_id",
+        min_base_price(
+            F.col("price_dimi_usd"), F.col("price_vitya_usd"), F.col("price_mila_usd")
+        ).alias("min_price"),
+    )
+
+
+@query(
+    "price_filter_loss",
+    _CTES
+    + """
+    SELECT COUNT(*) AS total,
+           SUM(CASE WHEN price_usd IS NULL THEN 1 ELSE 0 END) AS nan_count,
+           SUM(CASE WHEN price_usd = 0 THEN 1 ELSE 0 END) AS zero_count,
+           SUM(CASE WHEN price_usd > 0 AND price_usd <= 0.01 THEN 1 ELSE 0 END) AS low_price_count,
+           SUM(CASE WHEN price_usd IS NOT NULL AND price_usd > 0.01 THEN 1 ELSE 0 END) AS kept
+    FROM supplier_feed
+    """,
+)
+def price_filter_loss_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg.price_filter_loss_accounting(supplier_feed(spark, sf_dir), "price_usd")
+
+
+# --------------------------------------------------------------------------
+# Streaming-shaped batch aggregation over events (tumbling window)
+# --------------------------------------------------------------------------
+@query(
+    "events_hourly",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           event_type, COUNT(*) AS cnt, round(SUM(value), 4) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mistocksync_spark.sources.testdata import load_events
+
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )

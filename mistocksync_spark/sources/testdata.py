@@ -1,0 +1,55 @@
+"""Loaders for the driver-generated star-schema parquet testdata.
+
+Parquet → columnar vectorized scan with predicate pushdown and column
+pruning handled by Catalyst; callers should ``select`` only what they need.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, names=None) -> dict:
+    return {n: load_table(spark, n, sf_dir) for n in (names or TABLES)}
+
+
+def load_events(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    """events with ``ts`` as a proper timestamp.  The file stores
+    TIMESTAMP(NANOS); with ``spark.sql.legacy.parquet.nanosAsLong`` the
+    column arrives as nanos-since-epoch, converted here to micros."""
+    from pyspark.sql import functions as F
+
+    # Runtime-settable so the query works on any caller-provided session,
+    # not just ones built by mistocksync_spark.session.get_spark.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = load_table(spark, "events", sf_dir)
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return ev
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, names=None) -> None:
+    """Register each table as a temp view so SQL-defined feeds can run."""
+    for n in names or TABLES:
+        load_table(spark, n, sf_dir).createOrReplaceTempView(n)
