@@ -45,7 +45,8 @@ def clean_article_vitya(col: Column) -> Column:
     """
     s = _prepped_article(col)
     digits = F.concat_ws("", F.regexp_extract_all(s, F.lit(r"\d+"), 0))
-    out = F.coalesce(digits.cast("long"), F.lit(0).cast("long"))
+    # try_cast: '' and overflow → null (ANSI-safe), then 0 like the reference
+    out = F.coalesce(digits.try_cast("long"), F.lit(0).cast("long"))
     return F.when(s.isNull(), F.lit(None).cast("long")).otherwise(out)
 
 

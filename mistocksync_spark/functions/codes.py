@@ -88,7 +88,7 @@ def battery_capacity(name: Column) -> Column:
     candidates = []
     for pat in pats:
         cap = F.nullif(F.regexp_extract(low, pat, 1), F.lit(""))
-        v = cap.cast("long")
+        v = cap.try_cast("long")
         candidates.append(F.when((v >= 5) & (v <= 999999), cap))
     return F.coalesce(*candidates, F.lit(None).cast("string"))
 

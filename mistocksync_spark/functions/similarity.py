@@ -15,16 +15,21 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
 
 
-@pandas_udf("double")
-def _ratcliff_ratio(a: pd.Series, b: pd.Series) -> pd.Series:
+def _ratio_batch(a: pd.Series, b: pd.Series) -> pd.Series:
     def ratio(x, y):
         if not x or not y or not isinstance(x, str) or not isinstance(y, str):
             return 0.0
         return difflib.SequenceMatcher(None, x.lower(), y.lower()).ratio()
 
     return pd.Series([ratio(x, y) for x, y in zip(a, b)], dtype="float64")
+
+
+# DoubleType() (not a DDL string) so the UDF can be defined without an
+# active SparkSession at import time.
+_ratcliff_ratio = pandas_udf(_ratio_batch, returnType=DoubleType())
 
 
 def similarity(a: Column, b: Column) -> Column:

@@ -56,7 +56,7 @@ def max_article_number(df: DataFrame, column: str = "article") -> DataFrame:
     """A5: max numeric article (string-digit aware) for auto-numbering
     inserted rows (ref main.py:7411-7445)."""
     digits = F.regexp_extract(F.col(column).cast("string"), r"(\d+)", 1)
-    return df.agg(F.max(F.nullif(digits, F.lit("")).cast("long")).alias("max_article"))
+    return df.agg(F.max(F.nullif(digits, F.lit("")).try_cast("long")).alias("max_article"))
 
 
 def price_filter_loss_accounting(df: DataFrame, price_column: str = "price_usd", threshold: float = 0.01) -> DataFrame:

@@ -14,9 +14,15 @@ the best priority tier the (supplier, base) pair satisfies; taking the
 min (tier, order) pair reproduces the reference's tiered first-in-order
 scan exactly.
 
-Divergence note: the reference reuses stale ``price_*_float`` locals when a
-base row's name has no code but its article columns do (main.py:2411-2422
-reads variables set on an earlier row) — we use the row's own prices.
+Divergence notes (latent reference bugs we do NOT replicate, each using the
+row's true values instead):
+- the reference reuses stale ``price_*_float`` locals when a base row's name
+  has no code but its article columns do (main.py:2411-2422 reads variables
+  set on an earlier row);
+- in the bracket cascade the variant dicts carry only ``price``, so
+  ``get_base_price_from_config`` (main.py:2755) never finds the config price
+  column and every bracket match reports base_price 0.0 / pct 0 — we resolve
+  the configured base price column properly for both cascades.
 """
 
 from __future__ import annotations
@@ -157,6 +163,7 @@ def code_match(
         "supplier_capacity",
         "base_capacity",
         "base_index",
+        "matched_in",
         F.lit(match_type).alias("match_type"),
         (F.col("__tier") <= 2).alias("color_match"),
         ((F.col("__tier") == 1) | (F.col("__tier") == 3)).alias("capacity_match"),

@@ -87,7 +87,7 @@ def apply_data_types(df: DataFrame, config: SourceConfig) -> DataFrame:
     """S5: per-config casts; failed numeric parses become null, matching
     ``pd.to_numeric(errors="coerce")`` (loader.py:249-286)."""
     casts = {
-        c: F.col(c).cast(_TYPE_MAP[t])
+        c: F.col(c).try_cast(_TYPE_MAP[t])
         for c, t in config.data_types.items()
         if c in df.columns and t in _TYPE_MAP
     }

@@ -1,0 +1,74 @@
+import difflib
+
+from mistocksync_spark.operators.fuzzy import annotate_new_items_with_fuzzy, fuzzy_best_match
+
+
+def _cand(spark, rows):
+    return spark.createDataFrame(rows, "supplier_index long, name string, price_usd double")
+
+
+def _base(spark, rows):
+    return spark.createDataFrame(rows, "row_id long, name string, price double, article string, color string")
+
+
+BASE_ROWS = [
+    (0, "Повербанк GREENOE Power bank 60000mah (C60)", 100.0, "a0", "black"),
+    (1, "Повербанк GREENOE Power bank 20000mah (C20)", 50.0, "a1", "white"),
+    (2, "Кабель Type-C 1m черный", 5.0, "a2", None),
+    (3, "Чайник электрический", 30.0, "a3", "white"),
+]
+
+
+def test_fuzzy_matches_difflib_exactly(spark):
+    cands = [(0, "Повербанк GREENOE Power bank 60000mah", 90.0)]
+    out = fuzzy_best_match(_cand(spark, cands), _base(spark, BASE_ROWS)).collect()
+    assert len(out) == 1
+    best = out[0]
+    # independently compute the expected best ratio with difflib
+    expected = max(
+        difflib.SequenceMatcher(None, cands[0][1].lower(), b[1].lower()).ratio()
+        for b in BASE_ROWS
+    )
+    assert abs(best.similarity_ratio - expected) < 1e-12
+    assert best.base_index == 0
+
+
+def test_fuzzy_threshold(spark):
+    cands = [(0, "zzzz qqqq xxxx", 1.0)]
+    out = fuzzy_best_match(_cand(spark, cands), _base(spark, BASE_ROWS)).collect()
+    assert out == []
+
+
+def test_fuzzy_tie_break_first_row(spark):
+    base = _base(
+        spark,
+        [(0, "abcd", 1.0, "a0", None), (1, "abcd", 2.0, "a1", None)],
+    )
+    out = fuzzy_best_match(_cand(spark, [(0, "abcd", 1.0)]), base).collect()
+    # equal ratios → first base row wins (strict > in the reference loop)
+    assert out[0].base_index == 0
+
+
+def test_annotate_new_items(spark):
+    new_items = spark.createDataFrame(
+        [(0, "Повербанк GREENOE Power bank 60000mah", 90.0, "n1"),
+         (1, "жжжжж ыыыыы ёёёёё", 1.0, "n2")],
+        "supplier_index long, name string, price_usd double, article string",
+    )
+    out = {r.supplier_index: r for r in annotate_new_items_with_fuzzy(
+        new_items, _base(spark, BASE_ROWS)
+    ).collect()}
+    assert out[0].fuzzy_match_name.startswith("Повербанк GREENOE")
+    assert out[0].fuzzy_match_row == "2"  # base row 0 + 2 header offset
+    assert out[0].fuzzy_match_price == "$100.00"
+    assert out[1].fuzzy_match_name == ""
+    assert out[1].fuzzy_match_similarity == 0.0
+
+
+def test_ngram_blocking_agrees_on_realistic_names(spark):
+    cands = _cand(spark, [(0, "Повербанк GREENOE Power bank 60000mah", 90.0)])
+    exact = fuzzy_best_match(cands, _base(spark, BASE_ROWS), blocking="none").collect()
+    blocked = fuzzy_best_match(cands, _base(spark, BASE_ROWS), blocking="ngram").collect()
+    assert [(r.supplier_index, r.base_index, r.similarity_ratio) for r in exact] == [
+        (r.supplier_index, r.base_index, r.similarity_ratio) for r in blocked
+    ]
