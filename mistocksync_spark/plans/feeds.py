@@ -49,7 +49,7 @@ SELECT
     WHEN p_partkey % 13 = 0 THEN 0.0
     ELSE (floor(p_retailprice * 100) * CAST(100 + ((p_partkey % 9) - 4) * 7 AS DOUBLE)) / 10000.0
   END AS price_usd,
-  CASE p_partkey % 5
+  CASE p_partkey % 7
     WHEN 0 THEN 'Имеются в нал.' WHEN 1 THEN 'Распродажа'
     WHEN 2 THEN 'Ожидается' WHEN 3 THEN 'Нет в наличии' ELSE NULL
   END AS balance,

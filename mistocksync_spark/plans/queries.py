@@ -428,6 +428,176 @@ def price_update_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# J2 / J3 code-match cascade stages + residual (stage 4)
+# --------------------------------------------------------------------------
+def _sql_code_cascade(code_of, match_type: str) -> str:
+    """Oracle CTE chain for a code-match stage.  ``code_of(col)`` renders the
+    extractor SQL for a column; mirrors operators/codematch.py semantics."""
+    cap = _SQL_CAPACITY.format(col="name")
+    sup_color = _SQL_SAFE_COLOR.format(col="color")
+    base_parts = [
+        f"""
+        SELECT {code_of('name')} AS code, row_id * 4 AS base_variant_order,
+               'name' AS matched_in, row_id AS base_index, name AS base_name,
+               CAST(article AS STRING) AS base_article,
+               {sup_color} AS base_color, {cap} AS base_capacity,
+               CASE WHEN price_vitya_usd > 0 THEN price_vitya_usd ELSE 0.0 END AS base_price
+        FROM base_feed WHERE name IS NOT NULL AND {code_of('name')} IS NOT NULL
+        """
+    ]
+    for i, c in enumerate(["article_vitya", "article_dimi", "article_mila"]):
+        code_c = code_of(f"CAST({c} AS STRING)")
+        base_parts.append(
+            f"""
+        SELECT {code_c} AS code, row_id * 4 + {i + 1} AS base_variant_order,
+               '{c}' AS matched_in, row_id AS base_index, name AS base_name,
+               CAST(article AS STRING) AS base_article,
+               {sup_color} AS base_color, {cap} AS base_capacity,
+               CASE WHEN price_vitya_usd > 0 THEN price_vitya_usd ELSE 0.0 END AS base_price
+        FROM base_feed WHERE {c} IS NOT NULL AND {code_c} IS NOT NULL
+        """
+        )
+    base_var = " UNION ALL ".join(base_parts)
+    return (
+        _SQL_J1
+        + f"""
+    , new_set AS (SELECT s.article FROM supd s LEFT JOIN basd b USING (article) WHERE b.article IS NULL)
+    , sup_new AS (SELECT * FROM prep WHERE CAST(article_vitya AS STRING) IN (SELECT article FROM new_set))
+    , sup_var AS (
+        SELECT {code_of('name')} AS code, row_id AS supplier_variant_order,
+               name AS supplier_name, COALESCE(price_usd, 0.0) AS supplier_price,
+               CAST(article_vitya AS STRING) AS supplier_article,
+               {sup_color} AS supplier_color, {cap} AS supplier_capacity
+        FROM sup_new WHERE name IS NOT NULL AND {code_of('name')} IS NOT NULL
+    )
+    , base_var AS ({base_var})
+    , pairs AS (
+        SELECT s.code, s.supplier_variant_order, s.supplier_name, s.supplier_price,
+               s.supplier_article, s.supplier_color, s.supplier_capacity,
+               b.base_variant_order, b.matched_in, b.base_index, b.base_name,
+               b.base_article, b.base_color, b.base_capacity, b.base_price,
+               CASE WHEN s.supplier_color = b.base_color AND s.supplier_capacity IS NOT DISTINCT FROM b.base_capacity THEN 1
+                    WHEN s.supplier_color = b.base_color THEN 2
+                    WHEN s.supplier_capacity IS NOT DISTINCT FROM b.base_capacity THEN 3
+                    ELSE 4 END AS tier
+        FROM sup_var s JOIN base_var b ON s.code = b.code
+    )
+    , best AS (
+        SELECT *, row_number() OVER (PARTITION BY code, supplier_variant_order ORDER BY tier, base_variant_order) AS rn
+        FROM pairs
+    )
+    SELECT code, supplier_name, base_name, supplier_price, base_price,
+           supplier_article, base_article, supplier_color, base_color,
+           supplier_capacity, base_capacity, base_index, matched_in,
+           '{match_type}' AS match_type, tier <= 2 AS color_match,
+           (tier = 1 OR tier = 3) AS capacity_match,
+           CASE WHEN base_price > 0 THEN (supplier_price - base_price) / base_price * 100.0 ELSE 0.0 END AS price_change_percent,
+           supplier_variant_order
+    FROM best WHERE rn = 1
+    """
+    )
+
+
+def _cascade(spark: SparkSession, sf_dir: str):
+    from mistocksync_spark.operators.cascade import perform_comparison
+
+    sup = _preprocess_vitya(supplier_feed(spark, sf_dir))
+    return perform_comparison(
+        sup,
+        base_feed(spark, sf_dir),
+        supplier_article="article_vitya",
+        supplier_price="price_usd",
+        base_article="article_vitya",
+        base_price="price_vitya_usd",
+        cache=False,
+    )
+
+
+@query("bracket_code_match", _sql_code_cascade(lambda c: _SQL_BRACKET.format(col=c), "bracket_code"))
+def bracket_code_match_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cascade(spark, sf_dir)["bracket_matches"]
+
+
+@query("product_code_match", _sql_code_cascade(_sql_unified_code, "product_code"))
+def product_code_match_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cascade(spark, sf_dir)["code_matches"]
+
+
+# residual needs both stages' matched articles; build it as one query with
+# both extractors inlined
+_SQL_NEW_FOR_BASE = (
+    _sql_code_cascade(lambda c: _SQL_BRACKET.format(col=c), "bracket_code").rsplit("SELECT code,", 1)[0]
+    + f"""
+    , bracket_found AS (SELECT DISTINCT supplier_article FROM best WHERE rn = 1)
+    , sup_var2 AS (
+        SELECT {{code}} AS code, row_id AS supplier_variant_order,
+               CAST(article_vitya AS STRING) AS supplier_article,
+               {_SQL_SAFE_COLOR.format(col='color')} AS supplier_color,
+               {_SQL_CAPACITY.format(col='name')} AS supplier_capacity
+        FROM sup_new WHERE name IS NOT NULL AND {{code}} IS NOT NULL
+    )
+    , base_var2 AS ({{base_var2}})
+    , pairs2 AS (
+        SELECT s.supplier_article FROM sup_var2 s JOIN base_var2 b ON s.code = b.code
+    )
+    , code_found AS (SELECT DISTINCT supplier_article FROM pairs2)
+    SELECT n.article, n.supplier_price AS price, n.supplier_name AS name, n.supplier_index
+    FROM supd n
+    LEFT JOIN basd bb USING (article)
+    LEFT JOIN bracket_found bf ON n.article = bf.supplier_article
+    LEFT JOIN code_found cf ON n.article = cf.supplier_article
+    WHERE bb.article IS NULL AND bf.supplier_article IS NULL AND cf.supplier_article IS NULL
+    """
+)
+
+
+def _sql_new_for_base() -> str:
+    code_name = _sql_unified_code("name")
+    base_parts = [
+        f"""
+        SELECT {_sql_unified_code('name')} AS code FROM base_feed WHERE name IS NOT NULL AND {_sql_unified_code('name')} IS NOT NULL
+        """
+    ]
+    for c in ["article_vitya", "article_dimi", "article_mila"]:
+        code_c = _sql_unified_code(f"CAST({c} AS STRING)")
+        base_parts.append(
+            f"SELECT {code_c} AS code FROM base_feed WHERE {c} IS NOT NULL AND {code_c} IS NOT NULL"
+        )
+    return _SQL_NEW_FOR_BASE.format(code=code_name, base_var2=" UNION ALL ".join(base_parts))
+
+
+@query("new_items_for_base", _sql_new_for_base())
+def new_items_for_base_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cascade(spark, sf_dir)["new_items_for_base"]
+
+
+# --------------------------------------------------------------------------
+# J4/J5 fuzzy matching (difflib Ratcliff–Obershelp — not SQL-expressible,
+# rows-only driver check; exact parity is covered by tests/test_fuzzy.py)
+# --------------------------------------------------------------------------
+@query("fuzzy_match")
+def fuzzy_match_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mistocksync_spark.operators.fuzzy import fuzzy_best_match
+
+    r = _cascade(spark, sf_dir)
+    candidates = (
+        r["new_items_for_base"]
+        .withColumnRenamed("price", "price_usd")
+        .withColumnRenamed("supplier_index", "cand_order")
+        # keep the fuzzy batch bounded: it is an O(pairs) Python-scored join
+        # (modulus 5 is coprime with the feed's balance/newness patterns)
+        .filter(F.col("cand_order") % 5 == 3)
+    )
+    return fuzzy_best_match(
+        candidates,
+        base_feed(spark, sf_dir),
+        candidate_name="name",
+        candidate_order="cand_order",
+        blocking="ngram",
+    ).orderBy("supplier_index")
+
+
+# --------------------------------------------------------------------------
 # A1 / A3 / A4 / A5 / A6 / A7 aggregates
 # --------------------------------------------------------------------------
 @query(
