@@ -1,0 +1,190 @@
+"""Deduplication operators for large-scale document pipelines.
+
+Not part of the reference surface (BASELINE.json north-star extension), but
+designed with the same discipline: pure DataFrame plans, shuffle on small
+derived keys, no Python in the hot path.
+
+- exact_dedup: hash-groupBy on md5(text) — one shuffle on a 32-char key.
+- shingles: word n-gram sets (distinct) as an array column.
+- minhash_signatures: k min-hashes via min(md5(seed||shingle)) — the
+  explode is (docs × shingles × seeds) but reduces map-side via partial
+  min aggregation before the shuffle.
+- lsh_candidate_pairs: band the signature (r rows/band), join docs on
+  (band, band_key) — the classic MinHash-LSH plan: candidate generation is
+  an equi-join on band keys, never a cross join.  At 100 TB the band join
+  shuffles only (doc_id, band_key) pairs; skewed bands (boilerplate docs)
+  are handled by AQE skew-join splitting.
+- ngram_jaccard_pairs: exact Jaccard via shingle equi-join + group count —
+  used to verify LSH candidates or as a standalone near-dup scorer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup groups: md5(text) → keep-id (min), occurrence count."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("occurrences"),
+        )
+    )
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the lowercased text."""
+    tokens = F.split(F.lower(text), r"\s+")
+    cnt = F.greatest(F.size(tokens) - (n - 1), F.lit(0))
+    idx = F.sequence(F.lit(1), cnt)
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(tokens, i + j) for j in range(n)]))
+    return F.array_distinct(F.when(cnt > 0, grams).otherwise(F.array().cast("array<string>")))
+
+
+def shingle_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """(id, shingle) exploded table — the base relation for minhash/jaccard."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame, num_hashes: int = 8
+) -> DataFrame:
+    """One row per (doc_id, seed) with the min-hash.
+
+    Hash family: md5 over ``seed || '|' || shingle`` — portable (identical
+    in any engine with md5) and uniform; min over the hex string is the
+    min-hash.  Partial aggregation happens map-side before the shuffle.
+    """
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
+    exploded = shingles.select("doc_id", "shingle", seeds)
+    return (
+        exploded.groupBy("doc_id", "seed")
+        .agg(F.min(F.md5(F.concat_ws("|", F.col("seed"), F.col("shingle")))).alias("minhash"))
+    )
+
+
+def lsh_bands(signatures: DataFrame, rows_per_band: int = 2) -> DataFrame:
+    """Band the signature: band_key = md5(concat of the band's min-hashes in
+    seed order)."""
+    banded = signatures.withColumn("band", (F.col("seed") / rows_per_band).cast("long"))
+    return (
+        banded.groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
+                        lambda s: s["minhash"],
+                    ),
+                )
+            ).alias("band_key")
+        )
+    )
+
+
+def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
+    """Distinct doc pairs (a < b) sharing at least one band key."""
+    left = bands.select(F.col("band"), F.col("band_key"), F.col("doc_id").alias("doc_a"))
+    right = bands.select(F.col("band"), F.col("band_key"), F.col("doc_id").alias("doc_b"))
+    return (
+        left.join(right, on=["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    shingles: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """Exact Jaccard over distinct shingle sets, via shingle equi-join.
+
+    Plan: sizes = |A| per doc (one agg); intersections via self-join on the
+    shingle key + group by pair; jaccard = i / (|A|+|B|-i).  Never quadratic
+    in docs — only pairs sharing ≥1 shingle materialize.
+    """
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), on="doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), on="doc_b")
+        .withColumn("jaccard", F.col("i") / (F.col("na") + F.col("nb") - F.col("i")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", nbits: int = 60) -> DataFrame:
+    """Per-doc SimHash over distinct word tokens (portable hash family).
+
+    Token bit b is bit ``b % 4`` of hex digit ``b // 4`` of md5(token); the
+    signature bit is the sign of the per-bit vote sum.  The vote sums are
+    nbits plain SUM aggregates over ``element_at`` — one shuffle keyed by
+    doc_id with map-side partial aggregation, no nbits× row blow-up.
+    """
+    tokens = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))).alias("token"),
+    )
+    h = F.md5(F.col("token"))
+    contrib = F.array(
+        *[
+            (
+                F.shiftright(F.conv(F.substring(h, b // 4 + 1, 1), 16, 10).cast("int"), b % 4)
+                .bitwiseAND(F.lit(1))
+                * 2
+                - 1
+            )
+            for b in range(nbits)
+        ]
+    )
+    votes = tokens.select("doc_id", contrib.alias("c")).groupBy("doc_id").agg(
+        *[F.sum(F.element_at(F.col("c"), b + 1)).alias(f"s{b}") for b in range(nbits)]
+    )
+    sig = sum(
+        [F.when(F.col(f"s{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0)) for b in range(nbits)],
+        start=F.lit(0).cast("long"),
+    )
+    return votes.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_near_dup_pairs(sigs: DataFrame, max_hamming: int = 3, nbits: int = 60, bands: int = 4) -> DataFrame:
+    """Doc pairs with SimHash Hamming distance ≤ ``max_hamming``.
+
+    Candidate generation bands the signature into ``bands`` equal bit slices
+    and equi-joins on (band, slice value): by pigeonhole, any pair within
+    ``bands - 1`` differing bits shares an identical band, so with the
+    default 4 bands / max_hamming=3 the banded plan returns the EXACT result
+    of the quadratic scan while shuffling only (doc_id, band_key) pairs.
+    """
+    width = nbits // bands
+    mask = (1 << width) - 1
+    slices = F.array(
+        *[F.shiftright(F.col("simhash"), i * width).bitwiseAND(F.lit(mask)) for i in range(bands)]
+    )
+    banded = sigs.select(
+        "doc_id", "simhash", F.posexplode(slices).alias("band", "band_key")
+    )
+    a = banded.select(F.col("band"), F.col("band_key"), F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"))
+    b = banded.select(F.col("band"), F.col("band_key"), F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"))
+    return (
+        a.join(b, on=["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -1,0 +1,112 @@
+"""Multimodal column plumbing (north-star extension).
+
+Images/audio/video are carried as opaque ``binary`` payload columns with a
+typed metadata struct.  The Spark-side plumbing — schema, Arrow-batched
+``mapInPandas`` signature, partition sizing — is real and tested; the
+actual codec work is stubbed: the container has no image/audio libraries,
+so ``decode_stub`` raises ``NotImplementedError`` unless
+``deterministic_fake=True``, which produces seeded fake features (stable
+across runs) to exercise the pipeline end-to-end.
+
+At 100 TB: payloads dominate row size, so the media table should be stored
+with the payload column last (parquet column pruning keeps metadata-only
+queries cheap) and partitioned by ``modality``; ``mapInPandas`` keeps
+batches bounded via spark.sql.execution.arrow.maxRecordsPerBatch rather
+than loading a whole partition of blobs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("modality", StringType(), False),  # image | audio | video
+        StructField("mime_type", StringType(), True),
+        StructField("payload", BinaryType(), True),
+        StructField("source_doc_id", LongType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("modality", StringType(), False),
+        StructField("payload_bytes", LongType(), True),
+        StructField("payload_sha", StringType(), True),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("duration_sec", DoubleType(), True),
+        StructField("feature_0", DoubleType(), True),
+    ]
+)
+
+
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Build a media table from the documents corpus: payload = utf-8 bytes
+    of the text (a deterministic opaque blob), modality round-robins."""
+    modality = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        modality.alias("modality"),
+        F.lit("application/octet-stream").alias("mime_type"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.col("doc_id").alias("source_doc_id"),
+    )
+
+
+def extract_features(media: DataFrame, deterministic_fake: bool = True) -> DataFrame:
+    """Arrow-batched feature extraction over the payload column.
+
+    The real decode (PIL/ffmpeg/torchaudio) is environment-gated; with
+    ``deterministic_fake`` the 'decoded' dimensions/features are seeded from
+    the payload sha256 so the pipeline is fully testable without codecs.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not deterministic_fake:
+                raise NotImplementedError(
+                    "real media decode requires PIL/ffmpeg, not present in "
+                    "this environment — pass deterministic_fake=True"
+                )
+            out = []
+            for _, row in pdf.iterrows():
+                payload = row["payload"] or b""
+                sha = hashlib.sha256(payload).hexdigest()
+                seed = int(sha[:8], 16)
+                out.append(
+                    {
+                        "media_id": row["media_id"],
+                        "modality": row["modality"],
+                        "payload_bytes": len(payload),
+                        "payload_sha": sha,
+                        "width": 64 + seed % 1024 if row["modality"] == "image" else None,
+                        "height": 64 + (seed // 1024) % 1024 if row["modality"] == "image" else None,
+                        "duration_sec": round((seed % 36000) / 10.0, 1)
+                        if row["modality"] in ("audio", "video")
+                        else None,
+                        "feature_0": (seed % 100000) / 100000.0,
+                    }
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in FEATURE_SCHEMA.fields])
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)

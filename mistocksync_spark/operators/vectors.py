@@ -1,0 +1,133 @@
+"""Similarity search over embedding columns (north-star extension).
+
+- ``cosine``: strict left-fold dot/norm in pure column expressions
+  (``aggregate``/``zip_with``) — deterministic accumulation order, JVM-side,
+  no UDF.
+- ``brute_force_topk``: score every row against a query vector — the
+  correctness baseline.  One scan, no shuffle except the final top-k.
+- ``lsh_bucket_topk``: random-hyperplane (SimHash) bucketing — the scale
+  path.  Vectors are bucketed by the sign pattern of ``nbits`` fixed
+  pseudo-random hyperplanes (seeded deterministically from the dimension
+  index, no RNG at plan time); search probes only the query's bucket and
+  its single-bit-flip neighbors, turning a full scan into a partition-pruned
+  lookup.  At 100 TB the bucket id becomes a partition column.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _to_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Strict left-fold dot product (deterministic order)."""
+    return F.aggregate(
+        F.zip_with(_to_double(a), _to_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(_to_double(a), F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    denom = norm(a) * norm(b)
+    return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 20,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k against a literal query vector."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = df.select(
+        F.col(id_col).alias("vec_id"),
+        cosine(F.col(vec_col), q).alias("cos_sim"),
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()).limit(k)
+
+
+def _hyperplane(dim: int, bit: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane: sin-hash of (bit, i).  No RNG
+    so plans are reproducible across sessions and engines."""
+    return [math.sin(0.5 + bit * 1013.0 + i * 9.173) for i in range(dim)]
+
+
+def simhash_bucket(vec: Column, dim: int, nbits: int = 8) -> Column:
+    """Sign-pattern bucket id over nbits fixed hyperplanes."""
+    bucket = F.lit(0).cast("long")
+    for b in range(nbits):
+        h = F.array(*[F.lit(x) for x in _hyperplane(dim, b)])
+        bucket = bucket + F.when(dot(vec, h) >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_bucket_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 20,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    nbits: int = 8,
+) -> DataFrame:
+    """Approximate cosine top-k: probe the query's SimHash bucket and all
+    single-bit-flip neighbor buckets (multi-probe LSH)."""
+    dim = len(query_vec)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qbits = 0
+    for b in range(nbits):
+        s = sum(query_vec[i] * h for i, h in enumerate(_hyperplane(dim, b)))
+        if s >= 0:
+            qbits |= 1 << b
+    probe = [qbits] + [qbits ^ (1 << b) for b in range(nbits)]
+    bucketed = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("__vec"),
+        simhash_bucket(F.col(vec_col), dim, nbits).alias("bucket"),
+    )
+    # bucket pruning happens before any scoring — only ~ (nbits+1)/2^nbits
+    # of the corpus is scored
+    candidates = bucketed.filter(F.col("bucket").isin(probe))
+    scored = candidates.select("vec_id", cosine(F.col("__vec"), q).alias("cos_sim"))
+    return scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()).limit(k)
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.99,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact embedding near-duplicate pairs: cosine ≥ threshold.
+
+    Brute-force O(n²) self-join — the correctness baseline the LSH-bucketed
+    plan (``simhash_bucket``) is verified against; at 100 TB the same verify
+    step runs per LSH bucket instead of globally.  Norms are precomputed
+    once per row (projection before the join), so the join side carries
+    (id, vec, norm) only.
+    """
+    withn = df.select(
+        F.col(id_col).alias("vid"), _to_double(F.col(vec_col)).alias("v"), norm(F.col(vec_col)).alias("nrm")
+    )
+    a = withn.select(F.col("vid").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = withn.select(F.col("vid").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    dotab = F.aggregate(F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    sim = F.when(F.col("na") * F.col("nb") > 0, dotab / (F.col("na") * F.col("nb"))).otherwise(F.lit(0.0))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("vec_a", "vec_b", F.round("cos_sim", 6).alias("cos_sim"))
+    )

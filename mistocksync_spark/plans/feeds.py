@@ -99,6 +99,26 @@ FROM part
 """
 
 
+# Documents corpus augmented with deterministic near- and exact duplicates
+# so the dedup operators have positives to find (the raw driver corpus is
+# 500 unique word-soup docs).
+DOCS_AUG_SQL = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 1000000 AS doc_id, text || ' почти дубликат хвост' AS text
+FROM documents WHERE doc_id % 10 = 0
+UNION ALL
+SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 25 = 0
+"""
+
+
+def docs_aug(spark, sf_dir: str):
+    import os
+
+    spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).createOrReplaceTempView("documents")
+    return spark.sql(DOCS_AUG_SQL)
+
+
 def register_feeds(spark, sf_dir: str) -> None:
     """Register ``part`` plus the derived supplier/base feeds as temp views."""
     import os
@@ -125,3 +145,32 @@ def base_feed(spark, sf_dir: str):
 def feed_ctes() -> str:
     """CTE prefix reused by every DuckDB oracle."""
     return f"WITH supplier_feed AS ({SUPPLIER_FEED_SQL}), base_feed AS ({BASE_FEED_SQL})"
+
+
+# Embeddings corpus augmented with planted duplicates: exact copies and
+# power-of-two-scaled copies (×2 is float-exact, so both engines compute
+# bit-identical cosines) — gives the near-dup operators positives to find.
+EMB_AUG_SQL_DUCKDB = """
+SELECT vec_id, embedding FROM embeddings
+UNION ALL
+SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id % 20 = 0
+UNION ALL
+SELECT vec_id + 2000000 AS vec_id, list_transform(embedding, x -> CAST(x AS FLOAT) * 2) AS embedding
+FROM embeddings WHERE vec_id % 30 = 0
+"""
+
+
+def emb_aug(spark, sf_dir: str):
+    import os
+
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    exact = emb.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    scaled = emb.filter(F.col("vec_id") % 30 == 0).select(
+        (F.col("vec_id") + 2000000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x.cast("float") * 2).alias("embedding"),
+    )
+    return emb.select("vec_id", "embedding").unionByName(exact).unionByName(scaled)

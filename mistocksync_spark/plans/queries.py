@@ -691,6 +691,237 @@ def price_filter_loss_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Dedup extensions: exact, MinHash-LSH, n-gram Jaccard (documents corpus
+# augmented with deterministic near/exact duplicates — plans/feeds.py)
+# --------------------------------------------------------------------------
+_DOCS_CTE = None  # set below to avoid import cycle at module top
+
+
+def _docs_cte() -> str:
+    from mistocksync_spark.plans.feeds import DOCS_AUG_SQL
+
+    return f"WITH docs AS ({DOCS_AUG_SQL})"
+
+
+_SQL_SHINGLES = r"""
+    , tok AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t FROM docs)
+    , sh AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        FROM tok, UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)
+    )
+"""
+
+
+@query("exact_dedup")
+def exact_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mistocksync_spark.operators.dedup import exact_dedup
+    from mistocksync_spark.plans.feeds import docs_aug
+
+    return exact_dedup(docs_aug(spark, sf_dir))
+
+
+@query("minhash_lsh_pairs")
+def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mistocksync_spark.operators.dedup import lsh_bands, lsh_candidate_pairs, minhash_signatures, shingle_table
+    from mistocksync_spark.plans.feeds import docs_aug
+
+    sh = shingle_table(docs_aug(spark, sf_dir))
+    return lsh_candidate_pairs(lsh_bands(minhash_signatures(sh, 8), 2))
+
+
+@query("ngram_jaccard_pairs")
+def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mistocksync_spark.operators.dedup import ngram_jaccard_pairs, shingle_table
+    from mistocksync_spark.plans.feeds import docs_aug
+
+    return ngram_jaccard_pairs(shingle_table(docs_aug(spark, sf_dir)), 0.5)
+
+
+# --------------------------------------------------------------------------
+# Text analysis: token counts, quality features, language-ID, fingerprints
+# --------------------------------------------------------------------------
+@query(
+    "token_counts",
+    r"""
+    SELECT doc_id,
+           CASE WHEN trim(text) IS NULL OR trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+           len(regexp_extract_all(lower(text), '[a-zа-я]+|[0-9]+|[^\sa-zа-я0-9]', 0)) AS n_subword_tokens
+    FROM documents
+    """,
+)
+def token_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mistocksync_spark.operators.textual import bpe_ish_token_count, token_count
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("n_subword_tokens"),
+    )
+
+
+def _sql_quality() -> str:
+    from mistocksync_spark.operators.textual import LANG_STOPWORDS
+
+    stop_all = sorted({w for ws in LANG_STOPWORDS.values() for w in ws})
+    stop_list = ", ".join(f"'{w}'" for w in stop_all)
+    ntok = r"len(regexp_split_to_array(trim(text), '\s+'))"
+    return rf"""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           {ntok} AS n_tokens,
+           CASE WHEN {ntok} > 0 THEN length(regexp_replace(text, '\s+', '', 'g')) / {ntok} ELSE 0.0 END AS mean_token_len,
+           CASE WHEN length(text) > 0 THEN length(regexp_replace(text, '[^.,!?;:]', '', 'g')) / length(text) ELSE 0.0 END AS punct_ratio,
+           CASE WHEN {ntok} > 0 THEN len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x IN ({stop_list}))) / {ntok} ELSE 0.0 END AS stopword_ratio
+    FROM documents
+    """
+
+
+@query("doc_quality", _sql_quality())
+def doc_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mistocksync_spark.operators.textual import quality_features
+
+    return quality_features(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _sql_lang_id() -> str:
+    from mistocksync_spark.operators.textual import LANG_STOPWORDS
+
+    langs = sorted(LANG_STOPWORDS)
+    score_cols = []
+    for lang in langs:
+        ws = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+        score_cols.append(
+            rf"len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x IN ({ws}))) AS score_{lang}"
+        )
+    best = "greatest(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    pred = "COALESCE(" + ", ".join(
+        f"CASE WHEN score_{lang} = {best} THEN '{lang}' END" for lang in langs
+    ) + ")"
+    return f"""
+    WITH scored AS (SELECT doc_id, {', '.join(score_cols)} FROM documents)
+    SELECT doc_id, {', '.join(f'score_{lang}' for lang in langs)},
+           CASE WHEN {best} > 0 THEN {pred} ELSE 'unknown' END AS lang_pred
+    FROM scored
+    """
+
+
+@query("lang_id", _sql_lang_id())
+def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mistocksync_spark.operators.textual import language_id
+
+    return language_id(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+@query(
+    "doc_fingerprint",
+    """
+    SELECT doc_id, md5(text) AS full_hash,
+           list_aggregate(list_transform(generate_series(1, greatest(length(lower(text)) - 7, 1)), i -> md5(lower(text)[i:i+7])), 'min') AS min_gram_hash,
+           list_aggregate(list_transform(generate_series(1, greatest(length(lower(text)) - 7, 1)), i -> md5(lower(text)[i:i+7])), 'max') AS max_gram_hash
+    FROM documents
+    """,
+)
+def doc_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mistocksync_spark.operators.textual import fingerprint
+
+    return fingerprint(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+# --------------------------------------------------------------------------
+# Similarity search over embeddings: brute-force cosine baseline + LSH
+# --------------------------------------------------------------------------
+_SQL_DOT = (
+    "list_reduce(list_transform(generate_series(1, 64), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (acc, x) -> acc + x)"
+)
+_SQL_NORM = (
+    "sqrt(list_reduce(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, x) -> acc + x))"
+)
+
+_SQL_TOPK = f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, cos_sim FROM (
+        SELECT e.vec_id,
+               CASE WHEN {_SQL_NORM.format(a='e.embedding')} * {_SQL_NORM.format(a='q.qv')} > 0
+                    THEN {_SQL_DOT.format(a='e.embedding', b='q.qv')}
+                         / ({_SQL_NORM.format(a='e.embedding')} * {_SQL_NORM.format(a='q.qv')})
+                    ELSE 0.0 END AS cos_sim
+        FROM embeddings e, q
+    ) ORDER BY cos_sim DESC, vec_id ASC LIMIT 20
+"""
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    row = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .collect()[0]
+    )
+    return [float(x) for x in row[0]]
+
+
+@query("embedding_topk", _SQL_TOPK)
+def embedding_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mistocksync_spark.operators.vectors import brute_force_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return brute_force_topk(emb, _query_vec(spark, sf_dir), k=20)
+
+
+@query("embedding_topk_lsh")
+def embedding_topk_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mistocksync_spark.operators.vectors import lsh_bucket_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return lsh_bucket_topk(emb, _query_vec(spark, sf_dir), k=20)
+
+
+ORACLES["exact_dedup"] = (
+    _docs_cte()
+    + " SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS occurrences FROM docs GROUP BY md5(text)"
+)
+
+ORACLES["minhash_lsh_pairs"] = (
+    _docs_cte()
+    + _SQL_SHINGLES
+    + """
+    , mh AS (
+        SELECT doc_id, seed, MIN(md5(CAST(seed AS STRING) || '|' || shingle)) AS minhash
+        FROM sh, UNNEST(generate_series(0, 7)) AS s(seed)
+        GROUP BY doc_id, seed
+    )
+    , bands AS (
+        SELECT doc_id, seed // 2 AS band, md5(string_agg(minhash, '|' ORDER BY seed)) AS band_key
+        FROM mh GROUP BY doc_id, seed // 2
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    """
+)
+
+ORACLES["ngram_jaccard_pairs"] = (
+    _docs_cte()
+    + _SQL_SHINGLES
+    + """
+    , sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+    , inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, round(CAST(i AS DOUBLE) / (na.n + nb.n - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes na ON na.doc_id = doc_a
+    JOIN sizes nb ON nb.doc_id = doc_b
+    WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.5
+    """
+)
+
+
+# --------------------------------------------------------------------------
 # Streaming-shaped batch aggregation over events (tumbling window)
 # --------------------------------------------------------------------------
 @query(
@@ -712,3 +943,141 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 4).alias("sum_value"))
     )
+
+
+@query("events_hourly_stream")
+def events_hourly_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming parity: the same tumbling-window aggregation run
+    as a streaming plan (file source, watermark, Trigger.AvailableNow) must
+    equal the batch query — oracle shared with ``events_hourly``."""
+    from mistocksync_spark.streaming.events import hourly_aggregate, read_events_stream
+
+    q = (
+        hourly_aggregate(read_events_stream(spark, sf_dir))
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("events_hourly_stream_sink")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table("events_hourly_stream_sink")
+
+
+ORACLES["events_hourly_stream"] = ORACLES["events_hourly"]
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing: opaque binary payloads, Arrow-batched fake decode
+# --------------------------------------------------------------------------
+_SQL_HEX8 = (
+    "list_reduce(list_transform(generate_series(1, 8), "
+    "i -> strpos('0123456789abcdef', substr({sha}, i, 1)) - 1), (acc, x) -> acc * 16 + x)"
+)
+
+
+def _sql_media_features() -> str:
+    seed = _SQL_HEX8.format(sha="payload_sha")
+    return f"""
+    WITH m AS (
+        SELECT doc_id AS media_id,
+               CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+               octet_length(encode(text)) AS payload_bytes,
+               sha256(text) AS payload_sha
+        FROM documents
+    ), s AS (SELECT *, {seed} AS seed FROM m)
+    SELECT media_id, modality, CAST(payload_bytes AS BIGINT) AS payload_bytes, payload_sha,
+           CASE WHEN modality = 'image' THEN 64 + seed % 1024 END AS width,
+           CASE WHEN modality = 'image' THEN 64 + (seed // 1024) % 1024 END AS height,
+           CASE WHEN modality IN ('audio', 'video') THEN round((seed % 36000) / 10.0, 1) END AS duration_sec,
+           (seed % 100000) / 100000.0 AS feature_0
+    FROM s
+    """
+
+
+@query("media_features", _sql_media_features())
+def media_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mistocksync_spark.operators.multimodal import extract_features, media_from_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return extract_features(media_from_documents(docs), deterministic_fake=True)
+
+
+# --------------------------------------------------------------------------
+# SimHash text dedup + embedding-cosine near-dup (north-star extensions)
+# --------------------------------------------------------------------------
+def _sql_simhash_sig() -> str:
+    # bit b of token = bit (b % 4) of hex digit (b // 4) of md5(token)
+    bit = "((strpos('0123456789abcdef', substr(md5(token), (b // 4) + 1, 1)) - 1) >> (b % 4)) & 1"
+    return f"""
+    , tok2 AS (SELECT DISTINCT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS token FROM docs)
+    , votes AS (
+        SELECT doc_id, b, SUM(CASE WHEN ({bit}) = 1 THEN 1 ELSE -1 END) AS s
+        FROM tok2, UNNEST(generate_series(0, 59)) AS u(b)
+        GROUP BY doc_id, b
+    )
+    , sig AS (
+        SELECT doc_id, SUM(CASE WHEN s >= 0 THEN 1::BIGINT << b ELSE 0 END) AS simhash
+        FROM votes GROUP BY doc_id
+    )
+    """
+
+
+@query("simhash_dedup_pairs")
+def simhash_dedup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mistocksync_spark.operators.dedup import simhash, simhash_near_dup_pairs
+    from mistocksync_spark.plans.feeds import docs_aug
+
+    return simhash_near_dup_pairs(simhash(docs_aug(spark, sf_dir)), max_hamming=3)
+
+
+ORACLES["simhash_dedup_pairs"] = (
+    _docs_cte()
+    + _sql_simhash_sig()
+    + """
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """
+)
+
+
+@query("embedding_near_dup")
+def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mistocksync_spark.operators.vectors import cosine_near_dup_pairs
+    from mistocksync_spark.plans.feeds import emb_aug
+
+    return cosine_near_dup_pairs(emb_aug(spark, sf_dir), threshold=0.99)
+
+
+_SQL_DOT_VAR = (
+    "list_reduce(list_transform(generate_series(1, len({a})), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (acc, x) -> acc + x)"
+)
+
+ORACLES["embedding_near_dup"] = f"""
+    WITH emb AS ({{emb_aug}}),
+    withn AS (
+        SELECT vec_id, embedding,
+               {_SQL_NORM.format(a='embedding')} AS nrm
+        FROM emb
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(CASE WHEN a.nrm * b.nrm > 0
+                 THEN {_SQL_DOT_VAR.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm)
+                 ELSE 0.0 END, 6) AS cos_sim
+    FROM withn a JOIN withn b ON a.vec_id < b.vec_id
+    WHERE CASE WHEN a.nrm * b.nrm > 0
+          THEN {_SQL_DOT_VAR.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm)
+          ELSE 0.0 END >= 0.99
+"""
+
+
+def _patch_emb_oracle():
+    from mistocksync_spark.plans.feeds import EMB_AUG_SQL_DUCKDB
+
+    ORACLES["embedding_near_dup"] = ORACLES["embedding_near_dup"].replace("{emb_aug}", EMB_AUG_SQL_DUCKDB)
+
+
+_patch_emb_oracle()

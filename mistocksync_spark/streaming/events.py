@@ -1,0 +1,70 @@
+"""Structured Streaming over the events table (north-star extension — the
+reference has no streaming surface, SURVEY.md §2.8).
+
+The batch ``events_hourly`` aggregation re-expressed as a streaming plan:
+file source → watermark → tumbling window → sink.  With
+``Trigger.AvailableNow`` the same plan doubles as an incremental batch job,
+which is how it is tested (results must equal the batch query).
+
+Scale notes: state is keyed by (window, event_type) — small, bounded by the
+watermark horizon; at 100 TB/day the source would be Kafka with the same
+plan, and the sink an idempotent partitioned parquet/Delta append keyed by
+window start.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-based streaming source over the events parquet (schema fixed up
+    for the NANOS timestamp like the batch loader)."""
+    from mistocksync_spark.sources.testdata import load_events
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _ = load_events  # batch loader documents the ts fix-up this mirrors
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{sf_dir.rstrip('/')}/events.parq*")  # glob: FileStreamSource needs a dir or glob, not a bare file
+    )
+    ev = stream.select(*[c for c in ("event_id", "ts", "user_id", "event_type", "value") if c in stream.columns])
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return ev
+
+
+def hourly_aggregate(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1-hour window counts/sums per event_type with late-data
+    tolerance ``watermark``."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+def run_available_now(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
+    """Run the streaming plan to completion over the existing files
+    (Trigger.AvailableNow) writing to a parquet sink — used by tests to
+    prove batch/stream parity."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = hourly_aggregate(ev)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("events_hourly_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    spark.table("events_hourly_stream").write.mode("overwrite").parquet(out_dir)

@@ -1,0 +1,217 @@
+"""Tests for the north-star extension operators: dedup (exact / MinHash-LSH
+/ SimHash / n-gram Jaccard), vector similarity, text analysis, multimodal
+plumbing, and the Structured Streaming events plan."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------- dedup
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(spark):
+    from mistocksync_spark.operators.dedup import exact_dedup
+
+    df = _docs(spark, [(1, "a b c"), (2, "a b c"), (3, "x y z")])
+    got = {r.keep_id: r.occurrences for r in exact_dedup(df).collect()}
+    assert got == {1: 2, 3: 1}
+
+
+def test_word_shingles(spark):
+    from mistocksync_spark.operators.dedup import shingle_table
+
+    df = _docs(spark, [(1, "A b c d"), (2, "x y")])  # len<n -> no shingles
+    rows = shingle_table(df, n=3).collect()
+    got = {(r.doc_id, r.shingle) for r in rows}
+    assert got == {(1, "a b c"), (1, "b c d")}
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    from mistocksync_spark.operators.dedup import (
+        lsh_bands,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingle_table,
+    )
+
+    base = "один два три четыре пять шесть семь восемь девять десять"
+    df = _docs(spark, [(1, base), (2, base + " хвост"), (3, "совсем другой текст про погоду и море")])
+    pairs = lsh_candidate_pairs(lsh_bands(minhash_signatures(shingle_table(df), 8), 2))
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_ngram_jaccard_exact_value(spark):
+    from mistocksync_spark.operators.dedup import ngram_jaccard_pairs, shingle_table
+
+    df = _docs(spark, [(1, "a b c d"), (2, "a b c d e")])
+    # shingles(1) = {abc, bcd}; shingles(2) = {abc, bcd, cde}; J = 2/3
+    rows = ngram_jaccard_pairs(shingle_table(df), threshold=0.5).collect()
+    assert len(rows) == 1
+    assert rows[0].doc_a == 1 and rows[0].doc_b == 2
+    assert abs(rows[0].jaccard - 2 / 3) < 1e-6
+
+
+def test_simhash_exact_dup_hamming_zero(spark):
+    from mistocksync_spark.operators.dedup import simhash, simhash_near_dup_pairs
+
+    df = _docs(
+        spark,
+        [
+            (1, "слово один два три"),
+            (2, "слово один два три"),
+            (3, "полностью непохожий набор редких токенов абракадабра"),
+        ],
+    )
+    sigs = {r.doc_id: r.simhash for r in simhash(df).collect()}
+    assert sigs[1] == sigs[2]
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in simhash_near_dup_pairs(simhash(df)).collect()}
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) not in pairs
+
+
+def test_simhash_banding_is_exact(spark):
+    """Banded candidate generation must equal the quadratic scan for
+    max_hamming = bands - 1 (pigeonhole)."""
+    from mistocksync_spark.operators.dedup import simhash, simhash_near_dup_pairs
+
+    docs = _docs(
+        spark,
+        [(i, f"общий общий общий токен{i % 4} число{i}") for i in range(16)],
+    )
+    sigs = simhash(docs)
+    banded = {(r.doc_a, r.doc_b, r.hamming) for r in simhash_near_dup_pairs(sigs).collect()}
+    rows = sigs.collect()
+    brute = set()
+    for a in rows:
+        for b in rows:
+            if a.doc_id < b.doc_id:
+                h = bin(a.simhash ^ b.simhash).count("1")
+                if h <= 3:
+                    brute.add((a.doc_id, b.doc_id, h))
+    assert banded == brute
+
+
+# ---------------------------------------------------------------- vectors
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_orders_by_similarity(spark):
+    from mistocksync_spark.operators.vectors import brute_force_topk
+
+    df = _vecs(
+        spark,
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.1]),
+            (2, [0.0, 1.0]),
+            (3, [-1.0, 0.0]),
+        ],
+    )
+    rows = brute_force_topk(df, [1.0, 0.0], k=3).collect()
+    assert [r.vec_id for r in rows] == [0, 1, 2]
+    assert rows[0].cos_sim == pytest.approx(1.0)
+    assert rows[1].cos_sim == pytest.approx(0.9 / math.hypot(0.9, 0.1))
+
+
+def test_lsh_bucket_topk_recalls_top1(spark):
+    from mistocksync_spark.operators.vectors import lsh_bucket_topk
+
+    q = [0.5] * 8
+    near = [0.5] * 7 + [0.51]
+    far = [-0.5] * 8
+    df = _vecs(spark, [(0, q), (1, near), (2, far)])
+    rows = lsh_bucket_topk(df, q, k=2, nbits=4)
+    got = [r.vec_id for r in rows.collect()]
+    assert got[0] == 0 and 1 in got
+
+
+def test_cosine_near_dup_pairs_threshold(spark):
+    from mistocksync_spark.operators.vectors import cosine_near_dup_pairs
+
+    df = _vecs(
+        spark,
+        [(0, [1.0, 2.0, 3.0]), (1, [2.0, 4.0, 6.0]), (2, [3.0, -1.0, 0.0])],
+    )
+    rows = cosine_near_dup_pairs(df, threshold=0.99).collect()
+    assert [(r.vec_a, r.vec_b) for r in rows] == [(0, 1)]
+    assert rows[0].cos_sim == pytest.approx(1.0)
+
+
+# ---------------------------------------------------------------- textual
+def test_token_counts_and_quality(spark):
+    from mistocksync_spark.operators.textual import quality_features
+
+    df = _docs(spark, [(1, "The cat, the hat!"), (2, "")])
+    rows = {r.doc_id: r for r in quality_features(df).collect()}
+    assert rows[1].n_tokens == 4
+    assert rows[1].punct_ratio == pytest.approx(2 / 17)
+    assert rows[1].stopword_ratio == pytest.approx(0.5)  # 'the' x2 of 4
+    assert rows[2].n_tokens == 0
+
+
+def test_language_id_en_ru(spark):
+    from mistocksync_spark.operators.textual import language_id
+
+    df = _docs(
+        spark,
+        [
+            (1, "the quick fox and the lazy dog in a field"),
+            (2, "это не просто текст как бы он был на русском языке"),
+        ],
+    )
+    rows = {r.doc_id: r.lang_pred for r in language_id(df).collect()}
+    assert rows[1] == "en"
+    assert rows[2] == "ru"
+
+
+def test_fingerprint_stable_and_distinct(spark):
+    from mistocksync_spark.operators.textual import fingerprint
+
+    df = _docs(spark, [(1, "some document text body"), (2, "some document text body"), (3, "other")])
+    rows = {r.doc_id: r for r in fingerprint(df).collect()}
+    assert rows[1].full_hash == rows[2].full_hash
+    assert rows[1].min_gram_hash == rows[2].min_gram_hash
+    assert rows[1].full_hash != rows[3].full_hash
+
+
+# ---------------------------------------------------------------- multimodal
+def test_media_features_deterministic(spark):
+    from mistocksync_spark.operators.multimodal import extract_features, media_from_documents
+
+    docs = _docs(spark, [(0, "img payload"), (1, "audio payload"), (2, "video payload")])
+    media = media_from_documents(docs)
+    feats = {r.media_id: r for r in extract_features(media).collect()}
+    assert feats[0].modality == "image" and feats[0].width is not None and feats[0].duration_sec is None
+    assert feats[1].modality == "audio" and feats[1].duration_sec is not None and feats[1].width is None
+    assert feats[2].modality == "video"
+    import hashlib
+
+    assert feats[0].payload_sha == hashlib.sha256(b"img payload").hexdigest()
+    assert feats[0].payload_bytes == len(b"img payload")
+    # rerun -> identical (seeded from sha, no RNG)
+    again = {r.media_id: r for r in extract_features(media).collect()}
+    assert again[0].width == feats[0].width and again[1].duration_sec == feats[1].duration_sec
+
+
+def test_media_decode_stub_raises(spark):
+    from mistocksync_spark.operators.multimodal import extract_features, media_from_documents
+
+    docs = _docs(spark, [(0, "x")])
+    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+        extract_features(media_from_documents(docs), deterministic_fake=False).collect()
+
+
+# ---------------------------------------------------------------- streaming
+def test_streaming_hourly_matches_batch(spark, sf_dir):
+    from mistocksync_spark.plans.queries import QUERIES
+
+    batch = {tuple(r) for r in QUERIES["events_hourly"](spark, sf_dir).collect()}
+    stream = {tuple(r) for r in QUERIES["events_hourly_stream"](spark, sf_dir).collect()}
+    assert stream == batch and len(batch) > 0
