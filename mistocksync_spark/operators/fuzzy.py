@@ -100,15 +100,32 @@ def fuzzy_best_match(
         # Equi-join on shared trigrams instead of a cross join: candidate
         # pairs must share at least one trigram.  Distinct pair ids, then
         # re-attach payloads — shuffles on small keys, never quadratic.
+        # Right at 100 TB-scale candidate sets; for small candidate batches
+        # the broadcast cross join below is faster (the trigram join is
+        # skew-bound on stop-grams).
         ck = cand.select("supplier_index", F.explode(_ngram_keys(F.col("supplier_name"))).alias("g"))
         bk = bs.select("base_index", F.explode(_ngram_keys(F.col("base_name"))).alias("g"))
         pair_ids = ck.join(bk, on="g").select("supplier_index", "base_index").distinct()
         pairs = pair_ids.join(cand, on="supplier_index").join(bs, on="base_index")
+    elif blocking == "broadcast":
+        # Small candidate side: broadcast nested-loop join, exact semantics;
+        # the UDF's quick-ratio upper-bound cutoff does the pruning instead
+        # of a blocking key.  The probe side is spread across all cores —
+        # a small parquet scan arrives as 1 partition, which would serialize
+        # the Python scoring.
+        spread = bs.repartition(bs.sparkSession.sparkContext.defaultParallelism)
+        pairs = F.broadcast(cand).crossJoin(spread)
     else:
         pairs = cand.crossJoin(bs)
 
-    scored = pairs.withColumn(
-        "similarity_ratio", similarity(F.col("supplier_name"), F.col("base_name"))
+    # JVM-side exact prefilter: difflib's ratio() is bounded above by
+    # 2*min(|a|,|b|)/(|a|+|b|), so pairs failing the length-band test can
+    # never reach the threshold — pruned before the Arrow transfer.
+    la, lb = F.length("supplier_name"), F.length("base_name")
+    length_ok = (F.least(la, lb) * 2.0 / (la + lb)) >= threshold
+    scored = pairs.filter(length_ok).withColumn(
+        "similarity_ratio",
+        similarity(F.col("supplier_name"), F.col("base_name"), skip_below=threshold),
     ).filter(F.col("similarity_ratio") >= threshold)
 
     w = Window.partitionBy("supplier_index").orderBy(

@@ -509,7 +509,7 @@ def _cascade(spark: SparkSession, sf_dir: str):
         supplier_price="price_usd",
         base_article="article_vitya",
         base_price="price_vitya_usd",
-        cache=False,
+        cache=True,
     )
 
 
@@ -593,7 +593,7 @@ def fuzzy_match_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         base_feed(spark, sf_dir),
         candidate_name="name",
         candidate_order="cand_order",
-        blocking="ngram",
+        blocking="broadcast",
     ).orderBy("supplier_index")
 
 
