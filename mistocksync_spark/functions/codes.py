@@ -101,9 +101,11 @@ def product_code_unified(name: Column) -> Column:
         *[F.when(up.contains(b), F.lit(b)) for b in BRANDS],
         F.lit(None).cast("string"),
     )
-    name_code = product_code_in_name(name)
-    return F.coalesce(
-        bracket_code(name),
-        brand,
-        F.when(F.length(name_code) >= 4, name_code),
-    )
+    # Single instance of the (large) C5 expression: the length-guard is
+    # applied via array filter instead of `when(length(x)>=4, x)`, which
+    # would duplicate the whole expression tree in the generated code.
+    name_code_ge4 = F.get(
+        F.filter(F.array(product_code_in_name(name)), lambda x: x.isNotNull() & (F.length(x) >= 4)),
+        0,
+    )  # F.get is null-safe on the empty array (ANSI element_at would throw)
+    return F.coalesce(bracket_code(name), brand, name_code_ge4)

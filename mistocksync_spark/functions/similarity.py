@@ -20,15 +20,27 @@ from pyspark.sql.types import DoubleType
 
 def _make_ratio_batch(skip_below: float | None):
     def _ratio_batch(a: pd.Series, b: pd.Series) -> pd.Series:
+        # One matcher reused across rows: set_seq2 builds the O(len) b2j
+        # index, set_seq1 is free — consecutive pairs out of a broadcast
+        # nested-loop join share the same seq2, so the index is built once
+        # per distinct right-hand string instead of once per pair.
+        m = difflib.SequenceMatcher()
+        last_y = None
+
         def ratio(x, y):
+            nonlocal last_y
             if not x or not y or not isinstance(x, str) or not isinstance(y, str):
                 return 0.0
-            m = difflib.SequenceMatcher(None, x.lower(), y.lower())
+            yl = y.lower()
+            if yl != last_y:
+                m.set_seq2(yl)
+                last_y = yl
+            m.set_seq1(x.lower())
             if skip_below is not None:
                 # real_quick_ratio/quick_ratio are UPPER bounds on ratio():
-                # returning the bound for pairs that cannot reach the
-                # threshold is exact w.r.t. any `>= skip_below` filter while
-                # skipping the O(n*m) matching for ~90% of pairs.
+                # returning 0 for pairs that cannot reach the threshold is
+                # exact w.r.t. any `>= skip_below` filter while skipping the
+                # O(n*m) matching.
                 if m.real_quick_ratio() < skip_below or m.quick_ratio() < skip_below:
                     return 0.0
             return m.ratio()

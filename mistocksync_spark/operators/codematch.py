@@ -88,37 +88,42 @@ def base_code_variants(
         battery_capacity(F.col(name_col)).alias("base_capacity"),
         base_price_from_config(F.col(base_price_col)).alias("base_price"),
     ]
-    parts = []
-    name_codes = (
-        base.filter(F.col(name_col).isNotNull())
-        .withColumn("code", extractor(F.col(name_col)))
-        .filter(F.col("code").isNotNull())
-        .select(
-            "code",
-            (F.col(order_col) * width).alias("base_variant_order"),
-            F.lit("name").alias("matched_in"),
-            *common,
+    # Single pass with explode instead of a per-source-column union: one
+    # scan and one codegen unit evaluate all extractors, and the shared
+    # color/capacity projections run once per row instead of once per
+    # branch.  Slot numbering (name=0, article col i = i+1) and the
+    # name-not-null guard reproduce the union's base_variant_order exactly.
+    entries = [
+        F.struct(
+            F.lit(0).alias("slot"),
+            F.lit("name").alias("src"),
+            F.when(F.col(name_col).isNotNull(), extractor(F.col(name_col))).alias("code"),
         )
-    )
-    parts.append(name_codes)
+    ]
     for i, col in enumerate(supplier_article_cols):
         if col not in base.columns:
             continue
-        parts.append(
-            base.filter(F.col(col).isNotNull())
-            .withColumn("code", extractor(F.col(col).cast("string")))
-            .filter(F.col("code").isNotNull())
-            .select(
-                "code",
-                (F.col(order_col) * width + (i + 1)).alias("base_variant_order"),
-                F.lit(col).alias("matched_in"),
-                *common,
+        entries.append(
+            F.struct(
+                F.lit(i + 1).alias("slot"),
+                F.lit(col).alias("src"),
+                F.when(F.col(col).isNotNull(), extractor(F.col(col).cast("string"))).alias("code"),
             )
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    exploded = base.select(*common, F.explode(F.array(*entries)).alias("e")).filter(
+        F.col("e.code").isNotNull()
+    )
+    return exploded.select(
+        F.col("e.code").alias("code"),
+        (F.col("base_index") * width + F.col("e.slot")).alias("base_variant_order"),
+        F.col("e.src").alias("matched_in"),
+        "base_index",
+        "base_name",
+        "base_article",
+        "base_color",
+        "base_capacity",
+        "base_price",
+    )
 
 
 def code_match(

@@ -32,13 +32,25 @@ def normalize_key(col):
 
 def dedupe_last(df: DataFrame, key: str, order_col: str) -> DataFrame:
     """Keep the last row per key in ``order_col`` order — explicit encoding of
-    the reference's dict-overwrite semantics (main.py:2134, 2156)."""
-    w = Window.partitionBy(key).orderBy(F.col(order_col).desc())
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+    the reference's dict-overwrite semantics (main.py:2134, 2156).
+
+    ``max_by`` hash aggregation, not a row_number window: no sort, map-side
+    partial aggregation before the shuffle, and (locally) the sort-based
+    plan put the upstream regex-heavy projections inside a pre-shuffle
+    WindowGroupLimit sort whose generated code blew the JVM 64KB method
+    limit.  ``order_col`` must be unique per row (row_id) for determinism.
+    """
+    cols = [c for c in df.columns if c != key]
+    # Explicit repartition on the key: the groupBy needs this exact shuffle
+    # anyway (dedup keys are near-unique so map-side partial agg buys
+    # nothing), and it isolates upstream derived-column projections in a
+    # plain project stage — codegen can split a projection into many
+    # methods, but cannot split them once inlined into the hash-agg update
+    # loop (observed: 64KB method-limit fallback with the regex cleaners).
+    picked = df.repartition(F.col(key)).groupBy(key).agg(
+        F.max_by(F.struct(*cols), F.col(order_col)).alias("__r")
     )
+    return picked.select(key, *[F.col(f"__r.{c}").alias(c) for c in cols])
 
 
 def exact_article_match(

@@ -128,18 +128,31 @@ def register_feeds(spark, sf_dir: str) -> None:
     spark.sql(BASE_FEED_SQL).createOrReplaceTempView("base_feed")
 
 
-def supplier_feed(spark, sf_dir: str):
+# Per-(session, sf_dir) feed memo.  The synthetic-quirk projections are huge
+# expression trees; without a shared cache every parity query re-derives
+# them and projection collapse duplicates them past the JVM 64KB codegen
+# method limit (interpreted fallback + a failed janino compile per stage).
+# One cached materialization per session sidesteps both.  This is a test-
+# fixture concern — the feeds exist only to mirror the DuckDB oracle input.
+_FEED_MEMO: dict = {}
+
+
+def _memo_feed(spark, sf_dir: str, which: str, sql: str):
     import os
 
-    spark.read.parquet(os.path.join(sf_dir, "part.parquet")).createOrReplaceTempView("part")
-    return spark.sql(SUPPLIER_FEED_SQL)
+    key = (spark, sf_dir, which)
+    if key not in _FEED_MEMO:
+        spark.read.parquet(os.path.join(sf_dir, "part.parquet")).createOrReplaceTempView("part")
+        _FEED_MEMO[key] = spark.sql(sql).cache()
+    return _FEED_MEMO[key]
+
+
+def supplier_feed(spark, sf_dir: str):
+    return _memo_feed(spark, sf_dir, "sup", SUPPLIER_FEED_SQL)
 
 
 def base_feed(spark, sf_dir: str):
-    import os
-
-    spark.read.parquet(os.path.join(sf_dir, "part.parquet")).createOrReplaceTempView("part")
-    return spark.sql(BASE_FEED_SQL)
+    return _memo_feed(spark, sf_dir, "base", BASE_FEED_SQL)
 
 
 def feed_ctes() -> str:
