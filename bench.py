@@ -34,11 +34,15 @@ def main():
         "product_code_match",
         "fuzzy_match",
         "duplicate_audit",
+        "price_merge",
+        "report_matches_sheet",
         "events_hourly",
         "exact_dedup",
         "minhash_lsh_pairs",
+        "simhash_dedup_pairs",
         "doc_quality",
         "embedding_topk",
+        "embedding_near_dup",
     ]
     headline = [q for q in headline if q in QUERIES]
 

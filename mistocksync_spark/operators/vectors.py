@@ -121,7 +121,11 @@ def cosine_near_dup_pairs(
     withn = df.select(
         F.col(id_col).alias("vid"), _to_double(F.col(vec_col)).alias("v"), norm(F.col(vec_col)).alias("nrm")
     )
-    a = withn.select(F.col("vid").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    # spread the streamed side of the nested-loop join across all cores —
+    # a small parquet scan arrives as one partition and would serialize
+    # the O(n²) scoring
+    spread = withn.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    a = spread.select(F.col("vid").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
     b = withn.select(F.col("vid").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
     dotab = F.aggregate(F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
     sim = F.when(F.col("na") * F.col("nb") > 0, dotab / (F.col("na") * F.col("nb"))).otherwise(F.lit(0.0))

@@ -79,19 +79,19 @@ SELECT
     WHEN 0 THEN 'black' WHEN 1 THEN 'White' WHEN 2 THEN 'blue'
     WHEN 3 THEN NULL ELSE 'Green'
   END AS color,
-  floor(p_retailprice * 100) / 100.0 AS price,
+  CAST(floor(p_retailprice * 100) / 100.0 AS DOUBLE) AS price,
   CASE WHEN p_partkey % 10 IN (3, 7) THEN NULL ELSE p_partkey END AS article_vitya,
   CASE
     WHEN p_partkey % 10 IN (3, 7) THEN NULL
     WHEN p_partkey % 20 = 0 THEN 0.0
     WHEN p_partkey % 19 = 0 THEN NULL
-    ELSE floor(p_retailprice * 100) / 100.0
+    ELSE CAST(floor(p_retailprice * 100) / 100.0 AS DOUBLE)
   END AS price_vitya_usd,
   CASE WHEN p_partkey % 3 = 0 THEN 'XM-' || CAST(p_partkey AS STRING) ELSE NULL END AS article_dimi,
-  CASE WHEN p_partkey % 3 = 0 THEN floor(p_retailprice * 95) / 100.0 ELSE NULL END AS price_dimi_usd,
+  CASE WHEN p_partkey % 3 = 0 THEN CAST(floor(p_retailprice * 95) / 100.0 AS DOUBLE) ELSE NULL END AS price_dimi_usd,
   CASE WHEN p_partkey % 4 = 0 THEN p_partkey + 5000000 ELSE NULL END AS article_mila,
   CASE
-    WHEN p_partkey % 4 = 0 AND p_partkey % 8 = 0 THEN floor(p_retailprice * 90) / 100.0
+    WHEN p_partkey % 4 = 0 AND p_partkey % 8 = 0 THEN CAST(floor(p_retailprice * 90) / 100.0 AS DOUBLE)
     WHEN p_partkey % 4 = 0 THEN 0.0 ELSE NULL
   END AS price_mila_usd,
   p_partkey % 700 AS dup_key

@@ -1081,3 +1081,202 @@ def _patch_emb_oracle():
 
 
 _patch_emb_oracle()
+
+
+# --------------------------------------------------------------------------
+# C11 supplier→base mapping + S12/S13/S14 mutation sinks + S11/J6 report
+# --------------------------------------------------------------------------
+@query(
+    "map_supplier_to_base",
+    _SQL_J1
+    + """
+    SELECT s.supplier_name AS name, s.article, s.supplier_price AS price,
+           s.article AS article_vitya, s.supplier_price AS price_vitya_usd,
+           'Витя' AS supplier, CAST(0 AS BIGINT) AS quantity
+    FROM supd s LEFT JOIN basd b USING (article) WHERE b.article IS NULL
+    """,
+)
+def map_supplier_to_base_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mistocksync_spark.functions.mapping import map_supplier_to_base
+
+    new = _j1(spark, sf_dir)["new_items"].withColumnRenamed("name", "supplier_name")
+    return map_supplier_to_base(
+        new, "vitya", article_col="article", price_col="price", name_col="supplier_name"
+    ).withColumnRenamed("supplier_name", "name")
+
+
+_BASE_COLS_SQL = (
+    "b.row_id, b.article, b.name, b.color, b.price, b.article_vitya, "
+    "b.price_vitya_usd, b.article_dimi, b.price_dimi_usd, b.article_mila, "
+    "b.price_mila_usd, b.dup_key"
+)
+
+
+@query(
+    "price_merge",
+    _SQL_J1
+    + f"""
+    , upd AS (
+        SELECT b.article AS __k, s.new_price AS __np
+        FROM (
+            SELECT CAST(article_vitya AS STRING) AS article, price_vitya_usd AS old_price
+            FROM base_feed WHERE article_vitya IS NOT NULL
+        ) b
+        JOIN (SELECT article, supplier_price AS new_price FROM supd) s USING (article)
+        WHERE abs(s.new_price - b.old_price) >= 0.001
+    )
+    SELECT {_BASE_COLS_SQL.replace('b.price_vitya_usd, ', '')},
+           CASE WHEN u.__np IS NOT NULL AND abs(u.__np - COALESCE(b.price_vitya_usd, 0.0)) >= 0.001
+                THEN u.__np ELSE CAST(b.price_vitya_usd AS DOUBLE) END AS price_vitya_usd,
+           (u.__np IS NOT NULL AND abs(u.__np - COALESCE(b.price_vitya_usd, 0.0)) >= 0.001) AS updated
+    FROM base_feed b LEFT JOIN upd u ON CAST(b.article_vitya AS STRING) = u.__k
+    """,
+)
+def price_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mistocksync_spark.sinks.mutate import price_merge
+
+    sup = _preprocess_vitya(supplier_feed(spark, sf_dir)).na.drop(
+        subset=["article_vitya", "price_usd"]
+    )
+    updates = matching.price_update_join(
+        base_feed(spark, sf_dir),
+        sup,
+        base_article="article_vitya",
+        base_price="price_vitya_usd",
+        supplier_article="article_vitya",
+        supplier_price="price_usd",
+    )
+    return price_merge(base_feed(spark, sf_dir), updates)
+
+
+def _sql_writeback_matches() -> str:
+    product = ORACLES["product_code_match"]
+    bracket = ORACLES["bracket_code_match"]
+    return f"""
+    , wsrc AS (
+        SELECT base_index, supplier_article FROM ({product})
+        UNION ALL
+        SELECT base_index, supplier_article FROM ({bracket})
+    )
+    , w AS (
+        SELECT base_index AS __row, MIN(CAST(supplier_article AS STRING)) AS __art
+        FROM wsrc GROUP BY base_index
+    )
+    """
+
+
+@query("article_writeback_audit")
+def article_writeback_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mistocksync_spark.sinks.mutate import article_writeback
+
+    r = _cascade(spark, sf_dir)
+    writes = r["code_matches"].select("base_index", "supplier_article").unionByName(
+        r["bracket_matches"].select("base_index", "supplier_article")
+    )
+    return article_writeback(base_feed(spark, sf_dir), writes, article_slot="article_vitya")["audit"]
+
+
+ORACLES["article_writeback_audit"] = (
+    _CTES
+    + _sql_writeback_matches()
+    + """
+    SELECT b.row_id AS base_row, 'article_vitya' AS column, CAST(b.article_vitya AS STRING) AS old_value,
+           w.__art AS new_value,
+           CASE WHEN b.article_vitya IS NULL OR trim(CAST(b.article_vitya AS STRING)) = ''
+                     OR lower(trim(CAST(b.article_vitya AS STRING))) = 'nan' THEN 'added'
+                WHEN trim(CAST(b.article_vitya AS STRING)) = w.__art THEN 'noop'
+                ELSE 'skipped_occupied' END AS action
+    FROM base_feed b JOIN w ON b.row_id = w.__row
+    """
+)
+
+
+@query("row_insert_autonumber")
+def row_insert_autonumber_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mistocksync_spark.sinks.mutate import row_insert_autonumber
+
+    r = _cascade(spark, sf_dir)
+    return row_insert_autonumber(base_feed(spark, sf_dir), r["new_items_for_base"])
+
+
+ORACLES["row_insert_autonumber"] = (
+    _CTES
+    + f"""
+    , nif AS (SELECT * FROM ({ORACLES["new_items_for_base"]}))
+    , mx AS (SELECT MAX(CAST(article AS BIGINT)) AS m FROM base_feed)
+    SELECT nif.*, mx.m + row_number() OVER (ORDER BY supplier_index ASC) AS new_article
+    FROM nif, mx
+    """
+)
+
+
+@query(
+    "report_matches_sheet",
+    _CTES
+    + f"""
+    , m AS (SELECT * FROM ({ORACLES["exact_article_match"]}))
+    SELECT m.article, m.name, m.supplier_price, m.base_price, m.price_diff,
+           m.price_change_percent, m.base_index,
+           b.color AS base_color,
+           CAST(b.article_vitya AS STRING) AS base_article_vitya,
+           CAST(b.article_dimi AS STRING) AS base_article_dimi,
+           b.price AS base_list_price
+    FROM m LEFT JOIN base_feed b ON m.base_index = b.row_id
+    """,
+)
+def report_matches_sheet_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mistocksync_spark.sinks.report import matches_sheet
+
+    return matches_sheet(_j1(spark, sf_dir)["matches"], base_feed(spark, sf_dir))
+
+
+@query(
+    "report_price_changes_sheet",
+    _CTES
+    + f"""
+    , pc AS (SELECT * FROM ({ORACLES["price_changes"]}))
+    , prep AS ({_SQL_PREP_VITYA})
+    , enr AS (
+        SELECT CAST(article_vitya AS STRING) AS article, color AS supplier_color,
+               balance AS supplier_balance,
+               row_number() OVER (PARTITION BY CAST(article_vitya AS STRING) ORDER BY row_id DESC) AS rn
+        FROM prep
+    )
+    SELECT pc.*, e.supplier_color, e.supplier_balance
+    FROM pc LEFT JOIN (SELECT article, supplier_color, supplier_balance FROM enr WHERE rn = 1) e
+    USING (article)
+    """,
+)
+def report_price_changes_sheet_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mistocksync_spark.sinks.report import price_changes_sheet
+
+    return price_changes_sheet(
+        _j1(spark, sf_dir)["price_changes"],
+        _preprocess_vitya(supplier_feed(spark, sf_dir)),
+        supplier_article="article_vitya",
+    )
+
+
+@query(
+    "report_warnings_sheet",
+    _CTES
+    + f"""
+    SELECT * FROM ({ORACLES["exact_article_match"]}) WHERE abs(price_change_percent) > 20.0
+    """,
+)
+def report_warnings_sheet_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mistocksync_spark.sinks.report import warnings_sheet
+
+    return warnings_sheet(_j1(spark, sf_dir)["matches"])
+
+
+@query("fuzzy_annotated_new_items")
+def fuzzy_annotated_new_items_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: advisory fuzzy annotation of (a deterministic slice of) the new
+    items — difflib scoring is not SQL-expressible, rows-only check."""
+    from mistocksync_spark.operators.fuzzy import annotate_new_items_with_fuzzy
+
+    new = _j1(spark, sf_dir)["new_items"].filter(F.col("supplier_index") % 10 == 3)
+    return annotate_new_items_with_fuzzy(
+        new, base_feed(spark, sf_dir), blocking="broadcast"
+    )
