@@ -32,6 +32,11 @@ SELECT
     WHEN p_partkey % 4 = 2 THEN 'AB' || CAST(CASE WHEN p_partkey % 10 = 7 THEN p_partkey + 1000000 ELSE p_partkey END AS STRING) || 'C' || CAST(p_partkey % 97 AS STRING)
     ELSE CAST(CASE WHEN p_partkey % 10 = 7 THEN p_partkey + 1000000 ELSE p_partkey END AS STRING)
   END AS article_raw,
+  CASE
+    WHEN p_partkey % 4 = 0 THEN '''' || 'XM-' || CAST(p_partkey AS STRING)
+    WHEN p_partkey % 4 = 1 THEN '000XM-' || CAST(p_partkey AS STRING)
+    ELSE 'XM-' || CAST(p_partkey AS STRING)
+  END AS article_raw_dimi,
   CASE p_partkey % 6
     WHEN 0 THEN 'Power Bank XIAOMI ' || CAST(5000 + (p_partkey % 20) * 1000 AS STRING) || 'mah 100w'
     WHEN 1 THEN 'Кабель Type-C (P' || CAST(p_partkey % 100 AS STRING) || 'QDA-RGP) черный'

@@ -1280,3 +1280,135 @@ def fuzzy_annotated_new_items_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return annotate_new_items_with_fuzzy(
         new, base_feed(spark, sf_dir), blocking="broadcast"
     )
+
+
+# --------------------------------------------------------------------------
+# Dimi flow: string-keyed J1 (int-for-vitya / string-for-dimi typing,
+# ref main.py:2122-2125, 7144-7182; pandas != null semantics in F3)
+# --------------------------------------------------------------------------
+_SQL_J1_DIMI = (
+    _CTES
+    + f"""
+    , prep_d AS (
+        SELECT row_id, name, price_usd,
+               {_SQL_CLEAN_DIMI.format(col='article_raw_dimi')} AS article_dimi
+        FROM supplier_feed
+        WHERE price_usd IS NOT NULL AND price_usd > 0.01
+          AND (balance != 'Ожидается' OR balance IS NULL)
+          AND (balance1 != 'Ожидается' OR balance1 IS NULL)
+    )
+    , sup_d AS (
+        SELECT CAST(article_dimi AS STRING) AS article, price_usd AS supplier_price,
+               name AS supplier_name, row_id AS supplier_index,
+               row_number() OVER (PARTITION BY CAST(article_dimi AS STRING) ORDER BY row_id DESC) AS rn
+        FROM prep_d WHERE article_dimi IS NOT NULL
+    )
+    , supd_d AS (SELECT * FROM sup_d WHERE rn = 1)
+    , bas_d AS (
+        SELECT CAST(article_dimi AS STRING) AS article,
+               CASE WHEN price_dimi_usd > 0 THEN price_dimi_usd ELSE 0.0 END AS base_price,
+               name AS base_name, row_id AS base_index,
+               row_number() OVER (PARTITION BY CAST(article_dimi AS STRING) ORDER BY row_id DESC) AS rn
+        FROM base_feed WHERE article_dimi IS NOT NULL
+    )
+    , basd_d AS (SELECT * FROM bas_d WHERE rn = 1)
+    """
+)
+
+
+def _prep_dimi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feed = supplier_feed(spark, sf_dir)
+    df = flt.filter_by_price(feed, "price_usd")
+    df = flt.filter_dimi_balance(df)
+    return df.withColumn("article_dimi", clean_article_dimi(F.col("article_raw_dimi"))).withColumn(
+        "supplier_name", F.lit("Дима")
+    )
+
+
+def _j1_dimi(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return matching.exact_article_match(
+        _prep_dimi(spark, sf_dir),
+        base_feed(spark, sf_dir),
+        supplier_article="article_dimi",
+        supplier_price="price_usd",
+        base_article="article_dimi",
+        base_price="price_dimi_usd",
+    )
+
+
+@query(
+    "exact_article_match_dimi",
+    _SQL_J1_DIMI
+    + """
+    SELECT s.article, s.supplier_price, b.base_price,
+           CASE WHEN s.supplier_name IS NULL OR s.supplier_name = '' THEN b.base_name ELSE s.supplier_name END AS name,
+           s.supplier_price - b.base_price AS price_diff,
+           CASE WHEN b.base_price > 0 THEN (s.supplier_price - b.base_price) / b.base_price * 100.0 ELSE 0.0 END AS price_change_percent,
+           b.base_index
+    FROM supd_d s JOIN basd_d b USING (article)
+    """,
+)
+def exact_article_match_dimi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _j1_dimi(spark, sf_dir)["matches"]
+
+
+@query(
+    "new_items_dimi",
+    _SQL_J1_DIMI
+    + """
+    SELECT s.article, s.supplier_price AS price, s.supplier_name AS name, s.supplier_index
+    FROM supd_d s LEFT JOIN basd_d b USING (article) WHERE b.article IS NULL
+    """,
+)
+def new_items_dimi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _j1_dimi(spark, sf_dir)["new_items"]
+
+
+# --------------------------------------------------------------------------
+# Sessionization: gaps-and-islands batch plan + applyInPandasWithState
+# custom stateful streaming operator (north-star extension)
+# --------------------------------------------------------------------------
+@query(
+    "user_sessions",
+    """
+    WITH l AS (
+        SELECT user_id, ts, value, epoch_us(ts) AS us,
+               lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us,
+               event_id
+        FROM events
+    ), s AS (
+        SELECT *, SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_idx
+        FROM l
+    )
+    SELECT user_id, session_idx,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+           COUNT(*) AS n_events, round(SUM(value), 4) AS sum_value
+    FROM s GROUP BY user_id, session_idx
+    """,
+)
+def user_sessions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mistocksync_spark.sources.testdata import load_events
+    from mistocksync_spark.streaming.sessions import sessionize_batch
+
+    return sessionize_batch(load_events(spark, sf_dir))
+
+
+@query("user_sessions_stream")
+def user_sessions_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful-streaming parity run of the sessionizer (rows-only check;
+    the batch/stream equality is asserted in tests)."""
+    from mistocksync_spark.streaming.events import read_events_stream
+    from mistocksync_spark.streaming.sessions import sessionize_stateful
+
+    q = (
+        sessionize_stateful(read_events_stream(spark, sf_dir), flush_open=True)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("user_sessions_stream_sink")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table("user_sessions_stream_sink")

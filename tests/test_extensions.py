@@ -215,3 +215,41 @@ def test_streaming_hourly_matches_batch(spark, sf_dir):
     batch = {tuple(r) for r in QUERIES["events_hourly"](spark, sf_dir).collect()}
     stream = {tuple(r) for r in QUERIES["events_hourly_stream"](spark, sf_dir).collect()}
     assert stream == batch and len(batch) > 0
+
+
+# ---------------------------------------------------------------- sessions
+def test_sessionize_batch_gap_logic(spark):
+    from mistocksync_spark.streaming.sessions import sessionize_batch
+
+    ev = spark.createDataFrame(
+        [
+            (1, "2026-01-01 10:00:00", 7, 1.0),
+            (2, "2026-01-01 10:10:00", 7, 2.0),
+            (3, "2026-01-01 11:00:00", 7, 3.0),   # 50 min gap -> new session
+            (4, "2026-01-01 10:05:00", 8, 4.0),
+        ],
+        "event_id long, ts_s string, user_id long, value double",
+    ).selectExpr("event_id", "CAST(ts_s AS TIMESTAMP) AS ts", "user_id", "value")
+    rows = {(r.user_id, r.session_idx): r for r in sessionize_batch(ev).collect()}
+    assert rows[(7, 1)].n_events == 2 and rows[(7, 1)].sum_value == 3.0
+    assert rows[(7, 2)].n_events == 1 and rows[(7, 2)].session_start == "2026-01-01 11:00:00"
+    assert rows[(8, 1)].n_events == 1
+
+
+def test_stateful_sessions_equal_batch(spark, sf_dir):
+    from mistocksync_spark.plans.queries import QUERIES
+
+    batch = {tuple(r) for r in QUERIES["user_sessions"](spark, sf_dir).collect()}
+    stream = {tuple(r) for r in QUERIES["user_sessions_stream"](spark, sf_dir).collect()}
+    assert stream == batch and len(batch) > 0
+
+
+# ---------------------------------------------------------------- dimi flow
+def test_dimi_exact_match_string_keys(spark, sf_dir):
+    from mistocksync_spark.plans.queries import _j1_dimi
+
+    r = _j1_dimi(spark, sf_dir)
+    m = r["matches"].limit(5).collect()
+    assert all(row.article.startswith("XM-") for row in m)
+    n = r["new_items"].limit(5).collect()
+    assert all(row.article.startswith("XM-") for row in n)
