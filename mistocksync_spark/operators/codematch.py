@@ -133,27 +133,83 @@ def code_match(
     broadcast_supplier: bool = True,
 ) -> DataFrame:
     """Join supplier and base variants on the derived code and keep the best
-    base variant per supplier variant (ref main.py:2429-2536)."""
-    sv = F.broadcast(supplier_variants) if broadcast_supplier else supplier_variants
-    joined = sv.join(base_variants, on="code", how="inner")
+    base variant per supplier variant (ref main.py:2429-2536).
 
-    color_match = F.col("supplier_color") == F.col("base_color")
-    capacity_match = F.col("supplier_capacity").eqNullSafe(F.col("base_capacity"))
-    pair_tier = (
-        F.when(color_match & capacity_match, 1)
-        .when(color_match, 2)
-        .when(capacity_match, 3)
+    Plan shape: the naive form — join on code, rank pairs by (tier, order) —
+    explodes quadratically on skewed codes (a brand code like XIAOMI tags a
+    large fraction of both sides, and AQE cannot split a broadcast join's
+    output).  Instead the tiered first-in-order pick is decomposed into four
+    PRE-AGGREGATED lookups: min base_variant_order per (code, color,
+    capacity) / (code, color) / (code, capacity) / (code).  Each lookup
+    joins 1:1 against the supplier variants, the winner is
+    ``coalesce(t1..t4)``, and one final join fetches the winning variant's
+    payload — never materializing supplier×base pairs, at any skew.
+    """
+    agg_min = F.min("base_variant_order")
+    b1 = base_variants.groupBy("code", "base_color", "base_capacity").agg(agg_min.alias("o1"))
+    b2 = base_variants.groupBy("code", "base_color").agg(agg_min.alias("o2"))
+    b3 = base_variants.groupBy("code", "base_capacity").agg(agg_min.alias("o3"))
+    b4 = base_variants.groupBy("code").agg(agg_min.alias("o4"))
+
+    sv = F.broadcast(supplier_variants) if broadcast_supplier else supplier_variants
+    s = sv.alias("s")
+    cand = (
+        s.join(
+            b1.alias("b1"),
+            (F.col("s.code") == F.col("b1.code"))
+            & (F.col("s.supplier_color") == F.col("b1.base_color"))
+            & F.col("s.supplier_capacity").eqNullSafe(F.col("b1.base_capacity")),
+            "left",
+        )
+        .join(
+            b2.alias("b2"),
+            (F.col("s.code") == F.col("b2.code"))
+            & (F.col("s.supplier_color") == F.col("b2.base_color")),
+            "left",
+        )
+        .join(
+            b3.alias("b3"),
+            (F.col("s.code") == F.col("b3.code"))
+            & F.col("s.supplier_capacity").eqNullSafe(F.col("b3.base_capacity")),
+            "left",
+        )
+        .join(b4.alias("b4"), F.col("s.code") == F.col("b4.code"), "inner")
+    )
+    tier = (
+        F.when(F.col("o1").isNotNull(), 1)
+        .when(F.col("o2").isNotNull(), 2)
+        .when(F.col("o3").isNotNull(), 3)
         .otherwise(4)
     )
+    chosen = cand.select(
+        F.col("s.code").alias("code"),
+        "s.supplier_variant_order",
+        "s.supplier_name",
+        "s.supplier_price",
+        "s.supplier_article",
+        "s.supplier_color",
+        "s.supplier_capacity",
+        tier.alias("__tier"),
+        F.coalesce("o1", "o2", "o3", "o4").alias("base_variant_order"),
+    )
 
-    w = Window.partitionBy("code", "supplier_variant_order").orderBy(
-        pair_tier.asc(), F.col("base_variant_order").asc()
+    payload = base_variants.select(
+        F.col("code").alias("__bc"),
+        "base_variant_order",
+        "base_name",
+        "base_article",
+        "base_color",
+        "base_capacity",
+        "base_price",
+        "base_index",
+        "matched_in",
     )
-    best = (
-        joined.withColumn("__tier", pair_tier)
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-    )
+    best = chosen.join(
+        payload,
+        (F.col("code") == F.col("__bc"))
+        & (chosen["base_variant_order"] == payload["base_variant_order"]),
+        "inner",
+    ).drop("__bc").drop(payload["base_variant_order"])
 
     return best.select(
         "code",
