@@ -35,6 +35,8 @@ def get_spark(app_name: str = "mistocksync-spark", cpus: int | None = None) -> S
         # (sources.testdata.load_events).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # bucketed-table files for the catalog path (sources/catalog.py)
+        .config("spark.sql.warehouse.dir", os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark-graft-warehouse"))
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
