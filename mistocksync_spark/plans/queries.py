@@ -1412,3 +1412,13 @@ def user_sessions_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.table("user_sessions_stream_sink")
+
+
+@query("embedding_topk_ivf")
+def embedding_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF inverted-file ANN (rows-only: numpy centroid assignment is not
+    SQL-expressible; recall vs the exact oracle is asserted in tests)."""
+    from mistocksync_spark.operators.vectors import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_topk(emb, _query_vec(spark, sf_dir), k=20)

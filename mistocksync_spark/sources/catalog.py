@@ -29,6 +29,16 @@ def write_bucketed(
     """Persist ``df`` bucketed (and optionally sorted) by ``key`` — the
     layout that makes subsequent equi-joins/aggregations on ``key``
     exchange-free."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # the in-memory catalog forgets tables between sessions but their files
+    # persist in the warehouse dir; clear a stale location so the managed-
+    # table create doesn't refuse it
+    import shutil
+    from urllib.parse import urlparse
+
+    loc = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{loc.rstrip('/')}/{table}", ignore_errors=True)
     w = df.write.mode("overwrite").bucketBy(buckets, key)
     if sort:
         w = w.sortBy(key)

@@ -253,3 +253,27 @@ def test_dimi_exact_match_string_keys(spark, sf_dir):
     assert all(row.article.startswith("XM-") for row in m)
     n = r["new_items"].limit(5).collect()
     assert all(row.article.startswith("XM-") for row in n)
+
+
+def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
+    from mistocksync_spark.operators.vectors import brute_force_topk, ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    exact = [r.vec_id for r in brute_force_topk(emb, q, k=10).collect()]
+    approx = [r.vec_id for r in ivf_topk(emb, q, k=10, n_centroids=8, n_probe=4).collect()]
+    assert approx[0] == exact[0] == 0  # the query vector itself
+    assert len(set(exact) & set(approx)) >= 5  # >=50% recall with 4/8 probes
+
+
+def test_ivf_assign_partitions_corpus(spark, sf_dir):
+    from mistocksync_spark.operators.vectors import deterministic_centroids, ivf_assign
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").alias("__vec")
+    )
+    cents = deterministic_centroids(emb, 8, vec_col="__vec")
+    a = ivf_assign(emb, cents, vec_col="__vec")
+    assert a.count() == emb.count()
+    n_buckets = a.select("centroid").distinct().count()
+    assert 2 <= n_buckets <= 8
