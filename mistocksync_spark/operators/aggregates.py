@@ -70,3 +70,31 @@ def price_filter_loss_accounting(df: DataFrame, price_column: str = "price_usd",
         F.sum(((p > 0) & (p <= threshold)).cast("long")).alias("low_price_count"),
         F.sum((p.isNotNull() & (p > threshold)).cast("long")).alias("kept"),
     )
+
+
+def salted_group_count(
+    df: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+    agg_col: str | None = None,
+) -> DataFrame:
+    """Two-phase salted aggregation for skew-heavy keys.
+
+    Phase 1 groups on (key, hash(whole row) % salt_buckets) so one hot key
+    spreads over ``salt_buckets`` reducers; phase 2 merges the partials on
+    the key alone — that shuffle carries at most ``salt_buckets`` rows per
+    key.  Equivalent to ``groupBy(key).count()`` (asserted in tests); use
+    when a handful of keys dominate and AQE's skew handling can't apply
+    (e.g. the first shuffle feeds a non-join consumer).  ``agg_col`` adds a
+    SUM alongside the count.
+    """
+    salt = (F.xxhash64(*[F.col(c) for c in df.columns]) % salt_buckets).alias("__salt")
+    partial_aggs = [F.count("*").alias("__cnt")]
+    final_aggs = [F.sum("__cnt").alias("cnt")]
+    if agg_col is not None:
+        partial_aggs.append(F.sum(agg_col).alias("__sum"))
+        final_aggs.append(F.sum("__sum").alias(f"sum_{agg_col}"))
+    partial = df.select(F.col(key), salt, *([F.col(agg_col)] if agg_col else [])).groupBy(
+        key, "__salt"
+    ).agg(*partial_aggs)
+    return partial.groupBy(key).agg(*final_aggs)

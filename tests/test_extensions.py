@@ -277,3 +277,26 @@ def test_ivf_assign_partitions_corpus(spark, sf_dir):
     assert a.count() == emb.count()
     n_buckets = a.select("centroid").distinct().count()
     assert 2 <= n_buckets <= 8
+
+
+def test_salted_group_count_equals_plain(spark):
+    from mistocksync_spark.operators.aggregates import salted_group_count
+
+    # one pathologically hot key + a long tail
+    rows = [("hot", float(i % 7)) for i in range(5000)] + [(f"k{i}", 1.0) for i in range(200)]
+    df = spark.createDataFrame(rows, "key string, v double")
+    plain = {r.key: (r.cnt, round(r.sv, 6)) for r in df.groupBy("key").agg(
+        F.count("*").alias("cnt"), F.sum("v").alias("sv")).collect()}
+    salted = {r.key: (r.cnt, round(r.sum_v, 6)) for r in salted_group_count(df, "key", agg_col="v").collect()}
+    assert salted == plain
+
+
+def test_incremental_price_merge_equals_batch(spark, sf_dir, tmp_path):
+    from mistocksync_spark.plans.queries import QUERIES
+    from mistocksync_spark.streaming.merge import incremental_price_merge
+
+    out = str(tmp_path / "merged")
+    incremental_price_merge(spark, sf_dir, out, str(tmp_path / "ckpt"))
+    streamed = {tuple(r) for r in spark.read.parquet(out).collect()}
+    batch = {tuple(r) for r in QUERIES["price_merge"](spark, sf_dir).collect()}
+    assert streamed == batch and len(batch) > 0
