@@ -110,3 +110,13 @@ def extract_features(media: DataFrame, deterministic_fake: bool = True) -> DataF
             yield pd.DataFrame(out, columns=[f.name for f in FEATURE_SCHEMA.fields])
 
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def write_media_partitioned(media: DataFrame, path: str) -> str:
+    """Persist the media table partitioned by ``modality`` with the payload
+    column last — metadata-only queries prune both partitions (directory
+    level) and the payload column (parquet column chunk level), so
+    "count images by mime type" style queries never touch the blobs."""
+    cols = [c for c in media.columns if c != "payload"] + ["payload"]
+    media.select(*cols).write.mode("overwrite").partitionBy("modality").parquet(path)
+    return path

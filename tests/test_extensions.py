@@ -300,3 +300,15 @@ def test_incremental_price_merge_equals_batch(spark, sf_dir, tmp_path):
     streamed = {tuple(r) for r in spark.read.parquet(out).collect()}
     batch = {tuple(r) for r in QUERIES["price_merge"](spark, sf_dir).collect()}
     assert streamed == batch and len(batch) > 0
+
+
+def test_media_partitioned_write_prunes(spark, tmp_path):
+    from mistocksync_spark.operators.multimodal import media_from_documents, write_media_partitioned
+
+    docs = _docs(spark, [(i, f"doc {i}") for i in range(30)])
+    p = write_media_partitioned(media_from_documents(docs), str(tmp_path / "media"))
+    scan = spark.read.parquet(p).filter(F.col("modality") == "image").select("media_id")
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(modality" in plan  # directory pruning
+    assert "ReadSchema: struct<media_id:bigint>" in plan  # payload column pruned
+    assert scan.count() == 10
