@@ -430,9 +430,20 @@ def price_update_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # J2 / J3 code-match cascade stages + residual (stage 4)
 # --------------------------------------------------------------------------
-def _sql_code_cascade(code_of, match_type: str) -> str:
+def _sql_code_cascade(
+    code_of,
+    match_type: str,
+    j1: str | None = None,
+    prep: str = "prep",
+    supd: str = "supd",
+    basd: str = "basd",
+    sup_article: str = "article_vitya",
+    base_price_col: str = "price_vitya_usd",
+) -> str:
     """Oracle CTE chain for a code-match stage.  ``code_of(col)`` renders the
-    extractor SQL for a column; mirrors operators/codematch.py semantics."""
+    extractor SQL for a column; mirrors operators/codematch.py semantics.
+    Parameterized over the supplier flow (vitya int keys by default; pass
+    the dimi CTE names/columns for the string-key flow)."""
     cap = _SQL_CAPACITY.format(col="name")
     sup_color = _SQL_SAFE_COLOR.format(col="color")
     base_parts = [
@@ -441,7 +452,7 @@ def _sql_code_cascade(code_of, match_type: str) -> str:
                'name' AS matched_in, row_id AS base_index, name AS base_name,
                CAST(article AS STRING) AS base_article,
                {sup_color} AS base_color, {cap} AS base_capacity,
-               CASE WHEN price_vitya_usd > 0 THEN price_vitya_usd ELSE 0.0 END AS base_price
+               CASE WHEN {base_price_col} > 0 THEN {base_price_col} ELSE 0.0 END AS base_price
         FROM base_feed WHERE name IS NOT NULL AND {code_of('name')} IS NOT NULL
         """
     ]
@@ -453,20 +464,20 @@ def _sql_code_cascade(code_of, match_type: str) -> str:
                '{c}' AS matched_in, row_id AS base_index, name AS base_name,
                CAST(article AS STRING) AS base_article,
                {sup_color} AS base_color, {cap} AS base_capacity,
-               CASE WHEN price_vitya_usd > 0 THEN price_vitya_usd ELSE 0.0 END AS base_price
+               CASE WHEN {base_price_col} > 0 THEN {base_price_col} ELSE 0.0 END AS base_price
         FROM base_feed WHERE {c} IS NOT NULL AND {code_c} IS NOT NULL
         """
         )
     base_var = " UNION ALL ".join(base_parts)
     return (
-        _SQL_J1
+        (j1 if j1 is not None else _SQL_J1)
         + f"""
-    , new_set AS (SELECT s.article FROM supd s LEFT JOIN basd b USING (article) WHERE b.article IS NULL)
-    , sup_new AS (SELECT * FROM prep WHERE CAST(article_vitya AS STRING) IN (SELECT article FROM new_set))
+    , new_set AS (SELECT s.article FROM {supd} s LEFT JOIN {basd} b USING (article) WHERE b.article IS NULL)
+    , sup_new AS (SELECT * FROM {prep} WHERE CAST({sup_article} AS STRING) IN (SELECT article FROM new_set))
     , sup_var AS (
         SELECT {code_of('name')} AS code, row_id AS supplier_variant_order,
                name AS supplier_name, COALESCE(price_usd, 0.0) AS supplier_price,
-               CAST(article_vitya AS STRING) AS supplier_article,
+               CAST({sup_article} AS STRING) AS supplier_article,
                {sup_color} AS supplier_color, {cap} AS supplier_capacity
         FROM sup_new WHERE name IS NOT NULL AND {code_of('name')} IS NOT NULL
     )
@@ -1290,7 +1301,7 @@ _SQL_J1_DIMI = (
     _CTES
     + f"""
     , prep_d AS (
-        SELECT row_id, name, price_usd,
+        SELECT row_id, name, color, price_usd,
                {_SQL_CLEAN_DIMI.format(col='article_raw_dimi')} AS article_dimi
         FROM supplier_feed
         WHERE price_usd IS NOT NULL AND price_usd > 0.01
@@ -1422,3 +1433,58 @@ def embedding_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return ivf_topk(emb, _query_vec(spark, sf_dir), k=20)
+
+
+def _cascade_dimi(spark: SparkSession, sf_dir: str):
+    from mistocksync_spark.operators.cascade import perform_comparison
+
+    return perform_comparison(
+        _prep_dimi(spark, sf_dir),
+        base_feed(spark, sf_dir),
+        supplier_article="article_dimi",
+        supplier_price="price_usd",
+        base_article="article_dimi",
+        base_price="price_dimi_usd",
+        cache=True,
+    )
+
+
+def _sql_code_cascade_dimi(code_of, match_type: str) -> str:
+    return _sql_code_cascade(
+        code_of,
+        match_type,
+        j1=_SQL_J1_DIMI,
+        prep="prep_d",
+        supd="supd_d",
+        basd="basd_d",
+        sup_article="article_dimi",
+        base_price_col="price_dimi_usd",
+    )
+
+
+@query("product_code_match_dimi", _sql_code_cascade_dimi(_sql_unified_code, "product_code"))
+def product_code_match_dimi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cascade_dimi(spark, sf_dir)["code_matches"]
+
+
+@query("bracket_code_match_dimi", _sql_code_cascade_dimi(lambda c: _SQL_BRACKET.format(col=c), "bracket_code"))
+def bracket_code_match_dimi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cascade_dimi(spark, sf_dir)["bracket_matches"]
+
+
+@query(
+    "clean_name",
+    _CTES
+    + r"""
+    SELECT row_id,
+           NULLIF(regexp_replace(regexp_replace(name, '^\s+|\s+$', '', 'g'), '\s+', ' ', 'g'), '') AS name_clean
+    FROM supplier_feed
+    """,
+)
+def clean_name_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1: whitespace-collapse + trim with null/empty → null."""
+    from mistocksync_spark.functions.cleaning import clean_invisible_chars
+
+    return supplier_feed(spark, sf_dir).select(
+        "row_id", clean_invisible_chars(F.col("name")).alias("name_clean")
+    )
