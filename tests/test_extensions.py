@@ -312,3 +312,50 @@ def test_media_partitioned_write_prunes(spark, tmp_path):
     assert "PartitionFilters: [isnotnull(modality" in plan  # directory pruning
     assert "ReadSchema: struct<media_id:bigint>" in plan  # payload column pruned
     assert scan.count() == 10
+
+
+def test_stateful_sessions_incremental_two_batches(spark, sf_dir, tmp_path):
+    """flush_open=False over two time-ordered micro-batches: closed sessions
+    stream out, each user's open tail stays in state (exercises the
+    state-merge branch that single-batch AvailableNow never hits)."""
+    from mistocksync_spark.sources.testdata import load_events
+    from mistocksync_spark.streaming.sessions import sessionize_batch, sessionize_stateful
+
+    ev = load_events(spark, sf_dir).select("event_id", "ts", "user_id", "value")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    cutoff = lo + (hi - lo) / 2
+    src = str(tmp_path / "src")
+    ev.filter(F.col("ts") < F.lit(cutoff)).coalesce(1).write.parquet(src)
+    import time as _t
+
+    _t.sleep(1.1)  # file-source orders batches by mod time
+    ev.filter(F.col("ts") >= F.lit(cutoff)).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        sessionize_stateful(stream, flush_open=False)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_incr_sink")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.user_id, r.session_idx): (r.session_start, r.session_end, r.n_events)
+        for r in spark.table("sess_incr_sink").collect()
+    }
+
+    full = sessionize_batch(ev).collect()
+    last_idx = {}
+    for r in full:
+        last_idx[r.user_id] = max(last_idx.get(r.user_id, 0), r.session_idx)
+    expected = {
+        (r.user_id, r.session_idx): (r.session_start, r.session_end, r.n_events)
+        for r in full
+        if r.session_idx != last_idx[r.user_id]
+    }
+    assert got == expected and len(expected) > 0
