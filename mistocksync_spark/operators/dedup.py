@@ -188,6 +188,62 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", nbits
     return votes.select("doc_id", sig.alias("simhash"))
 
 
+def connected_components(pairs: DataFrame, max_iterations: int = 25) -> DataFrame:
+    """Connected components over near-dup pairs → (doc_id, cluster_id).
+
+    ``pairs`` is an edge list (doc_a, doc_b); the output assigns every node
+    appearing in an edge the minimum doc_id reachable in its component —
+    the canonical representative used to pick one survivor per duplicate
+    cluster in a training-data pipeline.
+
+    Plan: min-label propagation.  Each round is one equi-join of the edge
+    list against the current labels plus a groupBy(min); rounds needed =
+    graph diameter, and duplicate clusters are near-cliques (diameter ≤ 2-3
+    hops), so convergence is a handful of rounds.  ``localCheckpoint``
+    truncates the lineage so the loop cannot build an exponentially deep
+    plan.  At 100 TB the same loop holds — every round shuffles only
+    (node, label) pairs keyed by node; for adversarial long-chain graphs
+    swap in large-star/small-star (Kiveris et al.), which squares the
+    reachable set per round instead.
+    """
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct().withColumn("cluster_id", F.col("node"))
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))).alias(
+                    "cluster_id"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), on="node")
+            .filter(F.col("u.cluster_id") != F.col("l.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), "cluster_id")
+
+
 def simhash_near_dup_pairs(sigs: DataFrame, max_hamming: int = 3, nbits: int = 60, bands: int = 4) -> DataFrame:
     """Doc pairs with SimHash Hamming distance ≤ ``max_hamming``.
 

@@ -1,0 +1,70 @@
+"""Temporal join operators (north-star extension; the reference has no
+time-series joins — SURVEY.md §2.3 notes "no range/as-of/interval joins").
+
+- asof_join: for each left event, the most recent right event at-or-before
+  it with the same key — the standard "enrich ticks with the prevailing
+  quote" operator of time-series engines, here "enrich clicks with the
+  last purchase".
+
+The implementation is the union-merge plan, not a correlated lookup: tag
+both inputs, union, and run ``last(value, ignorenulls=True)`` over one
+window partitioned by the key.  That costs exactly ONE shuffle (hash by
+key) + one sort within partitions — at 100 TB there is no join blow-up,
+no per-row probe, and AQE can split skewed keys.  A broadcast-probe
+per-row lookup would be O(left × right-per-key); a range join would need
+binning.  The union-merge is the plan a time-series engine's as-of join
+compiles to.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    right_value: str = "value",
+    value_alias: str = "asof_value",
+    ts_alias: str = "asof_ts",
+) -> DataFrame:
+    """Left as-of join: attach the latest right row with ``right.ts <=
+    left.ts`` per key (ties at equal ts: the right row wins — `<=`
+    semantics; multiple right rows at one (key, ts) must be pre-aggregated
+    by the caller for determinism).
+
+    Returns all left columns + (ts_alias, value_alias), null when no right
+    row precedes.
+    """
+    l_tag = left.select(
+        F.col(key),
+        F.col(ts),
+        F.lit(1).alias("__is_left"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__l"),
+        F.lit(None).cast("double").alias("__r_value"),
+    )
+    r_tag = right.select(
+        F.col(key),
+        F.col(ts),
+        F.lit(0).alias("__is_left"),
+        F.lit(None).cast(l_tag.schema["__l"].dataType).alias("__l"),
+        F.col(right_value).cast("double").alias("__r_value"),
+    )
+    # Right rows sort before left rows at equal ts so `last` implements <=.
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts).asc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = l_tag.unionByName(r_tag).select(
+        "*",
+        F.last(F.when(F.col("__is_left") == 0, F.col(ts)), ignorenulls=True)
+        .over(w)
+        .alias(ts_alias),
+        F.last("__r_value", ignorenulls=True).over(w).alias(value_alias),
+    )
+    out_cols = [F.col(f"__l.{c}").alias(c) for c in left.columns]
+    return merged.filter(F.col("__is_left") == 1).select(*out_cols, ts_alias, value_alias)

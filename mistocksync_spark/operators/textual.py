@@ -84,6 +84,67 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    default_rate: float,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-stratum sampling for corpus rebalancing.
+
+    A training pipeline downsamples over-represented languages/sources; a
+    random `sample()` is neither reproducible across engines nor stable
+    under re-partitioning.  Instead the sampling decision is a pure
+    function of the row key: the first 4 hex chars of md5(id) form a
+    uniform 16-bit bucket, and a row survives iff its bucket hex-string is
+    below the stratum's threshold.  No shuffle, no RNG state, embarrassingly
+    parallel, and re-runs (or a DuckDB re-derivation) pick the same rows.
+
+    ``rates`` maps stratum value → keep-rate in [0, 1]; other strata use
+    ``default_rate``.
+    """
+    bucket = F.substring(F.md5(F.col(id_col).cast("string")), 1, 4)
+
+    def thr(rate: float) -> str:
+        return format(min(int(rate * 65536), 65535), "04x")
+
+    keep = F.coalesce(
+        *[F.when(F.col(stratum_col) == s, F.lit(thr(r))) for s, r in sorted(rates.items())],
+        F.lit(thr(default_rate)),
+    )
+    return df.filter(bucket < keep)
+
+
+def length_quantiles(
+    df: DataFrame,
+    value_col: str = "n_chars",
+    stratum_col: str = "lang",
+    quantiles: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9),
+) -> DataFrame:
+    """Exact per-stratum length quantiles (linear interpolation) — the
+    profiling step that sizes filtering thresholds before a corpus run.
+
+    Uses the exact ``percentile`` aggregate (one shuffle keyed by stratum,
+    map-side partial aggregation of per-value counts).  At 100 TB swap in
+    ``percentile_approx`` (fixed-size t-digest-style sketch per partition)
+    — same plan shape, bounded memory; exact here so the DuckDB
+    ``quantile_cont`` oracle can hash-match.
+    """
+    qarr = "array(" + ", ".join(f"{q}D" for q in quantiles) + ")"
+    g = df.groupBy(stratum_col).agg(
+        F.expr(f"percentile({value_col}, {qarr})").alias("qv")
+    )
+    return g.select(
+        stratum_col,
+        F.posexplode("qv").alias("qi", "qraw"),
+    ).select(
+        stratum_col,
+        F.element_at(F.array(*[F.lit(q) for q in quantiles]), F.col("qi") + 1).alias("quantile"),
+        F.round(F.col("qraw"), 4).alias(f"{value_col}_q"),
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 8) -> DataFrame:
     """Winnowing-style document fingerprint: min and max md5 over the
     lowercased char k-grams, plus the whole-document hash.  Identical

@@ -1488,3 +1488,131 @@ def clean_name_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return supplier_feed(spark, sf_dir).select(
         "row_id", clean_invisible_chars(F.col("name")).alias("name_clean")
     )
+
+
+# --------------------------------------------------------------------------
+# Dedup clustering: connected components over the SimHash near-dup pairs
+# (min-label propagation; oracle = DuckDB recursive-CTE transitive closure)
+# --------------------------------------------------------------------------
+@query("dedup_clusters")
+def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mistocksync_spark.operators.dedup import connected_components, simhash, simhash_near_dup_pairs
+    from mistocksync_spark.plans.feeds import docs_aug
+
+    pairs = simhash_near_dup_pairs(simhash(docs_aug(spark, sf_dir)), max_hamming=3)
+    return connected_components(pairs)
+
+
+def _dedup_clusters_oracle() -> str:
+    return (
+        _docs_cte().replace("WITH ", "WITH RECURSIVE ", 1)
+        + _sql_simhash_sig()
+        + """
+    , pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    )
+    , edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs
+    )
+    , walk(node, reach) AS (
+        SELECT s, d FROM edges
+        UNION
+        SELECT w.node, e.d FROM walk w JOIN edges e ON e.s = w.reach
+    )
+    SELECT node AS doc_id, LEAST(node, MIN(reach)) AS cluster_id
+    FROM walk GROUP BY node
+    """
+    )
+
+
+ORACLES["dedup_clusters"] = _dedup_clusters_oracle()
+
+
+# --------------------------------------------------------------------------
+# Corpus sampling & profiling: deterministic stratified sample, exact
+# per-language length quantiles
+# --------------------------------------------------------------------------
+_SAMPLE_RATES = {"en": 0.25, "zh": 0.75}
+_SAMPLE_DEFAULT = 0.5
+
+
+def _stratified_sample_oracle() -> str:
+    def thr(rate: float) -> str:
+        return format(min(int(rate * 65536), 65535), "04x")
+
+    whens = " ".join(
+        f"WHEN lang = '{s}' THEN '{thr(r)}'" for s, r in sorted(_SAMPLE_RATES.items())
+    )
+    return f"""
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+          < CASE {whens} ELSE '{thr(_SAMPLE_DEFAULT)}' END
+    """
+
+
+@query("stratified_sample", _stratified_sample_oracle())
+def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mistocksync_spark.operators.textual import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "lang", "n_chars")
+    return stratified_sample(docs, _SAMPLE_RATES, _SAMPLE_DEFAULT)
+
+
+@query(
+    "doc_length_quantiles",
+    """
+    WITH g AS (
+        SELECT lang, quantile_cont(n_chars, [0.25, 0.5, 0.75, 0.9]) AS qv
+        FROM documents GROUP BY lang
+    )
+    SELECT lang, CAST([0.25, 0.5, 0.75, 0.9][i] AS DOUBLE) AS quantile, round(qv[i], 4) AS n_chars_q
+    FROM g, UNNEST(generate_series(1, 4)) AS t(i)
+    """,
+)
+def doc_length_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mistocksync_spark.operators.textual import length_quantiles
+
+    return length_quantiles(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+# --------------------------------------------------------------------------
+# As-of join over the events stream: enrich each click with the latest
+# at-or-before purchase of the same user (union-merge plan, ONE shuffle)
+# --------------------------------------------------------------------------
+@query(
+    "events_asof",
+    """
+    WITH purch AS (
+        SELECT user_id, ts, MAX(value) AS p_value
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    ), clicks AS (
+        SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
+    ), anch AS (
+        SELECT c.event_id, c.user_id, c.ts, c.value,
+               (SELECT MAX(p.ts) FROM purch p
+                WHERE p.user_id = c.user_id AND p.ts <= c.ts) AS asof_ts
+        FROM clicks c
+    )
+    SELECT a.event_id, a.user_id, a.ts, round(a.value, 6) AS click_value,
+           a.asof_ts, round(p.p_value, 6) AS asof_value
+    FROM anch a LEFT JOIN purch p ON p.user_id = a.user_id AND p.ts = a.asof_ts
+    """,
+)
+def events_asof_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mistocksync_spark.operators.temporal import asof_join
+    from mistocksync_spark.sources.testdata import load_events
+
+    ev = load_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.round("value", 6).alias("click_value")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("p_value"))
+    )
+    out = asof_join(clicks, purchases, key="user_id", ts="ts", right_value="p_value")
+    return out.withColumn("asof_value", F.round("asof_value", 6))

@@ -1,0 +1,86 @@
+"""Tests for the round-2 extensions: connected-components dedup clustering,
+as-of join, deterministic stratified sampling, exact length quantiles."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+
+def test_connected_components_basic(spark):
+    from mistocksync_spark.operators.dedup import connected_components
+
+    # Two components: {1,2,3,4} (chain) and {10, 11}; 20-21-22 triangle.
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        ["doc_a", "doc_b"],
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_long_chain(spark):
+    from mistocksync_spark.operators.dedup import connected_components
+
+    n = 12
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n)], ["doc_a", "doc_b"])
+    got = connected_components(pairs).collect()
+    assert all(r["cluster_id"] == 0 for r in got)
+    assert len(got) == n + 1
+
+
+def _ts(minute):
+    return datetime.datetime(2026, 1, 1, 12, minute, 0)
+
+
+def test_asof_join_semantics(spark):
+    from mistocksync_spark.operators.temporal import asof_join
+
+    clicks = spark.createDataFrame(
+        [
+            (1, 100, _ts(5)),   # after p@3 -> 30.0
+            (2, 100, _ts(10)),  # tie with p@10 -> <= semantics: 99.0
+            (3, 100, _ts(2)),   # before any purchase -> null
+            (4, 200, _ts(30)),  # user with no purchases -> null
+        ],
+        ["event_id", "user_id", "ts"],
+    )
+    purchases = spark.createDataFrame(
+        [(100, _ts(3), 30.0), (100, _ts(10), 99.0)],
+        ["user_id", "ts", "p_value"],
+    )
+    out = {
+        r["event_id"]: (r["asof_ts"], r["asof_value"])
+        for r in asof_join(clicks, purchases, right_value="p_value").collect()
+    }
+    assert out[1] == (_ts(3), 30.0)
+    assert out[2] == (_ts(10), 99.0)
+    assert out[3] == (None, None)
+    assert out[4] == (None, None)
+    assert set(out) == {1, 2, 3, 4}
+
+
+def test_stratified_sample_deterministic(spark, sf_dir):
+    from mistocksync_spark.operators.textual import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "lang")
+    a = stratified_sample(docs, {"en": 0.25}, 0.5)
+    ids1 = sorted(r["doc_id"] for r in a.collect())
+    ids2 = sorted(r["doc_id"] for r in stratified_sample(docs, {"en": 0.25}, 0.5).collect())
+    assert ids1 == ids2 and len(ids1) > 0
+    # rate=0 keeps nothing, rate=1 keeps (almost) everything
+    assert stratified_sample(docs, {}, 0.0).count() == 0
+    total = docs.count()
+    kept = stratified_sample(docs, {}, 1.0).count()
+    assert kept >= total * 0.999  # 65535/65536 bucket edge
+
+
+def test_length_quantiles_median(spark):
+    from mistocksync_spark.operators.textual import length_quantiles
+
+    df = spark.createDataFrame(
+        [("en", v) for v in [10, 20, 30, 40, 50]], ["lang", "n_chars"]
+    )
+    rows = {r["quantile"]: r["n_chars_q"] for r in length_quantiles(df).collect()}
+    assert rows[0.5] == 30.0
+    assert rows[0.25] == 20.0
+    assert rows[0.9] == 46.0  # linear interpolation between 40 and 50
