@@ -54,7 +54,14 @@ def _make_ratio_batch(skip_below: float | None):
 
 # DoubleType() (not a DDL string) so the UDF can be defined without an
 # active SparkSession at import time.
-_ratcliff_ratio = pandas_udf(_make_ratio_batch(None), returnType=DoubleType())
+#
+# asNondeterministic(): the function IS deterministic, but leaving it marked
+# deterministic lets Catalyst push a `>= threshold` filter through the
+# projection that computes it, leaving the plan with TWO ArrowEvalPython
+# nodes scoring every pair twice (observed: 2× wall on the fuzzy join).
+# The ND flag pins the single evaluation; no caller relies on
+# filter-pushdown through this column.
+_ratcliff_ratio = pandas_udf(_make_ratio_batch(None), returnType=DoubleType()).asNondeterministic()
 
 
 def similarity(a: Column, b: Column, skip_below: float | None = None) -> Column:
@@ -66,7 +73,10 @@ def similarity(a: Column, b: Column, skip_below: float | None = None) -> Column:
     """
     if skip_below is None:
         return _ratcliff_ratio(a, b)
-    return pandas_udf(_make_ratio_batch(skip_below), returnType=DoubleType())(a, b)
+    return (
+        pandas_udf(_make_ratio_batch(skip_below), returnType=DoubleType())
+        .asNondeterministic()(a, b)
+    )
 
 
 def jaccard_3gram(a: Column, b: Column) -> Column:

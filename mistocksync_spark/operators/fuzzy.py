@@ -112,8 +112,13 @@ def fuzzy_best_match(
         # the UDF's quick-ratio upper-bound cutoff does the pruning instead
         # of a blocking key.  The probe side is spread across all cores —
         # a small parquet scan arrives as 1 partition, which would serialize
-        # the Python scoring.
-        spread = bs.repartition(bs.sparkSession.sparkContext.defaultParallelism)
+        # the Python scoring.  HASH partitioning, not round-robin: a
+        # round-robin stride can alias with periodic patterns in the data
+        # (name families repeating every k rows), concentrating the
+        # expensive-to-score strings on a few tasks; hashing decorrelates.
+        spread = bs.repartition(
+            bs.sparkSession.sparkContext.defaultParallelism, F.col("base_index")
+        )
         pairs = F.broadcast(cand).crossJoin(spread)
     else:
         pairs = cand.crossJoin(bs)
