@@ -63,6 +63,14 @@ def _make_ratio_batch(skip_below: float | None):
 # filter-pushdown through this column.
 _ratcliff_ratio = pandas_udf(_make_ratio_batch(None), returnType=DoubleType()).asNondeterministic()
 
+# Memoized per threshold.  A FRESH pandas_udf per call is not just wasted
+# pickling: every distinct Python function cycles the reused worker pool, and
+# repeated invocations in one session degrade monotonically (measured 5.5s →
+# 52s over 5 runs of an identical scoring stage, executor CPU ~25% of wall —
+# tasks blocked on worker churn, then a pool reset).  One UDF object per
+# threshold keeps the stage at steady-state ~2.8s.
+_ratio_at: dict[float, Column] = {}
+
 
 def similarity(a: Column, b: Column, skip_below: float | None = None) -> Column:
     """difflib ratio of the lowercased strings; empty/null → 0.0.
@@ -73,10 +81,11 @@ def similarity(a: Column, b: Column, skip_below: float | None = None) -> Column:
     """
     if skip_below is None:
         return _ratcliff_ratio(a, b)
-    return (
-        pandas_udf(_make_ratio_batch(skip_below), returnType=DoubleType())
-        .asNondeterministic()(a, b)
-    )
+    if skip_below not in _ratio_at:
+        _ratio_at[skip_below] = pandas_udf(
+            _make_ratio_batch(skip_below), returnType=DoubleType()
+        ).asNondeterministic()
+    return _ratio_at[skip_below](a, b)
 
 
 def jaccard_3gram(a: Column, b: Column) -> Column:

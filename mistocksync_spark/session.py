@@ -34,7 +34,11 @@ def get_spark(app_name: str = "mistocksync-spark", cpus: int | None = None) -> S
         # parquet reader rejects; read as long and convert explicitly
         # (sources.testdata.load_events).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local-mode driver == executor: the heap holds every cached feed,
+        # broadcast, and 32 concurrent task sorts.  8g on a 128 GiB box GC-
+        # thrashed (identical warm queries varied 17s..126s); size the heap
+        # to the machine.  On a real cluster this maps to executor memory.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         # bucketed-table files for the catalog path (sources/catalog.py)
         .config("spark.sql.warehouse.dir", os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark-graft-warehouse"))
         .config("spark.ui.enabled", "false")
