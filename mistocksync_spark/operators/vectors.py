@@ -156,9 +156,18 @@ def cosine_near_dup_pairs(
     b = withn.select(F.col("vid").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
     dotab = unrolled_dot(F.col("va"), F.col("vb"), dim)
     sim = F.when(F.col("na") * F.col("nb") > 0, dotab / (F.col("na") * F.col("nb"))).otherwise(F.lit(0.0))
+    # `+ rand()*0.0` is a value-identical nondeterminism tag (x + 0.0 == x;
+    # every surviving row has sim ≥ threshold, so the -0.0 edge cannot
+    # occur).  Without it the `>= threshold` filter is substituted through
+    # the projection INTO the nested-loop join condition, where the
+    # dim-term chain is evaluated interpreted per candidate pair and then
+    # recomputed in the projection — measured 26 s for 2.3 M pairs at
+    # dim=64; with the tag the chain is evaluated once, post-join, in a
+    # compiled projection.
+    sim_nd = sim + F.rand(seed=0) * 0.0
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", sim.alias("cos_sim"))
+        .select("vec_a", "vec_b", sim_nd.alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
         .select("vec_a", "vec_b", F.round("cos_sim", 6).alias("cos_sim"))
     )
