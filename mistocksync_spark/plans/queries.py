@@ -644,12 +644,12 @@ def top_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     "null_profile",
     _CTES
     + """
-    SELECT SUM(CASE WHEN price_usd IS NULL THEN 1 ELSE 0 END) AS price_usd_nulls,
-           SUM(CASE WHEN price_usd IS NOT NULL THEN 1 ELSE 0 END) AS price_usd_notnull,
-           SUM(CASE WHEN color IS NULL THEN 1 ELSE 0 END) AS color_nulls,
-           SUM(CASE WHEN color IS NOT NULL THEN 1 ELSE 0 END) AS color_notnull,
-           SUM(CASE WHEN balance IS NULL THEN 1 ELSE 0 END) AS balance_nulls,
-           SUM(CASE WHEN balance IS NOT NULL THEN 1 ELSE 0 END) AS balance_notnull
+    SELECT CAST(SUM(CASE WHEN price_usd IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS price_usd_nulls,
+           CAST(SUM(CASE WHEN price_usd IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS price_usd_notnull,
+           CAST(SUM(CASE WHEN color IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS color_nulls,
+           CAST(SUM(CASE WHEN color IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS color_notnull,
+           CAST(SUM(CASE WHEN balance IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS balance_nulls,
+           CAST(SUM(CASE WHEN balance IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS balance_notnull
     FROM supplier_feed
     """,
 )
@@ -690,10 +690,10 @@ def min_base_price_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     _CTES
     + """
     SELECT COUNT(*) AS total,
-           SUM(CASE WHEN price_usd IS NULL THEN 1 ELSE 0 END) AS nan_count,
-           SUM(CASE WHEN price_usd = 0 THEN 1 ELSE 0 END) AS zero_count,
-           SUM(CASE WHEN price_usd > 0 AND price_usd <= 0.01 THEN 1 ELSE 0 END) AS low_price_count,
-           SUM(CASE WHEN price_usd IS NOT NULL AND price_usd > 0.01 THEN 1 ELSE 0 END) AS kept
+           CAST(SUM(CASE WHEN price_usd IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nan_count,
+           CAST(SUM(CASE WHEN price_usd = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_count,
+           CAST(SUM(CASE WHEN price_usd > 0 AND price_usd <= 0.01 THEN 1 ELSE 0 END) AS BIGINT) AS low_price_count,
+           CAST(SUM(CASE WHEN price_usd IS NOT NULL AND price_usd > 0.01 THEN 1 ELSE 0 END) AS BIGINT) AS kept
     FROM supplier_feed
     """,
 )
@@ -1392,7 +1392,7 @@ def new_items_dimi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                   OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_idx
         FROM l
     )
-    SELECT user_id, session_idx,
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
            strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
            strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
            COUNT(*) AS n_events, round(SUM(value), 4) AS sum_value
