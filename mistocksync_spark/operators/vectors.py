@@ -11,6 +11,10 @@
   index, no RNG at plan time); search probes only the query's bucket and
   its single-bit-flip neighbors, turning a full scan into a partition-pruned
   lookup.  At 100 TB the bucket id becomes a partition column.
+- ``cosine_near_dup_pairs``: banded-SimHash candidate generation (equi-join
+  on band values) + exact rescoring — near-dup detection with no O(n²)
+  join in the plan.  ``cosine_near_dup_pairs_brute`` is the exact
+  nested-loop baseline, meant per-bucket at scale.
 """
 
 from __future__ import annotations
@@ -124,53 +128,196 @@ def unrolled_dot(a: Column, b: Column, dim: int) -> Column:
     return acc
 
 
+def inferred_dim(df: DataFrame, vec_col: str) -> int:
+    """Embedding dimensionality, validated uniform across the table.
+
+    Runs one aggregate job (min/max of ``size``) at plan-build time and
+    fails loudly on ragged lengths — ``element_at`` past an array's end
+    yields null, which would silently null dot products and drop pairs.
+    At scale, pass ``dim`` explicitly to skip this scan.
+    """
+    row = df.agg(
+        F.min(F.size(F.col(vec_col))).alias("lo"), F.max(F.size(F.col(vec_col))).alias("hi")
+    ).collect()[0]
+    if row["lo"] is None:
+        return 0
+    if row["lo"] != row["hi"]:
+        raise ValueError(
+            f"ragged embedding lengths in {vec_col!r}: min={row['lo']} max={row['hi']}; "
+            "near-dup scoring requires fixed-dimension vectors"
+        )
+    return int(row["hi"])
+
+
+def signature_bands(
+    df: DataFrame,
+    dim: int,
+    nbits: int = 64,
+    nbands: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Banded SimHash signatures: ``(vec_id, band_id, band_val)``, one row
+    per (vector, band).
+
+    The sign pattern of ``nbits`` fixed hyperplanes (same deterministic
+    family as ``simhash_bucket``) is computed as ONE numpy matmul per Arrow
+    batch — a (batch × dim) @ (dim × nbits) BLAS call, not nbits separate
+    column expressions (which blow past the 64 KB codegen method limit at
+    nbits·dim = 4096 terms).  Bits are packed into ``nbands`` band values of
+    ``nbits // nbands`` bits each.  Pigeonhole: any pair whose signatures
+    differ in fewer than ``nbands`` bits shares at least one band exactly.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if nbits % nbands:
+        raise ValueError("nbits must divide evenly into nbands bands")
+    r = nbits // nbands
+    H = np.asarray([_hyperplane(dim, b) for b in range(nbits)], dtype="float64")  # nbits × dim
+    weights = (np.int64(1) << np.arange(r, dtype="int64"))
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"vec_id {id_type}, band_id int, band_val long"
+
+    def run(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            V = np.stack([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
+            bits = (V @ H.T) >= 0  # n × nbits
+            frames = []
+            for band in range(nbands):
+                vals = bits[:, band * r : (band + 1) * r].astype("int64") @ weights
+                frames.append(
+                    pd.DataFrame(
+                        {"vec_id": pdf[id_col].values, "band_id": band, "band_val": vals}
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    return df.select(id_col, vec_col).mapInPandas(run, schema=out_schema)
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.99,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     dim: int | None = None,
+    nbits: int = 64,
+    nbands: int = 4,
 ) -> DataFrame:
-    """Exact embedding near-duplicate pairs: cosine ≥ threshold.
+    """Embedding near-duplicate pairs (cosine ≥ threshold) via banded-LSH
+    candidate generation — the 100 TB-safe plan.
 
-    Brute-force O(n²) self-join — the correctness baseline the LSH-bucketed
-    plan (``simhash_bucket``) is verified against; at 100 TB the same verify
-    step runs per LSH bucket instead of globally.  Norms are precomputed
-    once per row (projection before the join), so the join side carries
-    (id, vec, norm) only.  When ``dim`` is known (or inferrable from one
-    row) the pair-level dot product uses the codegen'd unrolled chain —
-    ~10× over the interpreted higher-order fold.
+    1. ``signature_bands``: one linear pass, numpy matmul per Arrow batch.
+    2. Candidates: band self-EQUI-join on ``(band_id, band_val)`` + pair
+       distinct — only pairs colliding in ≥1 band materialize; there is no
+       full-corpus nested-loop join anywhere in the plan.
+    3. Rescore candidates exactly with the codegen'd left-to-right
+       ``unrolled_dot`` (bit-identical to a strict-fold SQL oracle) and
+       filter on the true cosine — LSH only proposes, never decides.
+
+    Recall: a pair sharing no band is missed (classic LSH trade-off).  With
+    nbits=64 / nbands=4, a pair at exactly cos 0.99 (per-bit flip prob
+    ≈ 0.026) is caught w.p. ≈ 0.986, and exact or positively-scaled
+    duplicates (cos = 1, identical sign patterns) are caught ALWAYS —
+    raise ``nbands`` for more recall near the threshold boundary.  Use
+    ``cosine_near_dup_pairs_brute`` as the exact per-bucket verify step.
+
+    At scale: signatures should be written once and reused (persist the
+    ``signature_bands`` output); the id→vector join-backs are shuffle hash
+    joins that co-locate if the corpus is bucketed by ``vec_id``.
     """
     if dim is None:
-        first = df.select(F.size(F.col(vec_col)).alias("n")).limit(1).collect()
-        dim = int(first[0]["n"]) if first else 0
-    withn = df.select(
-        F.col(id_col).alias("vid"), _to_double(F.col(vec_col)).alias("v"), norm(F.col(vec_col)).alias("nrm")
+        dim = inferred_dim(df, vec_col)
+    base = df.select(
+        F.col(id_col).alias("vid"),
+        _to_double(F.col(vec_col)).alias("v"),
+        norm(F.col(vec_col)).alias("nrm"),
     )
-    # spread the streamed side of the nested-loop join across all cores —
-    # a small parquet scan arrives as one partition and would serialize
-    # the O(n²) scoring (hash, not round-robin: decorrelates any periodic
-    # cost pattern in the data)
-    spread = withn.repartition(df.sparkSession.sparkContext.defaultParallelism, F.col("vid"))
-    a = spread.select(F.col("vid").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
-    b = withn.select(F.col("vid").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    bands = signature_bands(df, dim, nbits=nbits, nbands=nbands, vec_col=vec_col, id_col=id_col)
+    x = bands.select(F.col("vec_id").alias("vec_a"), "band_id", "band_val")
+    y = bands.select(F.col("vec_id").alias("vec_b"), "band_id", "band_val")
+    cand = (
+        x.join(y, ["band_id", "band_val"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    a = base.select(F.col("vid").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = base.select(F.col("vid").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
     dotab = unrolled_dot(F.col("va"), F.col("vb"), dim)
-    sim = F.when(F.col("na") * F.col("nb") > 0, dotab / (F.col("na") * F.col("nb"))).otherwise(F.lit(0.0))
-    # `+ rand()*0.0` is a value-identical nondeterminism tag (x + 0.0 == x;
-    # every surviving row has sim ≥ threshold, so the -0.0 edge cannot
-    # occur).  Without it the `>= threshold` filter is substituted through
-    # the projection INTO the nested-loop join condition, where the
-    # dim-term chain is evaluated interpreted per candidate pair and then
-    # recomputed in the projection — measured 26 s for 2.3 M pairs at
-    # dim=64; with the tag the chain is evaluated once, post-join, in a
-    # compiled projection.
-    sim_nd = sim + F.rand(seed=0) * 0.0
+    sim = F.when(F.col("na") * F.col("nb") > 0, dotab / (F.col("na") * F.col("nb"))).otherwise(
+        F.lit(0.0)
+    )
     return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", sim_nd.alias("cos_sim"))
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
+        .select("vec_a", "vec_b", sim.alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
         .select("vec_a", "vec_b", F.round("cos_sim", 6).alias("cos_sim"))
     )
+
+
+def cosine_near_dup_pairs_brute(
+    df: DataFrame,
+    threshold: float = 0.99,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+) -> DataFrame:
+    """Exact O(n²) near-duplicate baseline — the verify step for
+    ``cosine_near_dup_pairs``; at 100 TB run it per LSH bucket, never
+    globally.
+
+    Pair generation is the unavoidable nested-loop join; scoring happens in
+    a numpy ``mapInPandas`` stage AFTER the join.  The Python evaluation
+    boundary is a structural barrier: Catalyst cannot substitute the
+    threshold filter into the nested-loop join condition (the round-1
+    ``rand()*0.0`` nondeterminism tag this replaces), and the per-batch
+    einsum scores thousands of pairs per BLAS call instead of building a
+    dim-term expression per pair.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if dim is None:
+        dim = inferred_dim(df, vec_col)
+    withn = df.select(
+        F.col(id_col).alias("vid"), _to_double(F.col(vec_col)).alias("v"), norm(F.col(vec_col)).alias("nrm")
+    )
+    # spread the streamed side across all cores — a small parquet scan
+    # arrives as one partition and would serialize the O(n²) scoring
+    spread = withn.repartition(df.sparkSession.sparkContext.defaultParallelism, F.col("vid"))
+    a = spread.select(F.col("vid").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = withn.select(F.col("vid").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"vec_a {id_type}, vec_b {id_type}, cos_sim double"
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Va = np.stack([np.asarray(v, dtype="float64") for v in pdf["va"]])
+            Vb = np.stack([np.asarray(v, dtype="float64") for v in pdf["vb"]])
+            denom = pdf["na"].values * pdf["nb"].values
+            dots = np.einsum("ij,ij->i", Va, Vb)
+            sim = np.where(denom > 0, dots / np.where(denom > 0, denom, 1.0), 0.0)
+            keep = sim >= threshold
+            if not keep.any():
+                continue
+            yield pd.DataFrame(
+                {
+                    "vec_a": pdf["vec_a"].values[keep],
+                    "vec_b": pdf["vec_b"].values[keep],
+                    "cos_sim": np.round(sim[keep], 6),
+                }
+            )
+
+    return pairs.mapInPandas(score, schema=out_schema)
 
 
 def deterministic_centroids(

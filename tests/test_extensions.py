@@ -144,6 +144,41 @@ def test_cosine_near_dup_pairs_threshold(spark):
     assert rows[0].cos_sim == pytest.approx(1.0)
 
 
+def test_cosine_near_dup_banded_matches_brute(spark):
+    """Banded-LSH candidates + exact rescore reproduce the brute-force
+    pair set on a corpus with planted exact, scaled, and perturbed dups."""
+    import random
+
+    from mistocksync_spark.operators.vectors import (
+        cosine_near_dup_pairs,
+        cosine_near_dup_pairs_brute,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(120):
+        rows.append((i, [rng.uniform(-1, 1) for _ in range(16)]))
+    for i in range(0, 120, 10):  # exact copies
+        rows.append((1000 + i, list(rows[i][1])))
+    for i in range(5, 120, 15):  # positively scaled copies
+        rows.append((2000 + i, [3.0 * x for x in rows[i][1]]))
+    for i in range(3, 120, 20):  # tiny perturbation — cos just under 1
+        rows.append((3000 + i, [x + 0.001 for x in rows[i][1]]))
+    df = _vecs(spark, rows)
+    banded = {(r.vec_a, r.vec_b, r.cos_sim) for r in cosine_near_dup_pairs(df, threshold=0.99).collect()}
+    brute = {(r.vec_a, r.vec_b, r.cos_sim) for r in cosine_near_dup_pairs_brute(df, threshold=0.99).collect()}
+    assert banded == brute
+    assert len(banded) >= 12 + 8 + 6  # all planted families found
+
+
+def test_inferred_dim_rejects_ragged_vectors(spark):
+    from mistocksync_spark.operators.vectors import cosine_near_dup_pairs
+
+    df = _vecs(spark, [(0, [1.0, 2.0]), (1, [1.0, 2.0, 3.0])])
+    with pytest.raises(ValueError, match="ragged"):
+        cosine_near_dup_pairs(df, threshold=0.99)
+
+
 # ---------------------------------------------------------------- textual
 def test_token_counts_and_quality(spark):
     from mistocksync_spark.operators.textual import quality_features
