@@ -56,6 +56,13 @@ def main():
         timings[name] = round(time.monotonic() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+
+    # the fuzzy_match entry times the FULL candidate batch; report the
+    # scored-pair count so the measured workload is explicit
+    from mistocksync_spark.plans.queries import fuzzy_match_pair_count
+
+    pairs = fuzzy_match_pair_count(spark, sf_dir)
+
     print(
         json.dumps(
             {
@@ -64,6 +71,7 @@ def main():
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
+                "fuzzy_match_scored_pairs": pairs,
             }
         )
     )

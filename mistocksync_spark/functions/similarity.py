@@ -10,6 +10,7 @@ Reference: /root/reference/main.py:1274-1283 (lowercased both sides).
 from __future__ import annotations
 
 import difflib
+from typing import Callable
 
 import pandas as pd
 from pyspark.sql import Column
@@ -55,13 +56,12 @@ def _make_ratio_batch(skip_below: float | None):
 # DoubleType() (not a DDL string) so the UDF can be defined without an
 # active SparkSession at import time.
 #
-# asNondeterministic(): the function IS deterministic, but leaving it marked
-# deterministic lets Catalyst push a `>= threshold` filter through the
-# projection that computes it, leaving the plan with TWO ArrowEvalPython
-# nodes scoring every pair twice (observed: 2× wall on the fuzzy join).
-# The ND flag pins the single evaluation; no caller relies on
-# filter-pushdown through this column.
-_ratcliff_ratio = pandas_udf(_make_ratio_batch(None), returnType=DoubleType()).asNondeterministic()
+# The UDF is (correctly) marked deterministic.  Callers that filter on the
+# score must keep the filter from being substituted back into the scoring
+# projection via a structural barrier — fuzzy_best_match does this with its
+# max_by aggregation (the threshold is applied to the aggregated max, which
+# cannot push below the agg), so the score is evaluated exactly once.
+_ratcliff_ratio = pandas_udf(_make_ratio_batch(None), returnType=DoubleType())
 
 # Memoized per threshold.  A FRESH pandas_udf per call is not just wasted
 # pickling: every distinct Python function cycles the reused worker pool, and
@@ -69,7 +69,7 @@ _ratcliff_ratio = pandas_udf(_make_ratio_batch(None), returnType=DoubleType()).a
 # 52s over 5 runs of an identical scoring stage, executor CPU ~25% of wall —
 # tasks blocked on worker churn, then a pool reset).  One UDF object per
 # threshold keeps the stage at steady-state ~2.8s.
-_ratio_at: dict[float, Column] = {}
+_ratio_at: dict[float, Callable[[Column, Column], Column]] = {}
 
 
 def similarity(a: Column, b: Column, skip_below: float | None = None) -> Column:
@@ -82,9 +82,7 @@ def similarity(a: Column, b: Column, skip_below: float | None = None) -> Column:
     if skip_below is None:
         return _ratcliff_ratio(a, b)
     if skip_below not in _ratio_at:
-        _ratio_at[skip_below] = pandas_udf(
-            _make_ratio_batch(skip_below), returnType=DoubleType()
-        ).asNondeterministic()
+        _ratio_at[skip_below] = pandas_udf(_make_ratio_batch(skip_below), returnType=DoubleType())
     return _ratio_at[skip_below](a, b)
 
 

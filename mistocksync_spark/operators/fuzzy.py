@@ -6,7 +6,9 @@ Spark-first shape:
 
   candidates × base  →  (optional JVM-side blocking prefilter)
                      →  Arrow-batched pandas-UDF similarity score
-                     →  row_number window keeps the best base row
+                     →  max_by aggregation keeps the best base row
+                        (map-side partial agg: the shuffle carries one row
+                        per candidate per partition, never the scored pairs)
 
 Blocking is the scale story: a full cross join is quadratic, so at scale we
 prefilter pairs with a cheap JVM-side 3-gram Jaccard (`jaccard_3gram`) or a
@@ -23,7 +25,7 @@ Tie-breaking: the reference keeps the *first* base row among equal ratios
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from mistocksync_spark.functions.cleaning import safe_color, strip_ws
@@ -38,7 +40,7 @@ def _ngram_keys(col, n: int = 3):
     return F.array_distinct(F.transform(idx, lambda i: F.substring(low, i, n)))
 
 
-def fuzzy_best_match(
+def fuzzy_candidate_pairs(
     candidates: DataFrame,
     base: DataFrame,
     candidate_name: str = "name",
@@ -48,10 +50,10 @@ def fuzzy_best_match(
     threshold: float = FUZZY_THRESHOLD,
     blocking: str = "none",
 ) -> DataFrame:
-    """Best fuzzy base match per candidate with ratio ≥ threshold (J4).
-
-    Returns one row per matched candidate with base name/price/article/color,
-    similarity_ratio and match_type='fuzzy_string' (ref main.py:2804-2924).
+    """The (candidate × base) pairs that reach the Python scorer: blocking
+    join + JVM length-band prefilter, NO similarity UDF.  Used by
+    ``fuzzy_best_match`` and by the bench to report the scored-pair count
+    without paying for scoring twice.
     """
     cand = candidates.filter(F.col(candidate_name).isNotNull()).select(
         F.col(candidate_order).alias("supplier_index"),
@@ -128,18 +130,49 @@ def fuzzy_best_match(
     # never reach the threshold — pruned before the Arrow transfer.
     la, lb = F.length("supplier_name"), F.length("base_name")
     length_ok = (F.least(la, lb) * 2.0 / (la + lb)) >= threshold
-    scored = pairs.filter(length_ok).withColumn(
+    return pairs.filter(length_ok)
+
+
+def fuzzy_best_match(
+    candidates: DataFrame,
+    base: DataFrame,
+    candidate_name: str = "name",
+    base_name: str = "name",
+    candidate_order: str = "supplier_index",
+    base_order: str = "row_id",
+    threshold: float = FUZZY_THRESHOLD,
+    blocking: str = "none",
+) -> DataFrame:
+    """Best fuzzy base match per candidate with ratio ≥ threshold (J4).
+
+    Returns one row per matched candidate with base name/price/article/color,
+    similarity_ratio and match_type='fuzzy_string' (ref main.py:2804-2924).
+    """
+    scored = fuzzy_candidate_pairs(
+        candidates,
+        base,
+        candidate_name=candidate_name,
+        base_name=base_name,
+        candidate_order=candidate_order,
+        base_order=base_order,
+        threshold=threshold,
+        blocking=blocking,
+    ).withColumn(
         "similarity_ratio",
         similarity(F.col("supplier_name"), F.col("base_name"), skip_below=threshold),
-    ).filter(F.col("similarity_ratio") >= threshold)
-
-    w = Window.partitionBy("supplier_index").orderBy(
-        F.col("similarity_ratio").desc(), F.col("base_index").asc()
     )
-    best = scored.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
 
-    return best.select(
-        "supplier_index",
+    # Best-match selection as max_by aggregation, not a row_number window:
+    # partial (map-side) aggregation collapses each partition to one row per
+    # candidate BEFORE the shuffle, so the exchange carries O(candidates ×
+    # partitions) rows instead of every scored pair.  The aggregate is also
+    # the structural barrier that keeps the `>= threshold` filter (applied
+    # to the aggregated max, below) from being substituted into the UDF
+    # projection — no asNondeterministic() tag needed for single evaluation.
+    # Tie-break parity with the reference (first base row among equal
+    # ratios, main.py:2884-2891): order by (ratio, -base_index), so the max
+    # is the highest ratio with the LOWEST base_index.
+    payload = F.struct(
         "supplier_name",
         "supplier_price",
         "supplier_article",
@@ -150,6 +183,26 @@ def fuzzy_best_match(
         "base_article",
         "base_color",
         "similarity_ratio",
+    )
+    order = F.struct(F.col("similarity_ratio"), (F.lit(0) - F.col("base_index")).alias("nbi"))
+    best = (
+        scored.groupBy("supplier_index")
+        .agg(F.max_by(payload, order).alias("__best"), F.max("similarity_ratio").alias("__maxr"))
+        .filter(F.col("__maxr") >= threshold)
+    )
+
+    return best.select(
+        "supplier_index",
+        F.col("__best.supplier_name").alias("supplier_name"),
+        F.col("__best.supplier_price").alias("supplier_price"),
+        F.col("__best.supplier_article").alias("supplier_article"),
+        F.col("__best.supplier_color").alias("supplier_color"),
+        F.col("__best.base_index").alias("base_index"),
+        F.col("__best.base_name").alias("base_name"),
+        F.col("__best.base_price").alias("base_price"),
+        F.col("__best.base_article").alias("base_article"),
+        F.col("__best.base_color").alias("base_color"),
+        F.col("__best.similarity_ratio").alias("similarity_ratio"),
         F.lit("fuzzy_string").alias("match_type"),
         F.lit("name").alias("matched_in"),
     )

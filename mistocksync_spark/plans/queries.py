@@ -595,9 +595,6 @@ def fuzzy_match_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         r["new_items_for_base"]
         .withColumnRenamed("price", "price_usd")
         .withColumnRenamed("supplier_index", "cand_order")
-        # keep the fuzzy batch bounded: it is an O(pairs) Python-scored join
-        # (modulus 5 is coprime with the feed's balance/newness patterns)
-        .filter(F.col("cand_order") % 5 == 3)
     )
     return fuzzy_best_match(
         candidates,
@@ -606,6 +603,27 @@ def fuzzy_match_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         candidate_order="cand_order",
         blocking="broadcast",
     ).orderBy("supplier_index")
+
+
+def fuzzy_match_pair_count(spark: SparkSession, sf_dir: str) -> int:
+    """Pairs reaching the Python scorer in ``fuzzy_match`` (blocking join +
+    length-band prefilter).  Not a registered query — the bench reports it
+    alongside the timing so the measured workload is explicit."""
+    from mistocksync_spark.operators.fuzzy import fuzzy_candidate_pairs
+
+    r = _cascade(spark, sf_dir)
+    candidates = (
+        r["new_items_for_base"]
+        .withColumnRenamed("price", "price_usd")
+        .withColumnRenamed("supplier_index", "cand_order")
+    )
+    return fuzzy_candidate_pairs(
+        candidates,
+        base_feed(spark, sf_dir),
+        candidate_name="name",
+        candidate_order="cand_order",
+        blocking="broadcast",
+    ).count()
 
 
 # --------------------------------------------------------------------------
@@ -1283,11 +1301,11 @@ def report_warnings_sheet_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("fuzzy_annotated_new_items")
 def fuzzy_annotated_new_items_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J5: advisory fuzzy annotation of (a deterministic slice of) the new
-    items — difflib scoring is not SQL-expressible, rows-only check."""
+    """J5: advisory fuzzy annotation of the FULL new-items batch — difflib
+    scoring is not SQL-expressible, rows-only check."""
     from mistocksync_spark.operators.fuzzy import annotate_new_items_with_fuzzy
 
-    new = _j1(spark, sf_dir)["new_items"].filter(F.col("supplier_index") % 10 == 3)
+    new = _j1(spark, sf_dir)["new_items"]
     return annotate_new_items_with_fuzzy(
         new, base_feed(spark, sf_dir), blocking="broadcast"
     )
