@@ -535,46 +535,59 @@ def product_code_match_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # residual needs both stages' matched articles; build it as one query with
-# both extractors inlined
-_SQL_NEW_FOR_BASE = (
-    _sql_code_cascade(lambda c: _SQL_BRACKET.format(col=c), "bracket_code").rsplit("SELECT code,", 1)[0]
-    + f"""
-    , bracket_found AS (SELECT DISTINCT supplier_article FROM best WHERE rn = 1)
-    , sup_var2 AS (
-        SELECT {{code}} AS code, row_id AS supplier_variant_order,
-               CAST(article_vitya AS STRING) AS supplier_article,
-               {_SQL_SAFE_COLOR.format(col='color')} AS supplier_color,
-               {_SQL_CAPACITY.format(col='name')} AS supplier_capacity
-        FROM sup_new WHERE name IS NOT NULL AND {{code}} IS NOT NULL
-    )
-    , base_var2 AS ({{base_var2}})
-    , pairs2 AS (
-        SELECT s.supplier_article FROM sup_var2 s JOIN base_var2 b ON s.code = b.code
-    )
-    , code_found AS (SELECT DISTINCT supplier_article FROM pairs2)
-    SELECT n.article, n.supplier_price AS price, n.supplier_name AS name, n.supplier_index
-    FROM supd n
-    LEFT JOIN basd bb USING (article)
-    LEFT JOIN bracket_found bf ON n.article = bf.supplier_article
-    LEFT JOIN code_found cf ON n.article = cf.supplier_article
-    WHERE bb.article IS NULL AND bf.supplier_article IS NULL AND cf.supplier_article IS NULL
-    """
-)
-
-
-def _sql_new_for_base() -> str:
+# both extractors inlined.  Parameterized over the supplier flow so the
+# vitya (int-key) and dimi (string-key) cascades share one template —
+# the reference handles both suppliers symmetrically (main.py:992-1133).
+def _sql_new_for_base(
+    j1: str | None = None,
+    prep: str = "prep",
+    supd: str = "supd",
+    basd: str = "basd",
+    sup_article: str = "article_vitya",
+    base_price_col: str = "price_vitya_usd",
+) -> str:
+    head = _sql_code_cascade(
+        lambda c: _SQL_BRACKET.format(col=c),
+        "bracket_code",
+        j1=j1,
+        prep=prep,
+        supd=supd,
+        basd=basd,
+        sup_article=sup_article,
+        base_price_col=base_price_col,
+    ).rsplit("SELECT code,", 1)[0]
     code_name = _sql_unified_code("name")
     base_parts = [
-        f"""
-        SELECT {_sql_unified_code('name')} AS code FROM base_feed WHERE name IS NOT NULL AND {_sql_unified_code('name')} IS NOT NULL
-        """
+        f"SELECT {code_name} AS code FROM base_feed WHERE name IS NOT NULL AND {code_name} IS NOT NULL"
     ]
     for c in ["article_vitya", "article_dimi", "article_mila"]:
         code_c = _sql_unified_code(f"CAST({c} AS STRING)")
         base_parts.append(
             f"SELECT {code_c} AS code FROM base_feed WHERE {c} IS NOT NULL AND {code_c} IS NOT NULL"
         )
-    return _SQL_NEW_FOR_BASE.format(code=code_name, base_var2=" UNION ALL ".join(base_parts))
+    base_var2 = " UNION ALL ".join(base_parts)
+    return (
+        head
+        + f"""
+    , bracket_found AS (SELECT DISTINCT supplier_article FROM best WHERE rn = 1)
+    , sup_var2 AS (
+        SELECT {code_name} AS code, row_id AS supplier_variant_order,
+               CAST({sup_article} AS STRING) AS supplier_article
+        FROM sup_new WHERE name IS NOT NULL AND {code_name} IS NOT NULL
+    )
+    , base_var2 AS ({base_var2})
+    , pairs2 AS (
+        SELECT s.supplier_article FROM sup_var2 s JOIN base_var2 b ON s.code = b.code
+    )
+    , code_found AS (SELECT DISTINCT supplier_article FROM pairs2)
+    SELECT n.article, n.supplier_price AS price, n.supplier_name AS name, n.supplier_index
+    FROM {supd} n
+    LEFT JOIN {basd} bb USING (article)
+    LEFT JOIN bracket_found bf ON n.article = bf.supplier_article
+    LEFT JOIN code_found cf ON n.article = cf.supplier_article
+    WHERE bb.article IS NULL AND bf.supplier_article IS NULL AND cf.supplier_article IS NULL
+    """
+    )
 
 
 @query("new_items_for_base", _sql_new_for_base())
@@ -1488,6 +1501,24 @@ def product_code_match_dimi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("bracket_code_match_dimi", _sql_code_cascade_dimi(lambda c: _SQL_BRACKET.format(col=c), "bracket_code"))
 def bracket_code_match_dimi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cascade_dimi(spark, sf_dir)["bracket_matches"]
+
+
+@query(
+    "new_items_for_base_dimi",
+    _sql_new_for_base(
+        j1=_SQL_J1_DIMI,
+        prep="prep_d",
+        supd="supd_d",
+        basd="basd_d",
+        sup_article="article_dimi",
+        base_price_col="price_dimi_usd",
+    ),
+)
+def new_items_for_base_dimi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-4 residual for the dimi flow — new items minus bracket- and
+    code-matched articles, completing the symmetric 4-stage cascade
+    (ref main.py:1554-1563 runs the same stages for every supplier)."""
+    return _cascade_dimi(spark, sf_dir)["new_items_for_base"]
 
 
 @query(
