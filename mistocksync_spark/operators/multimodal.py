@@ -81,6 +81,8 @@ def extract_features(media: DataFrame, deterministic_fake: bool = True) -> DataF
     the payload sha256 so the pipeline is fully testable without codecs.
     """
 
+    import numpy as np
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not deterministic_fake:
@@ -88,26 +90,35 @@ def extract_features(media: DataFrame, deterministic_fake: bool = True) -> DataF
                     "real media decode requires PIL/ffmpeg, not present in "
                     "this environment — pass deterministic_fake=True"
                 )
-            out = []
-            for _, row in pdf.iterrows():
-                payload = row["payload"] or b""
-                sha = hashlib.sha256(payload).hexdigest()
-                seed = int(sha[:8], 16)
-                out.append(
-                    {
-                        "media_id": row["media_id"],
-                        "modality": row["modality"],
-                        "payload_bytes": len(payload),
-                        "payload_sha": sha,
-                        "width": 64 + seed % 1024 if row["modality"] == "image" else None,
-                        "height": 64 + (seed // 1024) % 1024 if row["modality"] == "image" else None,
-                        "duration_sec": round((seed % 36000) / 10.0, 1)
-                        if row["modality"] in ("audio", "video")
-                        else None,
-                        "feature_0": (seed % 100000) / 100000.0,
-                    }
-                )
-            yield pd.DataFrame(out, columns=[f.name for f in FEATURE_SCHEMA.fields])
+            if len(pdf) == 0:
+                continue
+            # the digest is per-row by nature; every derived feature is
+            # column-wise on the batch (no iterrows)
+            payloads = [p if p is not None else b"" for p in pdf["payload"].tolist()]
+            shas = [hashlib.sha256(p).hexdigest() for p in payloads]
+            seed = np.array([int(s[:8], 16) for s in shas], dtype="int64")
+            modality = pdf["modality"].to_numpy()
+            is_img = modality == "image"
+            is_av = (modality == "audio") | (modality == "video")
+            width = pd.array(64 + seed % 1024, dtype="Int64")
+            height = pd.array(64 + (seed // 1024) % 1024, dtype="Int64")
+            width[~is_img] = pd.NA
+            height[~is_img] = pd.NA
+            # nullable Float64 so non-audio/video rows become SQL NULL, not NaN
+            duration = pd.array(np.round((seed % 36000) / 10.0, 1), dtype="Float64")
+            duration[~is_av] = pd.NA
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "modality": modality,
+                    "payload_bytes": np.array([len(p) for p in payloads], dtype="int64"),
+                    "payload_sha": shas,
+                    "width": width,
+                    "height": height,
+                    "duration_sec": duration,
+                    "feature_0": (seed % 100000) / 100000.0,
+                }
+            )
 
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
