@@ -215,6 +215,7 @@ def connected_components(pairs: DataFrame, max_iterations: int = 25) -> DataFram
         edges.select(F.col("src").alias("node")).distinct().withColumn("cluster_id", F.col("node"))
     ).localCheckpoint(eager=True)
 
+    changed = 1
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -241,6 +242,14 @@ def connected_components(pairs: DataFrame, max_iterations: int = 25) -> DataFram
         labels = updated
         if changed == 0:
             break
+    if changed != 0:
+        # falling through with stale labels would silently split clusters
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} rounds; "
+            "component diameter exceeds the iteration budget — raise "
+            "max_iterations (or switch to large-star/small-star for "
+            "adversarial long-chain graphs)"
+        )
     return labels.select(F.col("node").alias("doc_id"), "cluster_id")
 
 

@@ -37,21 +37,23 @@ def asof_join(
     by the caller for determinism).
 
     Returns all left columns + (ts_alias, value_alias), null when no right
-    row precedes.
+    row precedes.  ``right_value`` is carried in its NATIVE type (string,
+    decimal, struct, …) — no numeric coercion.
     """
+    r_value_type = right.schema[right_value].dataType
     l_tag = left.select(
         F.col(key),
         F.col(ts),
         F.lit(1).alias("__is_left"),
         F.struct(*[F.col(c) for c in left.columns]).alias("__l"),
-        F.lit(None).cast("double").alias("__r_value"),
+        F.lit(None).cast(r_value_type).alias("__r_value"),
     )
     r_tag = right.select(
         F.col(key),
         F.col(ts),
         F.lit(0).alias("__is_left"),
         F.lit(None).cast(l_tag.schema["__l"].dataType).alias("__l"),
-        F.col(right_value).cast("double").alias("__r_value"),
+        F.col(right_value).alias("__r_value"),
     )
     # Right rows sort before left rows at equal ts so `last` implements <=.
     w = (

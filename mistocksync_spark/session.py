@@ -13,6 +13,16 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_memory() -> str:
+    """~40% of system RAM, floor 4g — sized to the machine, not hardcoded
+    to the 128 GiB bench box."""
+    try:
+        total = os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
+    except (ValueError, OSError, AttributeError):
+        return "4g"
+    return f"{max(4, int(total * 0.4 / 2**30))}g"
+
+
 def get_spark(app_name: str = "mistocksync-spark", cpus: int | None = None) -> SparkSession:
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -37,8 +47,10 @@ def get_spark(app_name: str = "mistocksync-spark", cpus: int | None = None) -> S
         # local-mode driver == executor: the heap holds every cached feed,
         # broadcast, and 32 concurrent task sorts.  8g on a 128 GiB box GC-
         # thrashed (identical warm queries varied 17s..126s); size the heap
-        # to the machine.  On a real cluster this maps to executor memory.
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        # to ~40% of the machine's RAM (floor 4g) so small CI hosts are not
+        # handed a 48g cap that invites the OOM-killer.  On a real cluster
+        # this maps to executor memory.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", _default_driver_memory()))
         # bucketed-table files for the catalog path (sources/catalog.py)
         .config("spark.sql.warehouse.dir", os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark-graft-warehouse"))
         .config("spark.ui.enabled", "false")

@@ -28,6 +28,17 @@ def test_connected_components_long_chain(spark):
     assert len(got) == n + 1
 
 
+def test_connected_components_raises_on_exhausted_iterations(spark):
+    import pytest
+
+    from mistocksync_spark.operators.dedup import connected_components
+
+    # chain of diameter 6 cannot converge in 2 min-label rounds
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(6)], ["doc_a", "doc_b"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iterations=2)
+
+
 def _ts(minute):
     return datetime.datetime(2026, 1, 1, 12, minute, 0)
 
@@ -57,6 +68,18 @@ def test_asof_join_semantics(spark):
     assert out[3] == (None, None)
     assert out[4] == (None, None)
     assert set(out) == {1, 2, 3, 4}
+
+
+def test_asof_join_carries_native_value_type(spark):
+    from mistocksync_spark.operators.temporal import asof_join
+
+    clicks = spark.createDataFrame([(1, 100, _ts(5))], ["event_id", "user_id", "ts"])
+    purchases = spark.createDataFrame(
+        [(100, _ts(3), "gold-tier")], ["user_id", "ts", "plan"]
+    )
+    out = asof_join(clicks, purchases, right_value="plan")
+    assert out.schema["asof_value"].dataType.simpleString() == "string"
+    assert out.collect()[0]["asof_value"] == "gold-tier"
 
 
 def test_stratified_sample_deterministic(spark, sf_dir):
