@@ -40,9 +40,13 @@ def main():
         "exact_dedup",
         "minhash_lsh_pairs",
         "simhash_dedup_pairs",
+        "ngram_jaccard_pairs",
+        "dedup_clusters",
         "doc_quality",
         "embedding_topk",
         "embedding_near_dup",
+        "events_asof",
+        "user_sessions",
     ]
     headline = [q for q in headline if q in QUERIES]
 
