@@ -222,24 +222,23 @@ def connected_components(pairs: DataFrame, max_iterations: int = 25) -> DataFram
             .groupBy("src")
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
+        # labels only ever DECREASE (least of old and neighbor min), so
+        # "changed" is simply new < old — carried as a flag in the same
+        # checkpointed frame, so the convergence probe is a filter over the
+        # materialized result, not an extra join job per round.
+        new_label = F.least(F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id")))
         updated = (
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
                 "node",
-                F.least(F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))).alias(
-                    "cluster_id"
-                ),
+                new_label.alias("new_cluster_id"),
+                (new_label < F.col("cluster_id")).alias("__changed"),
             )
+            .withColumnRenamed("new_cluster_id", "cluster_id")
             .localCheckpoint(eager=True)
         )
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), on="node")
-            .filter(F.col("u.cluster_id") != F.col("l.cluster_id"))
-            .limit(1)
-            .count()
-        )
-        labels = updated
+        changed = updated.filter(F.col("__changed")).limit(1).count()
+        labels = updated.drop("__changed")
         if changed == 0:
             break
     if changed != 0:
@@ -251,6 +250,24 @@ def connected_components(pairs: DataFrame, max_iterations: int = 25) -> DataFram
             "adversarial long-chain graphs)"
         )
     return labels.select(F.col("node").alias("doc_id"), "cluster_id")
+
+
+def dedup_survivors(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """The end-to-end dedup DECISION: keep the minimum-id representative of
+    every near-dup cluster plus every unclustered document.
+
+    ``connected_components`` labels each clustered node with its cluster's
+    minimum id, so non-representatives are exactly ``doc_id != cluster_id``
+    — one anti-join removes them.  At 100 TB this is the shape that writes
+    the deduplicated training corpus: the cluster labels are a small side
+    (only docs that appear in a near-dup pair), broadcast against the full
+    corpus scan.
+    """
+    clusters = connected_components(pairs)
+    drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return docs.join(F.broadcast(drop), on=id_col, how="left_anti")
 
 
 def simhash_near_dup_pairs(sigs: DataFrame, max_hamming: int = 3, nbits: int = 60, bands: int = 4) -> DataFrame:

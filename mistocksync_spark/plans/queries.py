@@ -1580,6 +1580,33 @@ def _dedup_clusters_oracle() -> str:
 ORACLES["dedup_clusters"] = _dedup_clusters_oracle()
 
 
+@query("dedup_survivors")
+def dedup_survivors_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs → clusters → one survivor per cluster: the corpus that would be
+    written out by a dedup stage (min-id representative kept)."""
+    from mistocksync_spark.operators.dedup import (
+        dedup_survivors,
+        simhash,
+        simhash_near_dup_pairs,
+    )
+    from mistocksync_spark.plans.feeds import docs_aug
+
+    docs = docs_aug(spark, sf_dir)
+    pairs = simhash_near_dup_pairs(simhash(docs), max_hamming=3)
+    return dedup_survivors(docs.select("doc_id"), pairs)
+
+
+ORACLES["dedup_survivors"] = (
+    _dedup_clusters_oracle().rsplit("SELECT node AS doc_id", 1)[0]
+    + """
+    , labels AS (SELECT node, LEAST(node, MIN(reach)) AS cluster_id FROM walk GROUP BY node)
+    SELECT d.doc_id FROM docs d
+    LEFT JOIN (SELECT node FROM labels WHERE cluster_id <> node) nr ON d.doc_id = nr.node
+    WHERE nr.node IS NULL
+    """
+)
+
+
 # --------------------------------------------------------------------------
 # Corpus sampling & profiling: deterministic stratified sample, exact
 # per-language length quantiles

@@ -28,6 +28,18 @@ def test_connected_components_long_chain(spark):
     assert len(got) == n + 1
 
 
+def test_dedup_survivors_keeps_representatives(spark):
+    from mistocksync_spark.operators.dedup import dedup_survivors
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 13)], ["doc_id"])
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["doc_a", "doc_b"]
+    )
+    got = sorted(r["doc_id"] for r in dedup_survivors(docs, pairs).collect())
+    # 2, 3, 11 are non-representative cluster members; everything else stays
+    assert got == [1, 4, 5, 6, 7, 8, 9, 10, 12]
+
+
 def test_connected_components_raises_on_exhausted_iterations(spark):
     import pytest
 
