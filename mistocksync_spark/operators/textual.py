@@ -145,6 +145,98 @@ def length_quantiles(
     )
 
 
+def corpus_filter(
+    df: DataFrame,
+    min_tokens: int = 5,
+    max_mean_token_len: float = 12.0,
+    max_punct_ratio: float = 0.2,
+    langs: tuple[str, ...] = ("de", "en", "es", "fr", "ru"),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """The C4-style keep/drop decision per document, with the FIRST failing
+    rule as the reason (rule order: language, length, token shape,
+    punctuation) — the audit trail a corpus-cleaning run ships with.
+
+    Pure column expressions over ``quality_features``; filtering 100 TB is
+    one scan, no shuffle, and the reasons aggregate into the run report
+    with a single groupBy.
+    """
+    q = quality_features(df, text_col=text_col, id_col=id_col)
+    enriched = df.select(F.col(id_col).alias("doc_id"), F.col(lang_col).alias("__lang")).join(
+        q, on="doc_id"
+    )
+    reason = (
+        F.when(~F.col("__lang").isin(*langs), F.lit("lang"))
+        .when(F.col("n_tokens") < min_tokens, F.lit("too_short"))
+        .when(F.col("mean_token_len") > max_mean_token_len, F.lit("token_shape"))
+        .when(F.col("punct_ratio") > max_punct_ratio, F.lit("punctuation"))
+        .otherwise(F.lit("ok"))
+    )
+    return enriched.select(
+        "doc_id",
+        F.col("__lang").alias("lang"),
+        "n_tokens",
+        reason.alias("reason"),
+        (reason == "ok").alias("keep"),
+    )
+
+
+def vocab_topk(
+    df: DataFrame, k: int = 100, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Global token-frequency top-k — the vocabulary/frequency profile a
+    tokenizer-training or contamination check starts from.
+
+    explode → groupBy(token) with map-side partial counts → one shuffle
+    keyed by token → top-k.  The classic heavy-shuffle text op: the
+    exchange carries one row per DISTINCT token per partition (partial
+    aggregation), never one per occurrence.  Deterministic tie-break
+    (count desc, token asc).
+    """
+    toks = df.select(F.explode(tokens(F.col(text_col))).alias("token")).filter(
+        F.col("token") != ""
+    )
+    counts = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    return counts.orderBy(F.col("cnt").desc(), F.col("token").asc()).limit(k)
+
+
+def pack_documents(
+    df: DataFrame,
+    seq_len: int = 2048,
+    token_count_col: str = "n_tokens",
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Concat-then-chunk sequence packing: documents are laid out in
+    deterministic ``id`` order within each stratum and cut into fixed
+    ``seq_len`` token windows (docs may straddle a boundary — the standard
+    LM-pretraining packing).  Emits each doc's pack id and offset.
+
+    One shuffle (hash by stratum) + one in-partition sort: the running sum
+    is a window over the stratum, so no global single-partition ordering
+    exists anywhere.  At 100 TB strata are (source, shard) keys sized to
+    executors; the pack layout is reproducible because it is a pure
+    function of (stratum, id order).
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(stratum_col)
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum(token_count_col).over(w), F.lit(0))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(stratum_col).alias("stratum"),
+        F.col(token_count_col).alias("n_tokens"),
+        F.floor(before / seq_len).alias("pack_id"),
+        (before % seq_len).alias("pack_offset"),
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 8) -> DataFrame:
     """Winnowing-style document fingerprint: min and max md5 over the
     lowercased char k-grams, plus the whole-document hash.  Identical

@@ -856,6 +856,77 @@ def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return language_id(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+def _sql_corpus_filter() -> str:
+    reason = """
+        CASE WHEN lang NOT IN ('de', 'en', 'es', 'fr', 'ru') THEN 'lang'
+             WHEN n_tokens < 5 THEN 'too_short'
+             WHEN mean_token_len > 12.0 THEN 'token_shape'
+             WHEN punct_ratio > 0.2 THEN 'punctuation'
+             ELSE 'ok' END
+    """
+    return f"""
+    WITH q AS ({_sql_quality()}),
+    j AS (SELECT d.doc_id, d.lang, q.n_tokens, q.mean_token_len, q.punct_ratio
+          FROM documents d JOIN q ON d.doc_id = q.doc_id)
+    SELECT doc_id, lang, n_tokens, {reason} AS reason, ({reason}) = 'ok' AS keep
+    FROM j
+    """
+
+
+@query("corpus_filter", _sql_corpus_filter())
+def corpus_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style keep/drop decision with first-failing-rule audit reason."""
+    from mistocksync_spark.operators.textual import corpus_filter
+
+    return corpus_filter(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+@query(
+    "vocab_topk",
+    r"""
+    SELECT token, COUNT(*) AS cnt FROM (
+        SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS token FROM documents
+    ) WHERE token <> '' GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 100
+    """,
+)
+def vocab_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global token-frequency top-100 (vocabulary profile)."""
+    from mistocksync_spark.operators.textual import vocab_topk
+
+    return vocab_topk(spark.read.parquet(f"{sf_dir}/documents.parquet"), k=100)
+
+
+_SQL_NTOK = r"""CASE WHEN trim(text) IS NULL OR trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END"""
+
+
+@query(
+    "doc_packing",
+    f"""
+    WITH d AS (SELECT doc_id, lang, {_SQL_NTOK} AS n_tokens FROM documents),
+    c AS (
+        SELECT doc_id, lang AS stratum, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS before
+        FROM d
+    )
+    SELECT doc_id, stratum, n_tokens,
+           CAST(FLOOR(before / 512) AS BIGINT) AS pack_id,
+           before % 512 AS pack_offset
+    FROM c
+    """,
+)
+def doc_packing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing into 512-token windows per lang."""
+    from mistocksync_spark.operators.textual import pack_documents, token_count
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_documents(docs, seq_len=512)
+
+
 @query(
     "doc_fingerprint",
     """
@@ -1605,6 +1676,64 @@ ORACLES["dedup_survivors"] = (
     WHERE nr.node IS NULL
     """
 )
+
+
+@query("embedding_dedup_survivors")
+def embedding_dedup_survivors_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space dedup decision: banded-LSH near-dup pairs → connected
+    components → keep the min-id representative per cluster."""
+    from mistocksync_spark.operators.dedup import dedup_survivors
+    from mistocksync_spark.operators.vectors import cosine_near_dup_pairs
+    from mistocksync_spark.plans.feeds import emb_aug
+
+    emb = emb_aug(spark, sf_dir)
+    pairs = cosine_near_dup_pairs(emb, threshold=0.99).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    return dedup_survivors(emb.select("vec_id"), pairs, id_col="vec_id")
+
+
+def _embedding_survivors_oracle() -> str:
+    sim = (
+        f"CASE WHEN a.nrm * b.nrm > 0 THEN "
+        f"{_SQL_DOT_VAR.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm) "
+        f"ELSE 0.0 END"
+    )
+    return f"""
+    WITH RECURSIVE emb AS ({{emb_aug}}),
+    withn AS (
+        SELECT vec_id, embedding, {_SQL_NORM.format(a='embedding')} AS nrm FROM emb
+    ),
+    pairs AS (
+        SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+        FROM withn a JOIN withn b ON a.vec_id < b.vec_id
+        WHERE {sim} >= 0.99
+    ),
+    edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    walk(node, reach) AS (
+        SELECT s, d FROM edges
+        UNION
+        SELECT w.node, e.d FROM walk w JOIN edges e ON e.s = w.reach
+    ),
+    labels AS (SELECT node, LEAST(node, MIN(reach)) AS cluster_id FROM walk GROUP BY node)
+    SELECT e.vec_id FROM emb e
+    LEFT JOIN (SELECT node FROM labels WHERE cluster_id <> node) nr ON e.vec_id = nr.node
+    WHERE nr.node IS NULL
+    """
+
+
+def _patch_emb_survivors_oracle():
+    from mistocksync_spark.plans.feeds import EMB_AUG_SQL_DUCKDB
+
+    ORACLES["embedding_dedup_survivors"] = _embedding_survivors_oracle().replace(
+        "{emb_aug}", EMB_AUG_SQL_DUCKDB
+    )
+
+
+_patch_emb_survivors_oracle()
 
 
 # --------------------------------------------------------------------------

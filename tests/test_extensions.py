@@ -180,6 +180,52 @@ def test_inferred_dim_rejects_ragged_vectors(spark):
 
 
 # ---------------------------------------------------------------- textual
+def test_corpus_filter_first_failing_reason(spark):
+    from mistocksync_spark.operators.textual import corpus_filter
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat", "en"),          # ok
+            (2, "short text", "en"),                       # too_short (2 tokens)
+            (3, "the cat sat on the mat", "xx"),           # lang (checked first)
+            (4, "abcdefghijklmnopqrstuvwxyz " * 6, "en"),  # token_shape
+            (5, "a. b, c! d? e; f: g.., h i j", "en"),     # punctuation
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    got = {r.doc_id: (r.reason, r.keep) for r in corpus_filter(df).collect()}
+    assert got[1] == ("ok", True)
+    assert got[2] == ("too_short", False)
+    assert got[3] == ("lang", False)
+    assert got[4] == ("token_shape", False)
+    assert got[5] == ("punctuation", False)
+
+
+def test_vocab_topk_order_and_tiebreak(spark):
+    from mistocksync_spark.operators.textual import vocab_topk
+
+    df = spark.createDataFrame(
+        [(1, "b b b a a c"), (2, "a z")], ["doc_id", "text"]
+    )
+    rows = [(r.token, r.cnt) for r in vocab_topk(df, k=3).collect()]
+    assert rows == [("a", 3), ("b", 3), ("c", 1)]  # tie a/b -> token asc
+
+
+def test_pack_documents_chunks_per_stratum(spark):
+    from mistocksync_spark.operators.textual import pack_documents
+
+    df = spark.createDataFrame(
+        [(1, "en", 6), (2, "en", 6), (3, "en", 2), (10, "ru", 11)],
+        ["doc_id", "lang", "n_tokens"],
+    )
+    got = {r.doc_id: (r.pack_id, r.pack_offset) for r in pack_documents(df, seq_len=10).collect()}
+    # en stream: doc1 at 0, doc2 at 6 (straddles into pack 0), doc3 at 12 -> pack 1
+    assert got[1] == (0, 0)
+    assert got[2] == (0, 6)
+    assert got[3] == (1, 2)
+    assert got[10] == (0, 0)  # ru stream independent
+
+
 def test_token_counts_and_quality(spark):
     from mistocksync_spark.operators.textual import quality_features
 
