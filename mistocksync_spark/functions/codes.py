@@ -7,13 +7,16 @@ Reference semantics re-derived from /root/reference/main.py:1591-1638
 (find_product_code_in_name), 1640-1666 (find_product_code_in_brackets),
 1668-1710 (find_battery_capacity), 1712-1750 (find_product_code_unified).
 
-Note on word boundaries: the ordered code patterns use ``\\b``, which Java
-regex and RE2 (DuckDB) both interpret with ASCII word chars.  Python's
-``re`` treats Cyrillic letters as word chars, so for the Cyrillic pattern we
-emulate the boundary with explicit character classes — identical behavior in
-Spark and the DuckDB oracle, and matches the reference on all realistic
-inputs (a Cyrillic code island adjacent to Latin letters is the only
-divergence).
+Note on word boundaries: the ordered code patterns use ``\\b``.  Java's
+boundary determination is empirically Unicode-aware like Python's ``re``
+(Cyrillic letters are word chars in both), so the Spark extractor matches
+the reference EXACTLY, including on cross-script islands like 'яC60'
+(no boundary → no match in both; pinned by tests/test_property_codes.py).
+The explicit character classes on the Cyrillic pattern keep the DuckDB
+oracle (RE2, ASCII ``\\b``) aligned for that pattern; RE2's ASCII
+boundary on the LATIN patterns diverges only on cross-script islands,
+which the synthetic corpus does not contain (oracle hash-matches prove
+it).
 """
 
 from __future__ import annotations

@@ -19,6 +19,47 @@ BASE_ROWS = [
 ]
 
 
+def test_fuzzy_match_full_batch_end_to_end(spark, sf_dir):
+    """The COMPLETE registered fuzzy batch (no sampling) vs a literal
+    replica of the reference's nested difflib loop (main.py:2874-2898)
+    over the same oracle-checked inputs — closes the gap left by the
+    rows-only driver check."""
+    import difflib
+    import re
+
+    from mistocksync_spark.plans.queries import QUERIES, base_feed
+
+    got = {
+        r["supplier_index"]: (r["base_index"], round(r["similarity_ratio"], 9))
+        for r in QUERIES["fuzzy_match"](spark, sf_dir).collect()
+    }
+
+    cands = [
+        (r["supplier_index"], re.sub(r"^\s+|\s+$", "", str(r["name"])))
+        for r in QUERIES["new_items_for_base"](spark, sf_dir).collect()
+        if r["name"] is not None
+    ]
+    bases = sorted(
+        (r["row_id"], re.sub(r"^\s+|\s+$", "", str(r["name"])))
+        for r in base_feed(spark, sf_dir).select("row_id", "name").collect()
+        if r["name"] is not None
+    )
+    bases = [(i, n) for i, n in bases if n != ""]
+
+    want = {}
+    for ci, cname in cands:
+        best_r, best_i = 0.0, None
+        for bi, bname in bases:  # ascending row order + strict > == first-wins
+            r = difflib.SequenceMatcher(None, cname.lower(), bname.lower()).ratio()
+            if r > best_r:
+                best_r, best_i = r, bi
+        if best_i is not None and best_r >= 0.33:
+            want[ci] = (best_i, round(best_r, 9))
+
+    assert len(got) > 0
+    assert got == want
+
+
 def test_fuzzy_matches_difflib_exactly(spark):
     cands = [(0, "Повербанк GREENOE Power bank 60000mah", 90.0)]
     out = fuzzy_best_match(_cand(spark, cands), _base(spark, BASE_ROWS)).collect()
