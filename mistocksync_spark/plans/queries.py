@@ -1080,6 +1080,72 @@ def events_hourly_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["events_hourly_stream"] = ORACLES["events_hourly"]
 
 
+# sliding 30-min windows every 15 min: every event belongs to exactly two
+# windows (k = 0, 1 slide offsets); tz-free window math on epoch seconds
+_SQL_SLIDING = """
+    WITH k AS (SELECT ts, event_type, value, u.k FROM events, UNNEST([0, 1]) AS u(k)),
+    w AS (
+        SELECT strftime(TIMESTAMP '1970-01-01 00:00:00'
+                        + ((CAST(floor(epoch(ts) / 900) AS BIGINT) - k) * 900) * INTERVAL '1 second',
+                        '%Y-%m-%d %H:%M:%S') AS win_start,
+               event_type, value
+        FROM k
+    )
+    SELECT win_start, event_type, COUNT(*) AS cnt, round(SUM(value), 4) AS sum_value
+    FROM w GROUP BY 1, 2
+    """
+
+
+@query("events_sliding", _SQL_SLIDING)
+def events_sliding_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregation (30 min window / 15 min slide) — the
+    overlapping-window shape the tumbling events_hourly cannot express."""
+    from mistocksync_spark.sources.testdata import load_events
+    from mistocksync_spark.streaming.events import sliding_aggregate
+
+    return sliding_aggregate(load_events(spark, sf_dir))
+
+
+@query("events_sliding_stream")
+def events_sliding_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same sliding plan run as Structured Streaming (file source,
+    watermark, Trigger.AvailableNow) — oracle shared with events_sliding."""
+    from mistocksync_spark.streaming.events import read_events_stream, sliding_aggregate
+
+    q = (
+        sliding_aggregate(read_events_stream(spark, sf_dir))
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("events_sliding_stream_sink")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table("events_sliding_stream_sink")
+
+
+ORACLES["events_sliding_stream"] = _SQL_SLIDING
+
+
+@query("events_throttle_stream")
+def events_throttle_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming burst suppression via dropDuplicatesWithinWatermark —
+    rows-only check (the surviving representative is arrival-order
+    dependent; key-set parity with batch distinct is asserted in tests)."""
+    from mistocksync_spark.streaming.events import read_events_stream, throttle_stream
+
+    q = (
+        throttle_stream(read_events_stream(spark, sf_dir))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("events_throttle_stream_sink")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table("events_throttle_stream_sink")
+
+
 # --------------------------------------------------------------------------
 # Multimodal plumbing: opaque binary payloads, Arrow-batched fake decode
 # --------------------------------------------------------------------------

@@ -53,6 +53,45 @@ def hourly_aggregate(events: DataFrame, watermark: str = "2 hours") -> DataFrame
     )
 
 
+def sliding_aggregate(
+    events: DataFrame,
+    window: str = "30 minutes",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding-window counts/sums per event_type: each event lands in
+    window/slide overlapping windows (2 here).  Same plan batch or stream
+    (``withWatermark`` is a no-op in batch); streaming state is bounded by
+    the watermark horizon × overlap factor."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+def throttle_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """At-most-one event per (user_id, event_type, minute) — the standard
+    streaming duplicate/burst suppression, via
+    ``dropDuplicatesWithinWatermark``: state holds one key per (user, type,
+    minute) inside the watermark horizon and is dropped as the watermark
+    advances (bounded state, unlike plain ``dropDuplicates``).
+
+    Which event of a duplicate group survives depends on arrival order, so
+    batch/stream parity is on the KEY SET (asserted in tests), not rows.
+    """
+    keyed = events.withColumn("minute", F.date_trunc("minute", F.col("ts")))
+    return keyed.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["user_id", "event_type", "minute"]
+    )
+
+
 def run_available_now(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
     """Run the streaming plan to completion over the existing files
     (Trigger.AvailableNow) writing to a parquet sink — used by tests to

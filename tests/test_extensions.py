@@ -325,6 +325,34 @@ def test_stateful_sessions_equal_batch(spark, sf_dir):
     assert stream == batch and len(batch) > 0
 
 
+def test_sliding_stream_equals_batch(spark, sf_dir):
+    from mistocksync_spark.plans.queries import QUERIES
+
+    batch = {tuple(r) for r in QUERIES["events_sliding"](spark, sf_dir).collect()}
+    stream = {tuple(r) for r in QUERIES["events_sliding_stream"](spark, sf_dir).collect()}
+    assert stream == batch and len(batch) > 0
+
+
+def test_throttle_stream_key_set_equals_batch_distinct(spark, sf_dir):
+    """dropDuplicatesWithinWatermark keeps an arrival-order-dependent
+    representative, so parity is on the key set, not rows."""
+    from mistocksync_spark.plans.queries import QUERIES
+    from mistocksync_spark.sources.testdata import load_events
+
+    out = QUERIES["events_throttle_stream"](spark, sf_dir)
+    got = {(r.user_id, r.event_type, r.minute) for r in out.collect()}
+    ev = load_events(spark, sf_dir)
+    want = {
+        (r.user_id, r.event_type, r.minute)
+        for r in ev.select(
+            "user_id", "event_type", F.date_trunc("minute", F.col("ts")).alias("minute")
+        )
+        .distinct()
+        .collect()
+    }
+    assert got == want and len(out.collect()) == len(got)  # exactly one row per key
+
+
 # ---------------------------------------------------------------- dimi flow
 def test_dimi_exact_match_string_keys(spark, sf_dir):
     from mistocksync_spark.plans.queries import _j1_dimi
