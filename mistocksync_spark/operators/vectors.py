@@ -365,6 +365,66 @@ def ivf_assign(
     return df.mapInPandas(run, schema=schema)
 
 
+def ivf_train(
+    df: DataFrame,
+    n_centroids: int = 16,
+    iterations: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Lloyd's k-means refinement of the IVF coarse quantizer, as the
+    distributed two-phase plan: per-Arrow-batch partial sums (numpy
+    ``add.at`` into a k×dim accumulator) → driver combine → new centroids.
+
+    Each iteration is ONE pass over the corpus; the shuffle-free partial
+    aggregation emits k rows per batch regardless of batch size, so the
+    driver combine handles k×partitions rows — the textbook distributed
+    k-means shape.  Seeds come from ``deterministic_centroids``; empty
+    clusters keep their previous centroid.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cents = deterministic_centroids(df, n_centroids, vec_col, id_col)
+    base = df.select(F.col(vec_col).alias("__vec"))
+    dim = len(cents[0]) if cents else 0
+    for _ in range(iterations):
+        C = np.asarray(cents, dtype="float64")
+        Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+        k = len(cents)
+        schema = "centroid long, n long, vsum array<double>"
+
+        def partial(batches, Cn=Cn, k=k, dim=dim):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                V = np.stack([np.asarray(v, dtype="float64") for v in pdf["__vec"]])
+                Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+                a = (Vn @ Cn.T).argmax(axis=1)
+                acc = np.zeros((k, dim), dtype="float64")
+                np.add.at(acc, a, V)
+                counts = np.bincount(a, minlength=k)
+                nz = np.nonzero(counts)[0]
+                yield pd.DataFrame(
+                    {
+                        "centroid": nz.astype("int64"),
+                        "n": counts[nz].astype("int64"),
+                        "vsum": [acc[i].tolist() for i in nz],
+                    }
+                )
+
+        parts = base.mapInPandas(partial, schema=schema).collect()
+        sums = np.zeros((k, dim), dtype="float64")
+        counts = np.zeros(k, dtype="int64")
+        for r in parts:
+            sums[r["centroid"]] += np.asarray(r["vsum"])
+            counts[r["centroid"]] += r["n"]
+        cents = [
+            (sums[i] / counts[i]).tolist() if counts[i] > 0 else cents[i] for i in range(k)
+        ]
+    return cents
+
+
 def ivf_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -373,14 +433,18 @@ def ivf_topk(
     n_probe: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: score only vectors assigned to the
     ``n_probe`` centroids nearest the query — the inverted-file analogue of
     ``lsh_bucket_topk`` (complementary recall profile: IVF adapts to the
-    data distribution, LSH does not need an index build)."""
+    data distribution, LSH does not need an index build).  Pass
+    ``centroids`` (e.g. from ``ivf_train``) to probe a refined quantizer."""
     import numpy as np
 
-    cents = deterministic_centroids(df, n_centroids, vec_col, id_col)
+    cents = centroids if centroids is not None else deterministic_centroids(
+        df, n_centroids, vec_col, id_col
+    )
     C = np.asarray(cents, dtype="float64")
     Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
     q = np.asarray(query_vec, dtype="float64")

@@ -1603,6 +1603,17 @@ def embedding_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, _query_vec(spark, sf_dir), k=20)
 
 
+@query("embedding_topk_ivf_trained")
+def embedding_topk_ivf_trained_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN probing a Lloyd-refined quantizer (rows-only; objective and
+    recall improvements are asserted in tests)."""
+    from mistocksync_spark.operators.vectors import ivf_topk, ivf_train
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = ivf_train(emb, iterations=2)
+    return ivf_topk(emb, _query_vec(spark, sf_dir), k=20, centroids=cents)
+
+
 def _cascade_dimi(spark: SparkSession, sf_dir: str):
     from mistocksync_spark.operators.cascade import perform_comparison
 

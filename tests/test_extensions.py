@@ -375,6 +375,46 @@ def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
     assert len(set(exact) & set(approx)) >= 5  # >=50% recall with 4/8 probes
 
 
+def test_ivf_train_improves_quantizer(spark, sf_dir):
+    """Lloyd refinement must not worsen the quantization objective (mean
+    max-cosine of vectors to their centroid), and trained top-k recall vs
+    brute force should be at least the seed quantizer's."""
+    import numpy as np
+
+    from mistocksync_spark.operators.vectors import (
+        brute_force_topk,
+        deterministic_centroids,
+        ivf_topk,
+        ivf_train,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    V = np.asarray(
+        [np.asarray(r["embedding"], dtype="float64") for r in emb.select("embedding").collect()]
+    )
+    Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+
+    def objective(cents):
+        C = np.asarray(cents, dtype="float64")
+        Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+        return float((Vn @ Cn.T).max(axis=1).mean())
+
+    seeds = deterministic_centroids(emb)
+    trained = ivf_train(emb, iterations=3)
+    assert objective(trained) >= objective(seeds) - 1e-9
+
+    q = [float(x) for x in V[0]]
+    exact = {r["vec_id"] for r in brute_force_topk(emb, q, k=10).collect()}
+    rec_seed = len(
+        {r["vec_id"] for r in ivf_topk(emb, q, k=10).collect()} & exact
+    )
+    rec_trained = len(
+        {r["vec_id"] for r in ivf_topk(emb, q, k=10, centroids=trained).collect()} & exact
+    )
+    assert rec_trained >= rec_seed - 1  # allow one-off probe-boundary noise
+    assert rec_trained >= 5
+
+
 def test_ivf_assign_partitions_corpus(spark, sf_dir):
     from mistocksync_spark.operators.vectors import deterministic_centroids, ivf_assign
 
