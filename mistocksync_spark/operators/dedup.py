@@ -252,6 +252,39 @@ def connected_components(pairs: DataFrame, max_iterations: int = 25) -> DataFram
     return labels.select(F.col("node").alias("doc_id"), "cluster_id")
 
 
+def contamination_check(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    min_overlap: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: corpus documents sharing ≥ ``min_overlap``
+    distinct word n-gram shingles with the eval/holdout set.
+
+    The standard pre-training hygiene step, as a pure equi-join plan: both
+    sides explode to (id, shingle), the eval side collapses to DISTINCT
+    shingles (small — benchmarks are thousands of docs) and broadcasts;
+    only corpus shingles that hit an eval shingle survive the join, then
+    one groupBy counts distinct hits per doc.  No cross join at any scale;
+    at 100 TB the corpus shingle explosion streams and the aggregate is
+    map-side partial.
+    """
+    corpus_sh = shingle_table(corpus, text_col=text_col, id_col=id_col, n=n)
+    eval_sh = (
+        shingle_table(eval_set, text_col=text_col, id_col=id_col, n=n)
+        .select("shingle")
+        .distinct()
+    )
+    hits = corpus_sh.join(F.broadcast(eval_sh), on="shingle")
+    return (
+        hits.groupBy("doc_id")
+        .agg(F.count_distinct("shingle").alias("n_hits"))
+        .filter(F.col("n_hits") >= min_overlap)
+    )
+
+
 def dedup_survivors(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """The end-to-end dedup DECISION: keep the minimum-id representative of
     every near-dup cluster plus every unclustered document.

@@ -1755,6 +1755,32 @@ ORACLES["dedup_survivors"] = (
 )
 
 
+@query(
+    "contamination_check",
+    r"""
+    WITH tok AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        FROM tok, UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)
+    ),
+    ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0)
+    SELECT s.doc_id, COUNT(DISTINCT s.shingle) AS n_hits
+    FROM sh s JOIN ev ON s.shingle = ev.shingle
+    WHERE s.doc_id % 50 <> 0
+    GROUP BY s.doc_id HAVING COUNT(DISTINCT s.shingle) >= 2
+    """,
+)
+def contamination_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing ≥2 word-trigram
+    shingles with a held-out eval slice (doc_id % 50 == 0)."""
+    from mistocksync_spark.operators.dedup import contamination_check
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    eval_set = docs.filter(F.col("doc_id") % 50 == 0)
+    return contamination_check(corpus, eval_set, min_overlap=2)
+
+
 @query("embedding_dedup_survivors")
 def embedding_dedup_survivors_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space dedup decision: banded-LSH near-dup pairs → connected

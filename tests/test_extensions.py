@@ -179,6 +179,24 @@ def test_inferred_dim_rejects_ragged_vectors(spark):
         cosine_near_dup_pairs(df, threshold=0.99)
 
 
+def test_contamination_check_shingle_overlap(spark):
+    from mistocksync_spark.operators.dedup import contamination_check
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),   # 2 shared shingles
+            (2, "alpha beta gamma zz yy"),           # 1 shared shingle
+            (3, "totally different words here now"), # 0
+        ],
+        ["doc_id", "text"],
+    )
+    eval_set = spark.createDataFrame(
+        [(100, "alpha beta gamma delta qq")], ["doc_id", "text"]
+    )
+    got = {r.doc_id: r.n_hits for r in contamination_check(corpus, eval_set).collect()}
+    assert got == {1: 2}  # 'alpha beta gamma' + 'beta gamma delta'
+
+
 # ---------------------------------------------------------------- textual
 def test_corpus_filter_first_failing_reason(spark):
     from mistocksync_spark.operators.textual import corpus_filter
