@@ -145,6 +145,57 @@ def length_quantiles(
     )
 
 
+def repetition_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals per document: the fraction of
+    repeated tokens (1 - distinct/total) and the share of the most frequent
+    word bigram among all bigrams — the degenerate-text detectors that
+    complement ``corpus_filter``'s shape rules.
+
+    The distinct-token ratio is a pure column expression; the top-bigram
+    share needs per-(doc, bigram) counts, done as explode → two
+    aggregations keyed by doc_id (map-side partials, shuffles carry
+    per-doc-distinct bigrams, never raw token streams).
+    """
+    t = F.col(text_col)
+    # trimmed tokenization so edge whitespace cannot mint empty tokens
+    toks = F.split(F.lower(F.trim(t)), r"\s+")
+    empty = F.trim(t).isNull() | (F.trim(t) == "")
+    n_tok = F.when(empty, F.lit(0)).otherwise(F.size(toks))
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        n_tok.alias("n_tokens"),
+        F.when(n_tok > 0, 1.0 - F.size(F.array_distinct(toks)) / n_tok)
+        .otherwise(F.lit(0.0))
+        .alias("dup_token_frac"),
+    )
+    # sequence(1, 0) would auto-descend to [1, 0] — guard short docs with
+    # an explicit empty index list
+    idx = F.when(F.size(toks) >= 2, F.sequence(F.lit(1), F.size(toks) - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    bigrams = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+            )
+        ).alias("g"),
+    ).filter(F.col("g") != "")
+    counts = bigrams.groupBy("doc_id", "g").agg(F.count("*").alias("cnt"))
+    top = counts.groupBy("doc_id").agg(
+        (F.max("cnt") / F.sum("cnt")).alias("top_bigram_frac")
+    )
+    return base.join(top, on="doc_id", how="left").select(
+        "doc_id",
+        "n_tokens",
+        F.round("dup_token_frac", 6).alias("dup_token_frac"),
+        F.round(F.coalesce(F.col("top_bigram_frac"), F.lit(0.0)), 6).alias("top_bigram_frac"),
+    )
+
+
 def corpus_filter(
     df: DataFrame,
     min_tokens: int = 5,

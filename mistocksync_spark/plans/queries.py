@@ -856,6 +856,39 @@ def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return language_id(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+@query(
+    "doc_repetition",
+    r"""
+    WITH tok AS (
+        SELECT doc_id, trim(text) AS tt,
+               regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents
+    ),
+    d AS (
+        SELECT doc_id,
+               CASE WHEN tt IS NULL OR tt = '' THEN 0 ELSE len(t) END AS n_tokens,
+               CASE WHEN tt IS NULL OR tt = '' THEN 0.0
+                    ELSE round(1.0 - len(list_distinct(t)) / len(t), 6) END AS dup_token_frac
+        FROM tok
+    ),
+    bg AS (
+        SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+        FROM tok, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+        WHERE len(t) >= 2 AND NOT (tt IS NULL OR tt = '')
+    ),
+    c AS (SELECT doc_id, g, COUNT(*) AS cnt FROM bg WHERE g <> '' GROUP BY 1, 2),
+    r AS (SELECT doc_id, round(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 6) AS top_bigram_frac FROM c GROUP BY doc_id)
+    SELECT d.doc_id, d.n_tokens, d.dup_token_frac, COALESCE(r.top_bigram_frac, 0.0) AS top_bigram_frac
+    FROM d LEFT JOIN r ON d.doc_id = r.doc_id
+    """,
+)
+def doc_repetition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (dup-token and top-bigram shares)."""
+    from mistocksync_spark.operators.textual import repetition_features
+
+    return repetition_features(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
 def _sql_corpus_filter() -> str:
     reason = """
         CASE WHEN lang NOT IN ('de', 'en', 'es', 'fr', 'ru') THEN 'lang'

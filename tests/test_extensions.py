@@ -179,6 +179,25 @@ def test_inferred_dim_rejects_ragged_vectors(spark):
         cosine_near_dup_pairs(df, threshold=0.99)
 
 
+def test_repetition_features(spark):
+    from mistocksync_spark.operators.textual import repetition_features
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),   # 1 distinct of 4; bigram 'spam spam' = 3/3
+            (2, "all words are unique"),  # no repetition
+            (3, ""),                      # empty
+            (4, "one"),                   # single token, no bigrams
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in repetition_features(df).collect()}
+    assert got[1].dup_token_frac == 0.75 and got[1].top_bigram_frac == 1.0
+    assert got[2].dup_token_frac == 0.0 and got[2].top_bigram_frac == 0.333333
+    assert got[3].n_tokens == 0 and got[3].top_bigram_frac == 0.0
+    assert got[4].n_tokens == 1 and got[4].top_bigram_frac == 0.0
+
+
 def test_contamination_check_shingle_overlap(spark):
     from mistocksync_spark.operators.dedup import contamination_check
 
