@@ -857,6 +857,35 @@ def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "top_event_types_per_user",
+    """
+    SELECT user_id, event_type, cnt FROM (
+        SELECT user_id, event_type, COUNT(*) AS cnt,
+               row_number() OVER (PARTITION BY user_id ORDER BY COUNT(*) DESC, event_type ASC) AS rn
+        FROM events GROUP BY user_id, event_type
+    ) WHERE rn <= 3
+    """,
+)
+def top_event_types_per_user_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k: each user's 3 most frequent event types.  The
+    explicit repartition on user_id alone satisfies BOTH the aggregation's
+    clustered distribution (user_id ⊂ the group keys) and the window's
+    partitioning, so the whole query runs on ONE shuffle — groupBy first
+    would shuffle on (user, type) and the window would re-shuffle on user."""
+    from mistocksync_spark.sources.testdata import load_events
+    from pyspark.sql import Window
+
+    ev = load_events(spark, sf_dir).repartition(F.col("user_id"))
+    counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("user_id").orderBy(F.col("cnt").desc(), F.col("event_type").asc())
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_type", "cnt")
+    )
+
+
+@query(
     "doc_repetition",
     r"""
     WITH tok AS (
