@@ -149,7 +149,14 @@ def insert_rows(
     position is a sort key: base rows at (row, 0), inserts at
     (anchor, 1, insertion order) — ``order_key`` is the presentation
     ordering the Excel writer would realize.
+
+    The dense global key comes from ``global_dense_index`` (range shuffle
+    + partition-local windows), NOT a single-partition row_number window —
+    the full base flows through this sort, so the global-window shortcut
+    would serialize it at scale.
     """
+    from mistocksync_spark.operators.ordering import global_dense_index
+
     b = base.select(
         *base.columns,
         F.col(order_col).cast("double").alias("__pos"),
@@ -161,8 +168,8 @@ def insert_rows(
         F.lit(1).alias("__ins"),
     )
     merged = b.unionByName(n, allowMissingColumns=True)
-    w = Window.orderBy(F.col("__pos").asc(), F.col("__ins").asc(), F.col(order_col).asc_nulls_last())
-    return merged.withColumn("order_key", F.row_number().over(w)).drop("__pos", "__ins")
+    keys = [F.col("__pos").asc(), F.col("__ins").asc(), F.col(order_col).asc_nulls_last()]
+    return global_dense_index(merged, keys).drop("__pos", "__ins")
 
 
 def snapshot(df: DataFrame, path: str) -> str:

@@ -146,6 +146,26 @@ def test_row_insert_autonumber_sequence(spark):
     assert out == {"x": 4, "y": 5, "z": 6}
 
 
+def test_global_dense_index_matches_sorted_enumeration(spark):
+    import random
+
+    from mistocksync_spark.operators.ordering import global_dense_index
+
+    rng = random.Random(3)
+    rows = [(i, rng.randint(0, 1000)) for i in range(500)]
+    df = spark.createDataFrame(rows, ["id", "v"]).repartition(7)
+    out = global_dense_index(df, [F.col("v").asc(), F.col("id").asc()], num_partitions=5)
+    got = [(r["id"], r["order_key"]) for r in out.collect()]
+    want = {
+        id_: k + 1
+        for k, (id_, _) in enumerate(sorted(rows, key=lambda t: (t[1], t[0])))
+    }
+    assert dict(got) == want
+    # the plan must not collapse to one partition anywhere
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+
+
 def test_insert_rows_positions(spark):
     from mistocksync_spark.sinks.mutate import insert_rows
 
