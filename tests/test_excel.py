@@ -48,6 +48,34 @@ def test_write_report_xlsx_nine_sheets(spark, tmp_path):
         assert "Gadget &lt;&amp; &gt; 'quote'" in s4
 
 
+def test_write_report_xlsx_end_to_end_from_cascade(spark, sf_dir, tmp_path):
+    """Full pipeline to file: cascade -> build_report -> workbook; sheet
+    row counts in the XML match the DataFrames."""
+    import re
+
+    from mistocksync_spark.plans.queries import _cascade, _preprocess_vitya, base_feed, supplier_feed
+    from mistocksync_spark.sinks.excel import write_report_xlsx
+    from mistocksync_spark.sinks.report import build_report
+
+    sheets = build_report(
+        _cascade(spark, sf_dir),
+        base_feed(spark, sf_dir),
+        _preprocess_vitya(supplier_feed(spark, sf_dir)),
+        supplier_article="article_vitya",
+    )
+    path = str(tmp_path / "report.xlsx")
+    write_report_xlsx(sheets, path)
+
+    with zipfile.ZipFile(path) as z:
+        wb = z.read("xl/workbook.xml").decode("utf-8")
+        order = re.findall(r'name="([^"]+)" sheetId="(\d+)"', wb)
+        names = {n: int(i) for n, i in order}
+        assert "Сводка" in names and "Совпадения" in names
+        matches_rows = sheets["matches"].count()
+        sheet_xml = z.read(f"xl/worksheets/sheet{names['Совпадения']}.xml").decode("utf-8")
+        assert sheet_xml.count("<row ") == matches_rows + 1  # + header
+
+
 def test_write_report_xlsx_rejects_unknown_and_oversize(spark, tmp_path):
     from mistocksync_spark.sinks.excel import write_report_xlsx
 
