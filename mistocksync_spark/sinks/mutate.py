@@ -24,6 +24,31 @@ from pyspark.sql import functions as F
 PRICE_EPSILON = 0.001  # ref main.py:52/7198: skip writes when |Δ| < 0.001
 
 
+def _restrict_to_approved(
+    updates: DataFrame, key_col: str, approved: DataFrame | list | None
+) -> DataFrame:
+    """The reference's confirm-dialog / checkbox selection (main.py:4329,
+    5788-5806) as an explicit API parameter: ``approved`` is the set of
+    keys the user accepted — a list or a 1-column DataFrame; None applies
+    everything (the dialog's "yes to all")."""
+    if approved is None:
+        return updates
+    if isinstance(approved, DataFrame):
+        keys = approved.select(
+            F.col(approved.columns[0]).cast("string").alias("__approved_k")
+        ).distinct()
+    else:
+        spark = updates.sparkSession
+        keys = spark.createDataFrame(
+            [(str(k),) for k in approved], ["__approved_k"]
+        ).distinct()
+    return updates.join(
+        F.broadcast(keys),
+        F.col(key_col).cast("string") == F.col("__approved_k"),
+        "left_semi",
+    )
+
+
 def price_merge(
     base: DataFrame,
     updates: DataFrame,
@@ -32,6 +57,7 @@ def price_merge(
     update_article: str = "article",
     update_price: str = "new_price",
     epsilon: float = PRICE_EPSILON,
+    approved: DataFrame | list | None = None,
 ) -> DataFrame:
     """S12: apply supplier price updates to the base price column.
 
@@ -39,8 +65,10 @@ def price_merge(
     of main.py:7138-7182 is upstream, in the article cleaners); a write
     happens only when |new - old| ≥ epsilon with null old read as 0.0
     (main.py:7189-7208).  Returns the full base with the updated price and
-    an ``updated`` flag (the audit is ``filter(updated)``).
+    an ``updated`` flag (the audit is ``filter(updated)``).  ``approved``
+    restricts the merge to user-accepted keys (SURVEY §7 risk #7).
     """
+    updates = _restrict_to_approved(updates, update_article, approved)
     upd = F.broadcast(
         updates.select(
             F.col(update_article).cast("string").alias("__k"),
@@ -66,6 +94,7 @@ def article_writeback(
     base_key: str = "row_id",
     match_base_key: str = "base_index",
     match_article: str = "supplier_article",
+    approved: DataFrame | list | None = None,
 ) -> dict[str, DataFrame]:
     """S13 + the occupied-cell audit of the add-articles flow
     (main.py:5962-6051, 7246-7354): write the supplier article into the
@@ -74,7 +103,10 @@ def article_writeback(
 
     Returns ``updated`` (full base with filled cells) and ``audit``
     (one row per attempted write: action ∈ added|skipped_occupied|noop).
+    ``approved`` restricts writes to user-accepted supplier articles
+    (the checkbox selection of main.py:5788-5806, SURVEY §7 risk #7).
     """
+    matches = _restrict_to_approved(matches, match_article, approved)
     w = F.broadcast(
         matches.select(
             F.col(match_base_key).alias("__row"),

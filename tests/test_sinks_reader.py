@@ -109,6 +109,31 @@ def test_price_merge_epsilon_and_null_old(spark):
     assert out[3].price_vitya_usd == 0.0 and not out[3].updated  # no update row
 
 
+def test_price_merge_approved_keys_restrict(spark):
+    from mistocksync_spark.sinks.mutate import price_merge
+
+    updates = spark.createDataFrame(
+        [("1", 99.0), ("2", 21.0)], "article string, new_price double"
+    )
+    out = {
+        r.row_id: r
+        for r in price_merge(
+            _base(spark), updates, base_article="article", approved=["2"]
+        ).collect()
+    }
+    assert not out[1].updated and out[1].price_vitya_usd == 10.0  # not approved
+    assert out[2].updated and out[2].price_vitya_usd == 21.0
+
+    approved_df = spark.createDataFrame([("1",)], ["article"])
+    out2 = {
+        r.row_id: r
+        for r in price_merge(
+            _base(spark), updates, base_article="article", approved=approved_df
+        ).collect()
+    }
+    assert out2[1].updated and not out2[2].updated
+
+
 def test_article_writeback_actions(spark):
     from mistocksync_spark.sinks.mutate import article_writeback
 
