@@ -944,6 +944,24 @@ def corpus_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_filter_summary",
+    f"""
+    SELECT reason, COUNT(*) AS cnt, CAST(SUM(n_tokens) AS BIGINT) AS tokens
+    FROM ({_sql_corpus_filter()}) GROUP BY reason
+    """,
+)
+def corpus_filter_summary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cleaning-run report: docs and tokens kept/dropped per reason —
+    one map-side-partial groupBy over the filter decisions."""
+    from mistocksync_spark.operators.textual import corpus_filter
+
+    decisions = corpus_filter(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return decisions.groupBy("reason").agg(
+        F.count("*").alias("cnt"), F.sum("n_tokens").alias("tokens")
+    )
+
+
+@query(
     "vocab_topk",
     r"""
     SELECT token, COUNT(*) AS cnt FROM (
