@@ -143,25 +143,96 @@ def read_parquet(spark: SparkSession, path: str, config: SourceConfig) -> DataFr
     return apply_config(spark.read.parquet(path), config)
 
 
-def read_excel(spark: SparkSession, path: str, config: SourceConfig, sheet: int = 0) -> DataFrame:
-    """S1 Excel surface: driver-side pandas/openpyxl bridge (Excel files are
-    small by construction — the reference's workload is 10²-10⁴ rows)."""
-    try:
-        import pandas as pd  # noqa: F401
-        import openpyxl  # noqa: F401
-    except ImportError as e:  # pragma: no cover - environment-dependent
-        raise NotImplementedError(
-            "Excel ingest needs openpyxl on the driver; install it or convert "
-            "the workbook to CSV/parquet"
-        ) from e
-    import pandas as pd
-
-    pdf = pd.read_excel(path, sheet_name=sheet)
-    raw = spark.createDataFrame(pdf.astype("object").where(pdf.notna(), None))
+def read_json(spark: SparkSession, path: str, config: SourceConfig) -> DataFrame:
+    """S1 JSON surface: JSON-lines first (the scale-path layout — splittable,
+    parallel scan); a multiline array/object file shows up as corrupt
+    records and falls back to the driver-friendlier multiLine parse."""
+    raw = spark.read.json(path)
+    if "_corrupt_record" in raw.columns or not raw.columns:
+        raw = spark.read.option("multiLine", "true").json(path)
     return apply_config(raw, config)
 
 
-def load_largest_file(spark: SparkSession, directory: str, config: SourceConfig, glob_exts=(".xlsx", ".xls", ".csv", ".parquet")):
+def _read_xlsx_stdlib(path: str, sheet: int = 0) -> "list[list]":
+    """Dependency-free xlsx cell extraction: parse the OPC zip's sheet XML
+    (shared strings, inline strings, numbers, booleans).  No styles/dates —
+    numeric date serials come through as numbers; the config's type casts
+    handle the columns the pipeline uses.  Mirror of sinks/excel.py's
+    stdlib writer."""
+    import re
+    import zipfile
+    from xml.etree import ElementTree as ET
+
+    NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+    with zipfile.ZipFile(path) as z:
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in z.namelist():
+            root = ET.fromstring(z.read("xl/sharedStrings.xml"))
+            for si in root.findall(f"{NS}si"):
+                shared.append("".join(t.text or "" for t in si.iter(f"{NS}t")))
+        sheet_names = sorted(
+            n for n in z.namelist() if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)
+        )
+        root = ET.fromstring(z.read(sheet_names[sheet]))
+        rows: list[list] = []
+        for row in root.iter(f"{NS}row"):
+            out: dict[int, object] = {}
+            for c in row.findall(f"{NS}c"):
+                ref = c.get("r", "A1")
+                col = 0
+                for ch in ref:
+                    if ch.isalpha():
+                        col = col * 26 + (ord(ch.upper()) - 64)
+                    else:
+                        break
+                t = c.get("t", "n")
+                v = c.find(f"{NS}v")
+                is_ = c.find(f"{NS}is")
+                if t == "inlineStr" and is_ is not None:
+                    out[col - 1] = "".join(x.text or "" for x in is_.iter(f"{NS}t"))
+                elif v is None or v.text is None:
+                    continue
+                elif t == "s":
+                    out[col - 1] = shared[int(v.text)]
+                elif t == "b":
+                    out[col - 1] = v.text == "1"
+                elif t == "str":
+                    out[col - 1] = v.text
+                else:
+                    f = float(v.text)
+                    out[col - 1] = int(f) if f.is_integer() else f
+            width = max(out) + 1 if out else 0
+            rows.append([out.get(i) for i in range(width)])
+        return rows
+
+
+def read_excel(spark: SparkSession, path: str, config: SourceConfig, sheet: int = 0) -> DataFrame:
+    """S1 Excel surface: driver-side bridge (Excel files are small by
+    construction — the reference's workload is 10²-10⁴ rows).  Uses
+    pandas/openpyxl when installed; otherwise a dependency-free stdlib
+    parser (shared/inline strings, numbers, booleans — no style-based
+    date decoding)."""
+    try:
+        import openpyxl  # noqa: F401
+        import pandas as pd
+
+        pdf = pd.read_excel(path, sheet_name=sheet)
+        raw = spark.createDataFrame(pdf.astype("object").where(pdf.notna(), None))
+    except ImportError:
+        cells = _read_xlsx_stdlib(path, sheet=sheet)
+        if not cells:
+            raise ValueError(f"empty worksheet in {path}")
+        header = [str(h) if h is not None else f"col_{i}" for i, h in enumerate(cells[0])]
+        width = len(header)
+        data = [tuple((r + [None] * width)[:width]) for r in cells[1:]]
+        raw = spark.createDataFrame(
+            [tuple(str(v) if v is not None else None for v in r) for r in data],
+            schema=", ".join(f"`{h}` string" for h in header),
+        )
+    return apply_config(raw, config)
+
+
+def load_largest_file(spark: SparkSession, directory: str, config: SourceConfig, glob_exts=(".xlsx", ".xls", ".csv", ".parquet", ".json")):
     """S7: pick the largest matching file in a directory (loader.py:489-551).
     In a real deployment the 'database' is a catalog table; this preserves
     the reference's file-surface behavior for parity."""
@@ -177,4 +248,6 @@ def load_largest_file(spark: SparkSession, directory: str, config: SourceConfig,
         return read_csv(spark, path, config), path
     if path.endswith(".parquet"):
         return read_parquet(spark, path, config), path
+    if path.endswith(".json"):
+        return read_json(spark, path, config), path
     return read_excel(spark, path, config), path

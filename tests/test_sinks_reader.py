@@ -54,6 +54,41 @@ def test_reader_required_column_failure(spark, cfg_dir):
         apply_config(df, cfg)
 
 
+def test_read_excel_stdlib_roundtrip(spark, cfg_dir, tmp_path):
+    """Writer → reader round trip with no openpyxl: the stdlib xlsx writer
+    (sinks/excel.py) produces a file the stdlib reader path parses."""
+    from mistocksync_spark.sinks.excel import _write_xlsx_stdlib
+    from mistocksync_spark.sources.reader import SourceConfig, read_excel
+
+    path = str(tmp_path / "feed.xlsx")
+    _write_xlsx_stdlib(
+        path,
+        [
+            (
+                "Лист1",
+                ["Артикул", "Цена", "name"],
+                [(1, 10.5, "Повербанк"), (7, 20.0, "Кабель")],
+            )
+        ],
+    )
+    cfg = SourceConfig.load("custom", config_dir=cfg_dir)
+    out = {r.article: r for r in read_excel(spark, path, cfg).collect()}
+    assert set(out) == {1, 7}
+    assert out[1].price == 10.5 and out[1].name == "Повербанк"
+
+
+def test_read_json_source(spark, cfg_dir, tmp_path):
+    from mistocksync_spark.sources.reader import SourceConfig, read_json
+
+    path = str(tmp_path / "feed.json")
+    with open(path, "w", encoding="utf-8") as f:
+        f.write('{"Артикул": "1", "Цена": "10.5", "name": "x"}\n')
+        f.write('{"Артикул": "007", "Цена": "bad", "name": "y"}\n')
+    cfg = SourceConfig.load("custom", config_dir=cfg_dir)
+    out = {r.article: r for r in read_json(spark, path, cfg).collect()}
+    assert set(out) == {1, 7} and out[7].price is None
+
+
 def test_reader_detect_config_by_filename():
     from mistocksync_spark.sources.reader import detect_config_by_filename
 
