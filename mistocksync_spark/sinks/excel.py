@@ -189,6 +189,21 @@ def write_report_xlsx(
     return path
 
 
+def write_duplicates_xlsx(audit: DataFrame, path: str, row_cap: int = EXCEL_MAX_ROWS - 1) -> str:
+    """The reference's standalone duplicate-audit export: one workbook with
+    the single sheet «Дубликаты артикулов» (main.py:8240), fed by the
+    ``duplicate_audit`` operator's output."""
+    rows = audit.limit(row_cap + 1).collect()
+    if len(rows) > row_cap:
+        raise ValueError(f"duplicate audit exceeds {row_cap} rows — xlsx cannot hold it")
+    sheets = [("Дубликаты артикулов", list(audit.columns), [tuple(r) for r in rows])]
+    try:
+        _write_xlsx_openpyxl(path, sheets)
+    except ImportError:
+        _write_xlsx_stdlib(path, sheets)
+    return path
+
+
 def update_prices_inplace(
     path: str,
     updates: DataFrame,

@@ -90,6 +90,20 @@ def test_write_report_xlsx_rejects_unknown_and_oversize(spark, tmp_path):
         )
 
 
+def test_write_duplicates_xlsx(spark, tmp_path):
+    from mistocksync_spark.sinks.excel import write_duplicates_xlsx
+
+    audit = spark.createDataFrame(
+        [("100", 2, 3, 7)], "value string, occurrences long, first_row long, last_row long"
+    )
+    path = str(tmp_path / "dups.xlsx")
+    write_duplicates_xlsx(audit, path)
+    with zipfile.ZipFile(path) as z:
+        assert 'name="Дубликаты артикулов"' in z.read("xl/workbook.xml").decode("utf-8")
+        s1 = z.read("xl/worksheets/sheet1.xml").decode("utf-8")
+        assert "occurrences" in s1 and "<v>2</v>" in s1
+
+
 @pytest.mark.skipif(HAVE_OPENPYXL, reason="openpyxl installed — gate inactive")
 def test_update_prices_inplace_gated_without_openpyxl(spark, tmp_path):
     from mistocksync_spark.sinks.excel import update_prices_inplace
