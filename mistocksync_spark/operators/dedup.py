@@ -252,6 +252,57 @@ def connected_components(pairs: DataFrame, max_iterations: int = 25) -> DataFram
     return labels.select(F.col("node").alias("doc_id"), "cluster_id")
 
 
+def minhash_estimate(sigs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """MinHash-estimated Jaccard for candidate pairs: the fraction of seeds
+    whose min-hashes agree is an unbiased estimator of the true Jaccard —
+    the number that decides how many hashes a production dedup needs.
+
+    Plan: two equi-joins attach both docs' signatures per seed, one
+    groupBy averages agreement — shuffles carry |pairs| × num_hashes rows.
+    """
+    a = sigs.select(
+        F.col("doc_id").alias("doc_a"), "seed", F.col("minhash").alias("__mh_a")
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("doc_b"), "seed", F.col("minhash").alias("__mh_b")
+    )
+    joined = pairs.join(a, on="doc_a").join(b, on=["doc_b", "seed"])
+    return joined.groupBy("doc_a", "doc_b").agg(
+        F.round(F.avg((F.col("__mh_a") == F.col("__mh_b")).cast("double")), 6).alias(
+            "est_jaccard"
+        )
+    )
+
+
+def exact_jaccard_for_pairs(shingles: DataFrame, pairs: DataFrame) -> DataFrame:
+    """True shingle Jaccard restricted to a candidate pair set (the verify
+    side of the estimator): shingle equi-join for intersections, semi
+    restriction to the candidates, size join-backs."""
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("__n"))
+    x = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
+    y = shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        x.join(y, on="shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .join(pairs, on=["doc_a", "doc_b"], how="left_semi")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("__i"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("__n").alias("__na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("__n").alias("__nb"))
+    return (
+        inter.join(na, on="doc_a")
+        .join(nb, on="doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("__i") / (F.col("__na") + F.col("__nb") - F.col("__i")), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
 def contamination_check(
     corpus: DataFrame,
     eval_set: DataFrame,

@@ -1144,6 +1144,69 @@ ORACLES["minhash_lsh_pairs"] = (
     """
 )
 
+ORACLES["minhash_estimate_quality"] = (
+    _docs_cte()
+    + _SQL_SHINGLES
+    + """
+    , mh AS (
+        SELECT doc_id, seed, MIN(md5(CAST(seed AS STRING) || '|' || shingle)) AS minhash
+        FROM sh, UNNEST(generate_series(0, 7)) AS s(seed)
+        GROUP BY doc_id, seed
+    )
+    , bands AS (
+        SELECT doc_id, seed // 2 AS band, md5(string_agg(minhash, '|' ORDER BY seed)) AS band_key
+        FROM mh GROUP BY doc_id, seed // 2
+    )
+    , cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )
+    , est AS (
+        SELECT c.doc_a, c.doc_b,
+               round(AVG(CASE WHEN ma.minhash = mb.minhash THEN 1.0 ELSE 0.0 END), 6) AS est_jaccard
+        FROM cand c
+        JOIN mh ma ON ma.doc_id = c.doc_a
+        JOIN mh mb ON mb.doc_id = c.doc_b AND mb.seed = ma.seed
+        GROUP BY c.doc_a, c.doc_b
+    )
+    , sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+    , inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT e.doc_a, e.doc_b, e.est_jaccard,
+           COALESCE(round(CAST(x.i AS DOUBLE) / (na.n + nb.n - x.i), 6), 0.0) AS jaccard
+    FROM est e
+    LEFT JOIN inter x ON x.doc_a = e.doc_a AND x.doc_b = e.doc_b
+    LEFT JOIN sizes na ON na.doc_id = e.doc_a
+    LEFT JOIN sizes nb ON nb.doc_id = e.doc_b
+    """
+)
+
+@query("minhash_estimate_quality")
+def minhash_estimate_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch accuracy on the graded surface: MinHash-estimated vs exact
+    shingle Jaccard for every LSH candidate pair — the number that sizes
+    num_hashes for a production dedup."""
+    from mistocksync_spark.operators.dedup import (
+        exact_jaccard_for_pairs,
+        lsh_bands,
+        lsh_candidate_pairs,
+        minhash_estimate,
+        minhash_signatures,
+        shingle_table,
+    )
+    from mistocksync_spark.plans.feeds import docs_aug
+
+    sh = shingle_table(docs_aug(spark, sf_dir))
+    sigs = minhash_signatures(sh, 8)
+    pairs = lsh_candidate_pairs(lsh_bands(sigs, 2))
+    est = minhash_estimate(sigs, pairs)
+    exact = exact_jaccard_for_pairs(sh, pairs)
+    return est.join(exact, on=["doc_a", "doc_b"], how="left").na.fill({"jaccard": 0.0})
+
+
 ORACLES["ngram_jaccard_pairs"] = (
     _docs_cte()
     + _SQL_SHINGLES
