@@ -22,6 +22,43 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    ts: str = "ts",
+    start_col: str = "w_start",
+    end_col: str = "w_end",
+    bin_seconds: int = 3600,
+    key: str | None = None,
+) -> DataFrame:
+    """Point-in-interval join without a nested-loop: the binned range join.
+
+    A plain ``p.join(i, p.ts >= i.start AND p.ts < i.end)`` has no equi
+    condition, so Spark picks BroadcastNestedLoopJoin — O(points ×
+    intervals).  Instead each interval explodes into the time bins it
+    covers and each point maps to its single bin; the join becomes an
+    EQUI-join on (bin[, key]) and the exact range predicate filters the
+    few bin-collision candidates.  Bin width should be on the order of
+    the typical interval length (each interval explodes into ~len/bin + 1
+    rows).  Inner join; points in no interval drop out.
+    """
+    # microsecond epochs: second-truncated bins would mis-bin sub-second
+    # timestamps right at a bin boundary (ts < end but trunc(ts) == trunc(end))
+    bin_us = F.lit(bin_seconds * 1_000_000)
+    p_bin = F.floor(F.unix_micros(F.col(ts)) / bin_us)
+    i_bins = F.sequence(
+        F.floor(F.unix_micros(F.col(start_col)) / bin_us),
+        F.floor((F.unix_micros(F.col(end_col)) - 1) / bin_us),
+    )
+    keys = ["__bin"] + ([key] if key else [])
+    p = points.withColumn("__bin", p_bin)
+    i = intervals.withColumn("__bin", F.explode(i_bins))
+    joined = p.join(i, on=keys).filter(
+        (F.col(ts) >= F.col(start_col)) & (F.col(ts) < F.col(end_col))
+    )
+    return joined.drop("__bin")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

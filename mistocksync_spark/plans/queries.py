@@ -861,6 +861,42 @@ _SQL_NTOK = r"""CASE WHEN trim(text) IS NULL OR trim(text) = '' THEN 0
 
 
 @query(
+    "events_in_incident_windows",
+    """
+    WITH w AS (
+        SELECT event_type AS window_type, MIN(ts) AS w_start,
+               MIN(ts) + INTERVAL '1 hour' AS w_end
+        FROM events GROUP BY event_type
+    )
+    SELECT w.window_type,
+           strftime(w.w_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           COUNT(*) AS cnt, round(SUM(e.value), 4) AS sum_value
+    FROM events e JOIN w ON e.ts >= w.w_start AND e.ts < w.w_end
+    GROUP BY 1, 2
+    """,
+)
+def events_in_incident_windows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join on the graded surface: all events falling in
+    any per-type first-hour incident window, WITHOUT an equi key — the
+    binned interval_join turns the theta join into an equi-join on time
+    bins (a naive join here is a BroadcastNestedLoopJoin)."""
+    from mistocksync_spark.operators.temporal import interval_join
+    from mistocksync_spark.sources.testdata import load_events
+
+    ev = load_events(spark, sf_dir)
+    windows = (
+        ev.groupBy(F.col("event_type").alias("window_type"))
+        .agg(F.min("ts").alias("w_start"))
+        .withColumn("w_end", F.col("w_start") + F.expr("INTERVAL 1 HOUR"))
+    )
+    joined = interval_join(ev.select("ts", "value"), windows, bin_seconds=3600)
+    return joined.groupBy(
+        "window_type",
+        F.date_format("w_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+    ).agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 4).alias("sum_value"))
+
+
+@query(
     "event_type_counts_salted",
     """
     SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY event_type

@@ -82,6 +82,39 @@ def test_asof_join_semantics(spark):
     assert set(out) == {1, 2, 3, 4}
 
 
+def test_interval_join_boundaries_and_bins(spark):
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from mistocksync_spark.operators.temporal import interval_join
+
+    def us(sec, micro=0):
+        return datetime.datetime(2026, 1, 1) + datetime.timedelta(seconds=sec, microseconds=micro)
+
+    points = spark.createDataFrame(
+        [
+            (1, us(0)),               # == start -> in
+            (2, us(3599, 999999)),    # just under end -> in (crosses no bin)
+            (3, us(3600)),            # == end -> out
+            (4, us(7205)),            # inside second window
+            (5, us(100000)),          # in no window
+        ],
+        ["event_id", "ts"],
+    )
+    intervals = spark.createDataFrame(
+        [("a", us(0), us(3600)), ("b", us(7200), us(7300))],
+        ["w", "w_start", "w_end"],
+    )
+    got = {(r.event_id, r.w) for r in interval_join(points, intervals).collect()}
+    assert got == {(1, "a"), (2, "a"), (4, "b")}
+
+    # sub-second boundary: ts < end but within the same truncated second
+    p = spark.createDataFrame([(9, us(7199, 500000))], ["event_id", "ts"])
+    iv = spark.createDataFrame([("c", us(3599, 700000), us(7199, 900000))], ["w", "w_start", "w_end"])
+    assert [(r.event_id, r.w) for r in interval_join(p, iv).collect()] == [(9, "c")]
+
+
 def test_asof_join_carries_native_value_type(spark):
     from mistocksync_spark.operators.temporal import asof_join
 
