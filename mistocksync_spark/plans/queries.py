@@ -861,6 +861,37 @@ _SQL_NTOK = r"""CASE WHEN trim(text) IS NULL OR trim(text) = '' THEN 0
 
 
 @query(
+    "event_props_stats",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS k_sum,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS k_max,
+           CAST(COUNT(CASE WHEN json_extract(props, '$.k') IS NULL THEN 1 END) AS BIGINT) AS k_missing
+    FROM events GROUP BY event_type
+    """,
+)
+def event_props_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: parse the JSON props payload with a typed
+    schema (from_json stays JVM-side / codegen; no UDF) and aggregate —
+    the event-property analytics shape for schemaless telemetry."""
+    from mistocksync_spark.sources.testdata import load_events
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    ev = load_events(spark, sf_dir)
+    schema = StructType([StructField("k", IntegerType(), True)])
+    k = F.from_json(F.col("props"), schema)["k"]
+    return (
+        ev.withColumn("__k", k)
+        .groupBy("event_type")
+        .agg(
+            F.sum("__k").cast("long").alias("k_sum"),
+            F.max("__k").cast("long").alias("k_max"),
+            F.count(F.when(F.col("__k").isNull(), 1)).alias("k_missing"),
+        )
+    )
+
+
+@query(
     "events_in_incident_windows",
     """
     WITH w AS (
