@@ -861,6 +861,37 @@ _SQL_NTOK = r"""CASE WHEN trim(text) IS NULL OR trim(text) = '' THEN 0
 
 
 @query(
+    "source_quality_profile",
+    f"""
+    WITH q AS ({_sql_quality()})
+    SELECT d.source, COUNT(*) AS n_docs,
+           COUNT(DISTINCT d.lang) AS n_langs,
+           CAST(SUM(q.n_tokens) AS BIGINT) AS total_tokens,
+           round(AVG(q.punct_ratio), 6) AS avg_punct_ratio,
+           round(AVG(q.stopword_ratio), 6) AS avg_stopword_ratio
+    FROM documents d JOIN q ON d.doc_id = q.doc_id
+    GROUP BY d.source
+    """,
+)
+def source_quality_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus profile: volume, language diversity, and mean
+    quality signals — the triage table that decides which sources get
+    filtered harder.  One scan + one map-side-partial groupBy."""
+    from mistocksync_spark.operators.textual import quality_features
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = quality_features(docs)
+    joined = docs.select("doc_id", "source", "lang").join(q, on="doc_id")
+    return joined.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.round(F.avg("punct_ratio"), 6).alias("avg_punct_ratio"),
+        F.round(F.avg("stopword_ratio"), 6).alias("avg_stopword_ratio"),
+    )
+
+
+@query(
     "event_props_stats",
     """
     SELECT event_type,
