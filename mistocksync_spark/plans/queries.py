@@ -1618,6 +1618,50 @@ def price_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return price_merge(base_feed(spark, sf_dir), updates)
 
 
+@query(
+    "snapshot_diff",
+    _SQL_J1
+    + """
+    , upd AS (
+        SELECT b.article AS __k, s.new_price AS __np
+        FROM (
+            SELECT CAST(article_vitya AS STRING) AS article, price_vitya_usd AS old_price
+            FROM base_feed WHERE article_vitya IS NOT NULL
+        ) b
+        JOIN (SELECT article, supplier_price AS new_price FROM supd) s USING (article)
+        WHERE abs(s.new_price - b.old_price) >= 0.001
+    )
+    SELECT b.row_id, 'price_vitya_usd' AS column,
+           CAST(CAST(b.price_vitya_usd AS DOUBLE) AS STRING) AS old_value,
+           CAST(u.__np AS STRING) AS new_value,
+           'changed' AS change
+    FROM base_feed b JOIN upd u ON CAST(b.article_vitya AS STRING) = u.__k
+    WHERE abs(u.__np - COALESCE(b.price_vitya_usd, 0.0)) >= 0.001
+      AND CAST(CAST(b.price_vitya_usd AS DOUBLE) AS STRING) IS DISTINCT FROM CAST(u.__np AS STRING)
+    """,
+)
+def snapshot_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version diff between the base snapshot and the merged result — the
+    queryable form of the reference's before/after .bak comparison."""
+    from mistocksync_spark.sinks.mutate import price_merge, snapshot_diff
+
+    sup = _preprocess_vitya(supplier_feed(spark, sf_dir)).na.drop(
+        subset=["article_vitya", "price_usd"]
+    )
+    updates = matching.price_update_join(
+        base_feed(spark, sf_dir),
+        sup,
+        base_article="article_vitya",
+        base_price="price_vitya_usd",
+        supplier_article="article_vitya",
+        supplier_price="price_usd",
+    )
+    merged = price_merge(base_feed(spark, sf_dir), updates)
+    return snapshot_diff(
+        base_feed(spark, sf_dir), merged, key="row_id", compare_cols=["price_vitya_usd"]
+    )
+
+
 def _sql_writeback_matches() -> str:
     product = ORACLES["product_code_match"]
     bracket = ORACLES["bracket_code_match"]

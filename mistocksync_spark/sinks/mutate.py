@@ -204,6 +204,67 @@ def insert_rows(
     return global_dense_index(merged, keys).drop("__pos", "__ins")
 
 
+def snapshot_diff(
+    before: DataFrame,
+    after: DataFrame,
+    key: str = "row_id",
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Version diff between two table snapshots: one row per changed cell
+    plus added/removed keys — the audit a backup/restore or MERGE dry-run
+    reads (the reference's manual before/after eyeballing of its .bak
+    copies, made queryable).
+
+    Full outer join on the key; each compared column contributes a
+    (key, column, old, new, change) row via an explode of per-column
+    structs — one shuffle on the key, output bounded by changed cells.
+    """
+    cols = compare_cols or [c for c in before.columns if c != key and c in after.columns]
+    b = before.select(
+        F.col(key).alias("__k"),
+        F.lit(True).alias("__b_present"),
+        *[F.col(c).cast("string").alias(f"__b_{c}") for c in cols],
+    )
+    a = after.select(
+        F.col(key).alias("__k"),
+        F.lit(True).alias("__a_present"),
+        *[F.col(c).cast("string").alias(f"__a_{c}") for c in cols],
+    )
+    j = b.join(a, on="__k", how="full_outer")
+    in_b = F.coalesce(F.col("__b_present"), F.lit(False))
+    in_a = F.coalesce(F.col("__a_present"), F.lit(False))
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"__b_{c}").alias("old_value"),
+                F.col(f"__a_{c}").alias("new_value"),
+            )
+            for c in cols
+        ]
+    )
+    per_cell = (
+        j.select(F.col("__k").alias(key), in_b.alias("__inb"), in_a.alias("__ina"), F.explode(entries).alias("e"))
+        .select(
+            key,
+            "__inb",
+            "__ina",
+            F.col("e.column").alias("column"),
+            F.col("e.old_value").alias("old_value"),
+            F.col("e.new_value").alias("new_value"),
+        )
+    )
+    change = (
+        F.when(~F.col("__inb"), F.lit("added"))
+        .when(~F.col("__ina"), F.lit("removed"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        per_cell.filter(~F.col("old_value").eqNullSafe(F.col("new_value")))
+        .select(key, "column", "old_value", "new_value", change.alias("change"))
+    )
+
+
 def snapshot(df: DataFrame, path: str) -> str:
     """S15: timestamped-copy backup → table snapshot (parquet write).
     In a Delta/Iceberg deployment this is time-travel, not a copy."""

@@ -144,6 +144,25 @@ def test_price_merge_epsilon_and_null_old(spark):
     assert out[3].price_vitya_usd == 0.0 and not out[3].updated  # no update row
 
 
+def test_snapshot_diff_change_kinds(spark):
+    from mistocksync_spark.sinks.mutate import snapshot_diff
+
+    before = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "row_id long, name string, price double",
+    )
+    after = spark.createDataFrame(
+        [(1, "a", 11.0), (2, "b", 20.0), (4, "d", 40.0)],
+        "row_id long, name string, price double",
+    )
+    got = {(r.row_id, r.column): (r.old_value, r.new_value, r.change)
+           for r in snapshot_diff(before, after).collect()}
+    assert got[(1, "price")] == ("10.0", "11.0", "changed")
+    assert got[(3, "name")] == ("c", None, "removed")
+    assert got[(4, "price")] == (None, "40.0", "added")
+    assert (2, "price") not in got and (2, "name") not in got  # unchanged
+
+
 def test_price_merge_approved_keys_restrict(spark):
     from mistocksync_spark.sinks.mutate import price_merge
 
