@@ -135,6 +135,30 @@ def length_quantiles(
     g = df.groupBy(stratum_col).agg(
         F.expr(f"percentile({value_col}, {qarr})").alias("qv")
     )
+    return _unpack_quantiles(g, stratum_col, value_col, quantiles)
+
+
+def length_quantiles_approx(
+    df: DataFrame,
+    value_col: str = "n_chars",
+    stratum_col: str = "lang",
+    quantiles: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9),
+    accuracy: int = 10000,
+) -> DataFrame:
+    """The 100 TB form of ``length_quantiles``: ``percentile_approx``
+    (Greenwald-Khanna sketch — fixed-size state per partition, merged
+    map-side) instead of the exact aggregate's full value-count state.
+    Same plan shape and output schema; values are within the sketch's
+    rank-error bound of exact (asserted in tests), so it carries a
+    rows-only driver check."""
+    qarr = "array(" + ", ".join(f"{q}D" for q in quantiles) + ")"
+    g = df.groupBy(stratum_col).agg(
+        F.expr(f"percentile_approx({value_col}, {qarr}, {accuracy})").alias("qv")
+    )
+    return _unpack_quantiles(g, stratum_col, value_col, quantiles)
+
+
+def _unpack_quantiles(g: DataFrame, stratum_col: str, value_col: str, quantiles) -> DataFrame:
     return g.select(
         stratum_col,
         F.posexplode("qv").alias("qi", "qraw"),

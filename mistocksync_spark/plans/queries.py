@@ -860,6 +860,18 @@ _SQL_NTOK = r"""CASE WHEN trim(text) IS NULL OR trim(text) = '' THEN 0
                 ELSE len(regexp_split_to_array(trim(text), '\s+')) END"""
 
 
+@query("doc_length_quantiles_approx")
+def doc_length_quantiles_approx_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx form of doc_length_quantiles (rows-only: sketch
+    values are rank-bounded, not exact; tolerance vs exact is asserted in
+    tests) — the bounded-memory plan that replaces the exact aggregate at
+    100 TB."""
+    from mistocksync_spark.operators.textual import length_quantiles_approx
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return length_quantiles_approx(docs)
+
+
 @query(
     "source_quality_profile",
     f"""

@@ -82,6 +82,28 @@ def test_asof_join_semantics(spark):
     assert set(out) == {1, 2, 3, 4}
 
 
+def test_length_quantiles_approx_rank_bounded(spark, sf_dir):
+    """percentile_approx returns an actual element whose RANK is within the
+    sketch bound of the target quantile (the exact op interpolates, so a
+    value-distance test is wrong at small strata)."""
+    from collections import defaultdict
+
+    from mistocksync_spark.operators.textual import length_quantiles_approx
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    vals = defaultdict(list)
+    for r in docs.select("lang", "n_chars").collect():
+        vals[r["lang"]].append(r["n_chars"])
+    approx = {(r[0], r[1]): r[2] for r in length_quantiles_approx(docs).collect()}
+    assert len(approx) == 4 * len(vals)
+    for (lang, q), v in approx.items():
+        s = sorted(vals[lang])
+        n = len(s)
+        i = min(n - 1, max(0, round(q * (n - 1))))
+        lo, hi = s[max(0, i - 1)], s[min(n - 1, i + 1)]
+        assert lo <= v <= hi, (lang, q, v, lo, hi)
+
+
 def test_interval_join_boundaries_and_bins(spark):
     import datetime
 
