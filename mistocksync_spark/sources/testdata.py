@@ -43,6 +43,9 @@ def load_events(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     # Runtime-settable so the query works on any caller-provided session,
     # not just ones built by mistocksync_spark.session.get_spark.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # window/session formatting and the DuckDB oracles are tz-naive UTC;
+    # pin the session tz so results don't depend on the host's default
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = load_table(spark, "events", sf_dir)
     if dict(ev.dtypes).get("ts") == "bigint":
         ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
