@@ -1360,6 +1360,17 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# memory-sink names must be unique per invocation: restarting a terminated
+# stream under an existing name can collide within one session (e.g. a
+# driver scoring pass that runs queries() twice)
+_STREAM_SINK_SEQ = [0]
+
+
+def _stream_sink_name(base: str) -> str:
+    _STREAM_SINK_SEQ[0] += 1
+    return f"{base}_{_STREAM_SINK_SEQ[0]}"
+
 @query("events_hourly_stream")
 def events_hourly_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming parity: the same tumbling-window aggregation run
@@ -1367,16 +1378,17 @@ def events_hourly_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     equal the batch query — oracle shared with ``events_hourly``."""
     from mistocksync_spark.streaming.events import hourly_aggregate, read_events_stream
 
+    qname = _stream_sink_name("events_hourly_stream_sink")
     q = (
         hourly_aggregate(read_events_stream(spark, sf_dir))
         .writeStream.outputMode("complete")
         .format("memory")
-        .queryName("events_hourly_stream_sink")
+        .queryName(qname)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination(300)
-    return spark.table("events_hourly_stream_sink")
+    return spark.table(qname)
 
 
 ORACLES["events_hourly_stream"] = ORACLES["events_hourly"]
@@ -1414,16 +1426,17 @@ def events_sliding_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark, Trigger.AvailableNow) — oracle shared with events_sliding."""
     from mistocksync_spark.streaming.events import read_events_stream, sliding_aggregate
 
+    qname = _stream_sink_name("events_sliding_stream_sink")
     q = (
         sliding_aggregate(read_events_stream(spark, sf_dir))
         .writeStream.outputMode("complete")
         .format("memory")
-        .queryName("events_sliding_stream_sink")
+        .queryName(qname)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination(300)
-    return spark.table("events_sliding_stream_sink")
+    return spark.table(qname)
 
 
 ORACLES["events_sliding_stream"] = _SQL_SLIDING
@@ -1436,16 +1449,17 @@ def events_throttle_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     dependent; key-set parity with batch distinct is asserted in tests)."""
     from mistocksync_spark.streaming.events import read_events_stream, throttle_stream
 
+    qname = _stream_sink_name("events_throttle_stream_sink")
     q = (
         throttle_stream(read_events_stream(spark, sf_dir))
         .writeStream.outputMode("append")
         .format("memory")
-        .queryName("events_throttle_stream_sink")
+        .queryName(qname)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination(300)
-    return spark.table("events_throttle_stream_sink")
+    return spark.table(qname)
 
 
 # --------------------------------------------------------------------------
@@ -1927,16 +1941,17 @@ def user_sessions_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mistocksync_spark.streaming.events import read_events_stream
     from mistocksync_spark.streaming.sessions import sessionize_stateful
 
+    qname = _stream_sink_name("user_sessions_stream_sink")
     q = (
         sessionize_stateful(read_events_stream(spark, sf_dir), flush_open=True)
         .writeStream.outputMode("append")
         .format("memory")
-        .queryName("user_sessions_stream_sink")
+        .queryName(qname)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination(300)
-    return spark.table("user_sessions_stream_sink")
+    return spark.table(qname)
 
 
 @query("embedding_topk_ivf")
