@@ -1,0 +1,79 @@
+"""Physical-plan invariants — the optimizer guarantees PLANS.md documents,
+pinned as tests so a refactor that silently degrades a plan (a lost
+broadcast, a surprise nested loop, a second shuffle) fails CI instead of
+shipping.  All checks run on sf0.001 plans; plan SHAPE is scale-free.
+"""
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name):
+    from mistocksync_spark.plans.queries import QUERIES
+
+    return QUERIES[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_scan_prunes_and_pushes(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l and "lineitem" in l)
+    read = scan.split("ReadSchema")[-1] if "ReadSchema" in scan else scan
+    # 7 of 17 lineitem columns read
+    assert read.count(":") <= 9, read
+
+
+def test_near_dup_has_no_nested_loop(spark):
+    plan = _plan(spark, "embedding_near_dup")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "MapInPandas" in plan  # numpy signature stage
+
+
+def test_fuzzy_single_python_eval_no_window(spark):
+    plan = _plan(spark, "fuzzy_match")
+    assert plan.count("ArrowEvalPython") == 1
+    assert "Window" not in plan
+    assert "partial_max_by" in plan  # map-side combine before the shuffle
+
+
+def test_exact_match_broadcasts_the_supplier_side(spark):
+    plan = _plan(spark, "exact_article_match")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_interval_join_is_equi_on_bins(spark):
+    plan = _plan(spark, "events_in_incident_windows")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "__bin" in plan
+
+
+def test_single_shuffle_queries(spark):
+    # gaps-and-islands and per-user top-k each reuse ONE hash exchange
+    for name in ("user_sessions", "top_event_types_per_user"):
+        plan = _plan(spark, name)
+        n = sum(
+            1
+            for l in plan.splitlines()
+            if "Exchange hashpartitioning" in l or "Exchange rangepartitioning" in l
+        )
+        assert n == 1, (name, n)
+
+
+def test_price_merge_never_shuffles_the_base(spark):
+    plan = _plan(spark, "price_merge")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_minhash_candidates_are_equi_join(spark):
+    plan = _plan(spark, "minhash_lsh_pairs")
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize("name", ["dedup_survivors", "embedding_dedup_survivors"])
+def test_survivor_selection_is_anti_join(spark, name):
+    plan = _plan(spark, name)
+    assert "LeftAnti" in plan
