@@ -39,9 +39,15 @@ def bpe_ish_token_count(text: Column) -> Column:
     return F.size(F.regexp_extract_all(F.lower(text), F.lit(r"[a-zа-я]+|[0-9]+|[^\sa-zа-я0-9]"), 0))
 
 
-def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def quality_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """Per-doc quality features: length, token count, punctuation ratio,
-    stopword ratio, mean token length."""
+    stopword ratio, mean token length.  ``carry_cols`` pass through
+    untouched so downstream decisions need no re-join on the id."""
     t = F.col(text_col)
     toks = tokens(t)
     n_tok = token_count(t)
@@ -50,6 +56,7 @@ def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     n_punct = F.length(F.regexp_replace(t, _PUNCT_RE, ""))
     return df.select(
         F.col(id_col).alias("doc_id"),
+        *[F.col(c) for c in carry_cols],
         F.length(t).alias("n_chars"),
         n_tok.alias("n_tokens"),
         F.when(n_tok > 0, F.length(F.regexp_replace(t, r"\s+", "")) / n_tok)
@@ -234,14 +241,14 @@ def corpus_filter(
     rule as the reason (rule order: language, length, token shape,
     punctuation) — the audit trail a corpus-cleaning run ships with.
 
-    Pure column expressions over ``quality_features``; filtering 100 TB is
-    one scan, no shuffle, and the reasons aggregate into the run report
-    with a single groupBy.
+    Pure column expressions over ``quality_features`` with the language
+    carried through (no id re-join); filtering 100 TB is one scan, zero
+    shuffles/joins, and the reasons aggregate into the run report with a
+    single groupBy.
     """
-    q = quality_features(df, text_col=text_col, id_col=id_col)
-    enriched = df.select(F.col(id_col).alias("doc_id"), F.col(lang_col).alias("__lang")).join(
-        q, on="doc_id"
-    )
+    enriched = quality_features(
+        df, text_col=text_col, id_col=id_col, carry_cols=(lang_col,)
+    ).withColumnRenamed(lang_col, "__lang")
     reason = (
         F.when(~F.col("__lang").isin(*langs), F.lit("lang"))
         .when(F.col("n_tokens") < min_tokens, F.lit("too_short"))
