@@ -892,8 +892,7 @@ def source_quality_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mistocksync_spark.operators.textual import quality_features
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    q = quality_features(docs)
-    joined = docs.select("doc_id", "source", "lang").join(q, on="doc_id")
+    joined = quality_features(docs, carry_cols=("source", "lang"))
     return joined.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.count_distinct("lang").alias("n_langs"),
