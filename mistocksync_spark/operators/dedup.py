@@ -215,30 +215,34 @@ def connected_components(pairs: DataFrame, max_iterations: int = 25) -> DataFram
         edges.select(F.col("src").alias("node")).distinct().withColumn("cluster_id", F.col("node"))
     ).localCheckpoint(eager=True)
 
-    changed = 1
-    for _ in range(max_iterations):
+    def propagate(cur: DataFrame) -> DataFrame:
         neighbor_min = (
-            edges.join(labels, edges.dst == labels.node)
+            edges.join(cur.select("node", "cluster_id"), edges.dst == F.col("node"))
             .groupBy("src")
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
-        # labels only ever DECREASE (least of old and neighbor min), so
-        # "changed" is simply new < old — carried as a flag in the same
-        # checkpointed frame, so the convergence probe is a filter over the
-        # materialized result, not an extra join job per round.
         new_label = F.least(F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id")))
-        updated = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
-            .select(
-                "node",
-                new_label.alias("new_cluster_id"),
-                (new_label < F.col("cluster_id")).alias("__changed"),
-            )
-            .withColumnRenamed("new_cluster_id", "cluster_id")
-            .localCheckpoint(eager=True)
+        return cur.join(neighbor_min, cur.node == neighbor_min.src, "left").select(
+            "node", new_label.alias("cluster_id"), "__orig"
         )
-        changed = updated.filter(F.col("__changed")).limit(1).count()
-        labels = updated.drop("__changed")
+
+    # Two propagation rounds per checkpoint + convergence probe: each
+    # materialization and each count is a full Spark job, and duplicate
+    # clusters converge in 2-4 rounds, so halving the per-round job count
+    # matters more than detecting convergence one round earlier.  Labels
+    # only DECREASE, so "changed since the last check" is simply
+    # cluster_id < the label at the previous checkpoint (__orig).
+    rounds_per_check = 2
+    changed = 1
+    done = 0
+    while done < max_iterations:
+        cur = labels.withColumn("__orig", F.col("cluster_id"))
+        for _ in range(min(rounds_per_check, max_iterations - done)):
+            cur = propagate(cur)
+            done += 1
+        cur = cur.localCheckpoint(eager=True)
+        changed = cur.filter(F.col("cluster_id") < F.col("__orig")).limit(1).count()
+        labels = cur.drop("__orig")
         if changed == 0:
             break
     if changed != 0:
