@@ -237,7 +237,11 @@ def cosine_near_dup_pairs(
         _to_double(F.col(vec_col)).alias("v"),
         norm(F.col(vec_col)).alias("nrm"),
     )
-    bands = signature_bands(df, dim, nbits=nbits, nbands=nbands, vec_col=vec_col, id_col=id_col)
+    # cache: both sides of the band self-join read the same signatures —
+    # uncached, the numpy mapInPandas stage runs twice (once per side)
+    bands = signature_bands(
+        df, dim, nbits=nbits, nbands=nbands, vec_col=vec_col, id_col=id_col
+    ).cache()
     x = bands.select(F.col("vec_id").alias("vec_a"), "band_id", "band_val")
     y = bands.select(F.col("vec_id").alias("vec_b"), "band_id", "band_val")
     cand = (
