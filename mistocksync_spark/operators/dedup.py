@@ -117,6 +117,9 @@ def lsh_bands(signatures: DataFrame, rows_per_band: int = 2) -> DataFrame:
 
 def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
     """Distinct doc pairs (a < b) sharing at least one band key."""
+    # cache: both self-join sides read the same banded signatures —
+    # uncached, the whole shingle→minhash→band pipeline runs twice
+    bands = bands.cache()
     left = bands.select(F.col("band"), F.col("band_key"), F.col("doc_id").alias("doc_a"))
     right = bands.select(F.col("band"), F.col("band_key"), F.col("doc_id").alias("doc_b"))
     return (
@@ -372,9 +375,11 @@ def simhash_near_dup_pairs(sigs: DataFrame, max_hamming: int = 3, nbits: int = 6
     slices = F.array(
         *[F.shiftright(F.col("simhash"), i * width).bitwiseAND(F.lit(mask)) for i in range(bands)]
     )
+    # cache: the self-join below reads the banded signatures on both sides —
+    # uncached, the 60-vote simhash aggregation upstream runs twice
     banded = sigs.select(
         "doc_id", "simhash", F.posexplode(slices).alias("band", "band_key")
-    )
+    ).cache()
     a = banded.select(F.col("band"), F.col("band_key"), F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"))
     b = banded.select(F.col("band"), F.col("band_key"), F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"))
     return (
