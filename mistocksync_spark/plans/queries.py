@@ -1222,12 +1222,56 @@ def embedding_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, _query_vec(spark, sf_dir), k=20)
 
 
+def _sql_topk_lsh(nbits: int = 8, dim: int = 64) -> str:
+    """Oracle for the SimHash-bucketed ANN: the hyperplanes are
+    deterministic constants, so the bucket ids are SQL-expressible, and
+    multi-probe membership (query bucket + all 1-bit flips) is simply
+    ``bit_count(xor(bucket, qbucket)) <= 1``."""
+    from mistocksync_spark.operators.vectors import _hyperplane
+
+    def dotlit(x: str, b: int) -> str:
+        arr = "[" + ", ".join(repr(v) for v in _hyperplane(dim, b)) + "]"
+        return (
+            f"list_reduce(list_transform(generate_series(1, {dim}), "
+            f"i -> CAST({x}[i] AS DOUBLE) * ({arr})[i]), (acc, x) -> acc + x)"
+        )
+
+    def bucket(x: str) -> str:
+        terms = " + ".join(
+            f"(CASE WHEN {dotlit(x, b)} >= 0 THEN {1 << b} ELSE 0 END)" for b in range(nbits)
+        )
+        return f"({terms})"
+
+    return f"""
+    WITH q AS (
+        SELECT embedding AS qv, {bucket('embedding')} AS qb
+        FROM embeddings WHERE vec_id = 0
+    )
+    SELECT vec_id, cos_sim FROM (
+        SELECT e.vec_id,
+               CASE WHEN {_SQL_NORM.format(a='e.embedding')} * {_SQL_NORM.format(a='q.qv')} > 0
+                    THEN {_SQL_DOT.format(a='e.embedding', b='q.qv')}
+                         / ({_SQL_NORM.format(a='e.embedding')} * {_SQL_NORM.format(a='q.qv')})
+                    ELSE 0.0 END AS cos_sim,
+               {bucket('e.embedding')} AS eb, q.qb AS qb
+        FROM embeddings e, q
+    ) WHERE bit_count(xor(eb, qb)) <= 1
+    ORDER BY cos_sim DESC, vec_id ASC LIMIT 20
+    """
+
+
 @query("embedding_topk_lsh")
 def embedding_topk_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-bucketed ANN — full hash check: the deterministic hyperplane
+    family makes bucket assignment and multi-probe membership oracle-
+    expressible (was rows-only in round 1)."""
     from mistocksync_spark.operators.vectors import lsh_bucket_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return lsh_bucket_topk(emb, _query_vec(spark, sf_dir), k=20)
+
+
+ORACLES["embedding_topk_lsh"] = _sql_topk_lsh()
 
 
 ORACLES["exact_dedup"] = (
@@ -1935,8 +1979,10 @@ def user_sessions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("user_sessions_stream")
 def user_sessions_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stateful-streaming parity run of the sessionizer (rows-only check;
-    the batch/stream equality is asserted in tests)."""
+    """Stateful-streaming parity run of the sessionizer — with
+    Trigger.AvailableNow and flushed open sessions the output is
+    deterministic and equals the batch plan, so it shares the batch
+    oracle (full hash check, not rows-only)."""
     from mistocksync_spark.streaming.events import read_events_stream
     from mistocksync_spark.streaming.sessions import sessionize_stateful
 
@@ -1951,6 +1997,9 @@ def user_sessions_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.table(qname)
+
+
+ORACLES["user_sessions_stream"] = ORACLES["user_sessions"]
 
 
 @query("embedding_topk_ivf")
