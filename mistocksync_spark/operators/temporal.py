@@ -59,6 +59,41 @@ def interval_join(
     return joined.drop("__bin")
 
 
+def rolling_window_agg(
+    events: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    value: str = "value",
+    window_seconds: int = 3600,
+) -> DataFrame:
+    """Per-key trailing time-window aggregates: for every event, the count
+    and value-sum of that key's events in the preceding ``window_seconds``
+    (inclusive of the current event) — the "requests in the last hour per
+    user" rate operator.
+
+    Plan: ONE shuffle (hash by key) + one sort within partitions, then a
+    RANGE frame over truncated epoch seconds — Spark evaluates the sliding
+    frame with two moving pointers per partition, so cost is O(rows), not
+    O(rows × window).  No self-join, no interval explosion.  Ties at one
+    second share a frame, so results are order-independent (hash-stable).
+
+    At 100 TB the partitioning key is the entity id (high cardinality →
+    even spread); a skewed power-user key is handled by AQE or by
+    pre-aggregating to per-second partials before the frame.
+    """
+    sec = F.col(ts).cast("long")  # truncates to epoch seconds
+    w = (
+        Window.partitionBy(key)
+        .orderBy(sec)
+        .rangeBetween(-(window_seconds - 1), Window.currentRow)
+    )
+    return events.select(
+        "*",
+        F.count("*").over(w).alias("cnt_win"),
+        F.round(F.sum(value).over(w), 4).alias("sum_win"),
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -2333,3 +2333,33 @@ def events_asof_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = asof_join(clicks, purchases, key="user_id", ts="ts", right_value="p_value")
     return out.withColumn("asof_value", F.round("asof_value", 6))
+
+
+# --------------------------------------------------------------------------
+# Rolling trailing-window rate per user (RANGE frame on epoch seconds):
+# one shuffle on user_id, two-pointer sliding frame — no self-join
+# --------------------------------------------------------------------------
+@query(
+    "events_rolling_rate",
+    """
+    SELECT event_id, user_id, ts, event_type,
+           COUNT(*) OVER w AS cnt_win,
+           round(SUM(round(value, 6)) OVER w, 4) AS sum_win
+    FROM events
+    WINDOW w AS (
+        PARTITION BY user_id
+        ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def events_rolling_rate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mistocksync_spark.operators.temporal import rolling_window_agg
+    from mistocksync_spark.sources.testdata import load_events
+
+    ev = load_events(spark, sf_dir).select(
+        "event_id", "user_id", "ts", "event_type", F.round("value", 6).alias("value")
+    )
+    return rolling_window_agg(ev, key="user_id", ts="ts", value="value").withColumnRenamed(
+        "value", "__drop"
+    ).drop("__drop")

@@ -174,3 +174,41 @@ def test_length_quantiles_median(spark):
     assert rows[0.5] == 30.0
     assert rows[0.25] == 20.0
     assert rows[0.9] == 46.0  # linear interpolation between 40 and 50
+
+
+def test_rolling_window_agg_trailing_hour(spark):
+    from mistocksync_spark.operators.temporal import rolling_window_agg
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def at(sec):
+        return t0 + datetime.timedelta(seconds=sec)
+
+    ev = spark.createDataFrame(
+        [
+            (1, 7, at(0), 1.0),
+            (2, 7, at(1800), 2.0),
+            (3, 7, at(3599), 4.0),   # still within 1h of event 1
+            (4, 7, at(3600), 8.0),   # event 1 (t=0) ages out: 3600-3599 > 0... frame is [ts-3599, ts]
+            (5, 8, at(3600), 16.0),  # other user: independent frame
+        ],
+        ["event_id", "user_id", "ts", "value"],
+    )
+    out = {
+        r["event_id"]: (r["cnt_win"], r["sum_win"])
+        for r in rolling_window_agg(ev, window_seconds=3600).collect()
+    }
+    assert out[1] == (1, 1.0)
+    assert out[2] == (2, 3.0)
+    assert out[3] == (3, 7.0)       # 0, 1800, 3599 all within [1, 3600]
+    assert out[4] == (3, 14.0)      # frame [1, 3600]: events 2, 3, 4
+    assert out[5] == (1, 16.0)
+
+
+def test_rolling_window_agg_single_shuffle(spark):
+    from mistocksync_spark.operators.temporal import rolling_window_agg
+
+    ev = spark.createDataFrame([(1, 7, datetime.datetime(2024, 1, 1), 1.0)], ["event_id", "user_id", "ts", "value"])
+    plan = rolling_window_agg(ev)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert plan.count("Window") == 1
