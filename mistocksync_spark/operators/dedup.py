@@ -389,3 +389,33 @@ def simhash_near_dup_pairs(sigs: DataFrame, max_hamming: int = 3, nbits: int = 6
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def dup_rate_by_source(
+    pairs: DataFrame,
+    doc_meta: DataFrame,
+    meta_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate contamination matrix: pair counts per unordered
+    source pair — which corpus slices duplicate each other (the question a
+    crawl-mixing decision needs: is src A re-hosting src B?).
+
+    Input ``pairs`` is any candidate-pair table (doc_a, doc_b) from the LSH
+    pipelines; ``doc_meta`` maps doc id → metadata value.  Two equi-joins
+    on the doc id (shuffle joins at scale — the meta table has corpus
+    cardinality, so it is NOT broadcastable at 100 TB; Spark picks BHJ at
+    test scale on its own), then one groupBy on the unordered pair with
+    map-side partial counts.
+    """
+    a_meta = doc_meta.select(F.col(id_col).alias("doc_a"), F.col(meta_col).alias("src_a"))
+    b_meta = doc_meta.select(F.col(id_col).alias("doc_b"), F.col(meta_col).alias("src_b"))
+    tagged = pairs.join(a_meta, "doc_a").join(b_meta, "doc_b")
+    return (
+        tagged.select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("pair_cnt"))
+    )

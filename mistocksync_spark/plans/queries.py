@@ -2363,3 +2363,43 @@ def events_rolling_rate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_window_agg(ev, key="user_id", ts="ts", value="value").withColumnRenamed(
         "value", "__drop"
     ).drop("__drop")
+
+
+# --------------------------------------------------------------------------
+# Near-dup contamination matrix: MinHash-LSH pairs rolled up to unordered
+# source pairs (augmented ids map to their original doc via % 1000000)
+# --------------------------------------------------------------------------
+@query("dup_rate_by_source")
+def dup_rate_by_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mistocksync_spark.operators.dedup import (
+        dup_rate_by_source,
+        lsh_bands,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingle_table,
+    )
+    from mistocksync_spark.plans.feeds import docs_aug
+
+    pairs = lsh_candidate_pairs(lsh_bands(minhash_signatures(shingle_table(docs_aug(spark, sf_dir)), 8), 2))
+    raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    aug_meta = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select("doc_b"))
+        .distinct()
+        .withColumn("orig_id", F.col("doc_id") % 1000000)
+        .join(raw.select(F.col("doc_id").alias("orig_id"), "source"), "orig_id")
+        .select("doc_id", "source")
+    )
+    return dup_rate_by_source(pairs, aug_meta)
+
+
+ORACLES["dup_rate_by_source"] = f"""
+    WITH pairs AS ({ORACLES["minhash_lsh_pairs"]})
+    SELECT least(da.source, db.source) AS source_a,
+           greatest(da.source, db.source) AS source_b,
+           COUNT(*) AS pair_cnt
+    FROM pairs p
+    JOIN documents da ON da.doc_id = p.doc_a % 1000000
+    JOIN documents db ON db.doc_id = p.doc_b % 1000000
+    GROUP BY 1, 2
+    """

@@ -212,3 +212,15 @@ def test_rolling_window_agg_single_shuffle(spark):
     plan = rolling_window_agg(ev)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
     assert plan.count("Window") == 1
+
+
+def test_dup_rate_by_source_unordered_rollup(spark):
+    from mistocksync_spark.operators.dedup import dup_rate_by_source
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (4, 5)], ["doc_a", "doc_b"])
+    meta = spark.createDataFrame(
+        [(1, "b"), (2, "a"), (3, "b"), (4, "a"), (5, "a")], ["doc_id", "source"]
+    )
+    out = {(r["source_a"], r["source_b"]): r["pair_cnt"] for r in dup_rate_by_source(pairs, meta).collect()}
+    # (1,2)=(b,a) and (2,3)=(a,b) collapse onto the same unordered pair
+    assert out == {("a", "b"): 2, ("a", "a"): 1}
