@@ -284,6 +284,51 @@ def vocab_topk(
     return counts.orderBy(F.col("cnt").desc(), F.col("token").asc()).limit(k)
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stratum_col: str = "lang",
+) -> DataFrame:
+    """Per-stratum top-k terms by TF-IDF — the "what characterizes this
+    corpus slice" profile (idf computed within the stratum, so a term
+    common to every document of a language scores ~0 there).
+
+    Plan: explode → ONE groupBy on (stratum, term) computing tf (all
+    occurrences, map-side partial counts) and df (distinct docs, Spark's
+    two-stage distinct-aggregate rewrite); stratum doc totals are a tiny
+    stratum-cardinality aggregate joined back via broadcast; the final
+    top-k is a row_number window partitioned by stratum.  The per-
+    occurrence rows never cross the wire — the shuffles carry distinct
+    (stratum, term[, doc]) partials only.
+
+    Score is rounded to 6 dp BEFORE ranking so the ordering (and the
+    emitted rank) is reproducible across engines; ties break on term asc.
+    """
+    from pyspark.sql import Window
+
+    words = df.select(
+        F.col(stratum_col).alias("stratum"),
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.trim(F.col(text_col)))).alias("term"),
+    ).filter(F.col("term") != "")
+    stats = words.groupBy("stratum", "term").agg(
+        F.count("*").alias("tf"), F.count_distinct("doc_id").alias("df")
+    )
+    totals = df.groupBy(F.col(stratum_col).alias("stratum")).agg(F.count("*").alias("n_docs"))
+    scored = stats.join(F.broadcast(totals), "stratum").withColumn(
+        "tfidf",
+        F.round(F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6),
+    )
+    w = Window.partitionBy("stratum").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("stratum", "term", "tf", "df", "tfidf", "rk")
+    )
+
+
 def pack_documents(
     df: DataFrame,
     seq_len: int = 2048,
