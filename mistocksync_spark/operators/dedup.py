@@ -116,10 +116,15 @@ def lsh_bands(signatures: DataFrame, rows_per_band: int = 2) -> DataFrame:
 
 
 def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
-    """Distinct doc pairs (a < b) sharing at least one band key."""
-    # cache: both self-join sides read the same banded signatures —
-    # uncached, the whole shingle→minhash→band pipeline runs twice
-    bands = bands.cache()
+    """Distinct doc pairs (a < b) sharing at least one band key.
+
+    Both self-join sides read the same banded signatures; persistence is
+    the CALLER's decision (pass a ``localCheckpoint``-ed / persisted
+    ``bands`` to evaluate the shingle→minhash→band pipeline once).  An
+    unconditional ``.cache()`` here was measured ~1 s SLOWER on the cold
+    single-shot path and leaked cache entries across queries in one
+    session (round-2 verdict), so the operator no longer persists.
+    """
     left = bands.select(F.col("band"), F.col("band_key"), F.col("doc_id").alias("doc_a"))
     right = bands.select(F.col("band"), F.col("band_key"), F.col("doc_id").alias("doc_b"))
     return (
@@ -209,10 +214,21 @@ def connected_components(pairs: DataFrame, max_iterations: int = 25) -> DataFram
     swap in large-star/small-star (Kiveris et al.), which squares the
     reachable set per round instead.
     """
-    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    edges = edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=True)
+    # Symmetrize via explode, not union-of-swapped: a union evaluates the
+    # (possibly expensive) pair-generation subplan once PER BRANCH inside
+    # the checkpoint job; the explode evaluates it once.
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+                    F.struct(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .localCheckpoint(eager=True)
+    )
 
     labels = (
         edges.select(F.col("src").alias("node")).distinct().withColumn("cluster_id", F.col("node"))
@@ -230,11 +246,14 @@ def connected_components(pairs: DataFrame, max_iterations: int = 25) -> DataFram
         )
 
     # Two propagation rounds per checkpoint + convergence probe: each
-    # materialization and each count is a full Spark job, and duplicate
-    # clusters converge in 2-4 rounds, so halving the per-round job count
-    # matters more than detecting convergence one round earlier.  Labels
-    # only DECREASE, so "changed since the last check" is simply
-    # cluster_id < the label at the previous checkpoint (__orig).
+    # materialization is a full Spark job, and duplicate clusters converge
+    # in 2-4 rounds, so halving the per-round job count matters more than
+    # detecting convergence one round earlier.  Labels only DECREASE, so
+    # "changed since the last check" is simply cluster_id < the label at
+    # the previous checkpoint (__orig).  The probe is folded into the
+    # checkpoint materialization: a LAZY localCheckpoint plus one full-scan
+    # aggregate persists every partition AND returns the changed count in
+    # a single job (an eager checkpoint + separate count was two).
     rounds_per_check = 2
     changed = 1
     done = 0
@@ -243,8 +262,10 @@ def connected_components(pairs: DataFrame, max_iterations: int = 25) -> DataFram
         for _ in range(min(rounds_per_check, max_iterations - done)):
             cur = propagate(cur)
             done += 1
-        cur = cur.localCheckpoint(eager=True)
-        changed = cur.filter(F.col("cluster_id") < F.col("__orig")).limit(1).count()
+        cur = cur.localCheckpoint(eager=False)
+        changed = cur.agg(
+            F.count(F.when(F.col("cluster_id") < F.col("__orig"), True)).alias("c")
+        ).collect()[0][0]
         labels = cur.drop("__orig")
         if changed == 0:
             break
@@ -375,11 +396,14 @@ def simhash_near_dup_pairs(sigs: DataFrame, max_hamming: int = 3, nbits: int = 6
     slices = F.array(
         *[F.shiftright(F.col("simhash"), i * width).bitwiseAND(F.lit(mask)) for i in range(bands)]
     )
-    # cache: the self-join below reads the banded signatures on both sides —
-    # uncached, the 60-vote simhash aggregation upstream runs twice
+    # The self-join below reads the banded signatures on both sides; pass a
+    # persisted/checkpointed ``sigs`` to evaluate the 60-vote simhash
+    # aggregation once — persistence lifetime is owned by the caller (an
+    # unconditional .cache() here cost the cold path and leaked entries
+    # across queries; round-2 verdict).
     banded = sigs.select(
         "doc_id", "simhash", F.posexplode(slices).alias("band", "band_key")
-    ).cache()
+    )
     a = banded.select(F.col("band"), F.col("band_key"), F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"))
     b = banded.select(F.col("band"), F.col("band_key"), F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"))
     return (

@@ -46,10 +46,17 @@ def interval_join(
     # timestamps right at a bin boundary (ts < end but trunc(ts) == trunc(end))
     bin_us = F.lit(bin_seconds * 1_000_000)
     p_bin = F.floor(F.unix_micros(F.col(ts)) / bin_us)
-    i_bins = F.sequence(
-        F.floor(F.unix_micros(F.col(start_col)) / bin_us),
-        F.floor((F.unix_micros(F.col(end_col)) - 1) / bin_us),
-    )
+    # guard empty/inverted intervals (end <= start): sequence() would count
+    # DOWN, materializing a huge spurious bin array per bad row before the
+    # range predicate could drop it — emit zero bins instead (inner-join
+    # semantics: such an interval matches no point)
+    i_bins = F.when(
+        F.col(end_col) > F.col(start_col),
+        F.sequence(
+            F.floor(F.unix_micros(F.col(start_col)) / bin_us),
+            F.floor((F.unix_micros(F.col(end_col)) - 1) / bin_us),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
     keys = ["__bin"] + ([key] if key else [])
     p = points.withColumn("__bin", p_bin)
     i = intervals.withColumn("__bin", F.explode(i_bins))

@@ -509,19 +509,34 @@ def _sql_code_cascade(
     )
 
 
+# Memoized per (session, sf_dir, variant): five J1–J3 queries share one
+# cascade, and re-running `perform_comparison(cache=True)` per query
+# re-cached identical lineages ("Asked to cache already cached data" spam
+# in the round-2 driver tail).  bench.py clears this between entries so
+# each bench reading stays cold.
+_CASCADE_MEMO: dict = {}
+
+
+def _cascade_memo_clear() -> None:
+    _CASCADE_MEMO.clear()
+
+
 def _cascade(spark: SparkSession, sf_dir: str):
     from mistocksync_spark.operators.cascade import perform_comparison
 
-    sup = _preprocess_vitya(supplier_feed(spark, sf_dir))
-    return perform_comparison(
-        sup,
-        base_feed(spark, sf_dir),
-        supplier_article="article_vitya",
-        supplier_price="price_usd",
-        base_article="article_vitya",
-        base_price="price_vitya_usd",
-        cache=True,
-    )
+    key = (id(spark), sf_dir, "vitya")
+    if key not in _CASCADE_MEMO:
+        sup = _preprocess_vitya(supplier_feed(spark, sf_dir))
+        _CASCADE_MEMO[key] = perform_comparison(
+            sup,
+            base_feed(spark, sf_dir),
+            supplier_article="article_vitya",
+            supplier_price="price_usd",
+            base_article="article_vitya",
+            base_price="price_vitya_usd",
+            cache=True,
+        )
+    return _CASCADE_MEMO[key]
 
 
 @query("bracket_code_match", _sql_code_cascade(lambda c: _SQL_BRACKET.format(col=c), "bracket_code"))
@@ -637,6 +652,30 @@ def fuzzy_match_pair_count(spark: SparkSession, sf_dir: str) -> int:
         candidate_order="cand_order",
         blocking="broadcast",
     ).count()
+
+
+@query("fuzzy_match_ngram")
+def fuzzy_match_ngram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100×-scale fuzzy path: shared-trigram equi-join blocking instead
+    of the broadcast cross join (same difflib scoring and tie-breaking).
+    Registered so the blocking switchover is driver-checked (rows-only —
+    difflib is not SQL-expressible) and benched as a scale-path entry;
+    tests/test_fuzzy.py asserts result parity with ``blocking='broadcast'``."""
+    from mistocksync_spark.operators.fuzzy import fuzzy_best_match
+
+    r = _cascade(spark, sf_dir)
+    candidates = (
+        r["new_items_for_base"]
+        .withColumnRenamed("price", "price_usd")
+        .withColumnRenamed("supplier_index", "cand_order")
+    )
+    return fuzzy_best_match(
+        candidates,
+        base_feed(spark, sf_dir),
+        candidate_name="name",
+        candidate_order="cand_order",
+        blocking="ngram",
+    ).orderBy("supplier_index")
 
 
 # --------------------------------------------------------------------------
@@ -1139,6 +1178,40 @@ def vocab_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tfidf_top_terms",
+    r"""
+    WITH w AS (
+        SELECT lang AS stratum, doc_id,
+               unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+        FROM documents
+    ),
+    stats AS (
+        SELECT stratum, term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+        FROM w WHERE term <> '' GROUP BY stratum, term
+    ),
+    totals AS (SELECT lang AS stratum, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+    scored AS (
+        SELECT s.stratum, s.term, s.tf, s.df,
+               round(s.tf * ln(CAST(t.n_docs AS DOUBLE) / s.df), 6) AS tfidf
+        FROM stats s JOIN totals t USING (stratum)
+    )
+    SELECT stratum, term, tf, df, tfidf, rk FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY stratum ORDER BY tfidf DESC, term ASC
+        ) AS rk FROM scored
+    ) WHERE rk <= 10
+    """,
+)
+def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top-10 terms by within-stratum TF-IDF — the corpus-slice
+    profile (one groupBy on (stratum, term) + broadcast totals + top-k
+    window; see operators/textual.py:tfidf_top_terms)."""
+    from mistocksync_spark.operators.textual import tfidf_top_terms
+
+    return tfidf_top_terms(spark.read.parquet(f"{sf_dir}/documents.parquet"), k=10)
+
+
+@query(
     "doc_packing",
     f"""
     WITH d AS (SELECT doc_id, lang, {_SQL_NTOK} AS n_tokens FROM documents),
@@ -1612,10 +1685,64 @@ ORACLES["embedding_near_dup"] = f"""
 """
 
 
+@query("embedding_near_dup_recall")
+def embedding_near_dup_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH recall audit for the graded embedding near-dup surface: candidate
+    pair-set parity of the banded-LSH plan vs the exact O(n²) brute baseline
+    on the same corpus/threshold.  The oracle asserts n_missed = n_extra = 0
+    and both counts equal the exact pair count, so ANY recall loss at the
+    default nbits/nbands is a graded hash failure, not a silent data-
+    dependent divergence (round-2 advisory)."""
+    from mistocksync_spark.operators.vectors import (
+        cosine_near_dup_pairs,
+        cosine_near_dup_pairs_brute,
+    )
+    from mistocksync_spark.plans.feeds import emb_aug
+
+    emb = emb_aug(spark, sf_dir)
+    lsh = cosine_near_dup_pairs(emb, threshold=0.99).select("vec_a", "vec_b")
+    exact = cosine_near_dup_pairs_brute(emb, threshold=0.99).select("vec_a", "vec_b")
+    on = ["vec_a", "vec_b"]
+    # 1-row scalar aggregates; the cross joins are the expected trivial
+    # 1×1 combines (see PLANS_APPENDIX.md), not data-sized products
+    return (
+        exact.agg(F.count("*").cast("long").alias("n_exact_pairs"))
+        .crossJoin(lsh.agg(F.count("*").cast("long").alias("n_lsh_pairs")))
+        .crossJoin(
+            exact.join(lsh, on, "left_anti").agg(F.count("*").cast("long").alias("n_missed"))
+        )
+        .crossJoin(
+            lsh.join(exact, on, "left_anti").agg(F.count("*").cast("long").alias("n_extra"))
+        )
+    )
+
+
+ORACLES["embedding_near_dup_recall"] = f"""
+    WITH emb AS ({{emb_aug}}),
+    withn AS (
+        SELECT vec_id, embedding,
+               {_SQL_NORM.format(a='embedding')} AS nrm
+        FROM emb
+    ),
+    pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM withn a JOIN withn b ON a.vec_id < b.vec_id
+        WHERE CASE WHEN a.nrm * b.nrm > 0
+              THEN {_SQL_DOT_VAR.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm)
+              ELSE 0.0 END >= 0.99
+    )
+    SELECT (SELECT COUNT(*) FROM pairs) AS n_exact_pairs,
+           (SELECT COUNT(*) FROM pairs) AS n_lsh_pairs,
+           CAST(0 AS BIGINT) AS n_missed,
+           CAST(0 AS BIGINT) AS n_extra
+"""
+
+
 def _patch_emb_oracle():
     from mistocksync_spark.plans.feeds import EMB_AUG_SQL_DUCKDB
 
-    ORACLES["embedding_near_dup"] = ORACLES["embedding_near_dup"].replace("{emb_aug}", EMB_AUG_SQL_DUCKDB)
+    for name in ("embedding_near_dup", "embedding_near_dup_recall"):
+        ORACLES[name] = ORACLES[name].replace("{emb_aug}", EMB_AUG_SQL_DUCKDB)
 
 
 _patch_emb_oracle()
@@ -2026,15 +2153,18 @@ def embedding_topk_ivf_trained_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _cascade_dimi(spark: SparkSession, sf_dir: str):
     from mistocksync_spark.operators.cascade import perform_comparison
 
-    return perform_comparison(
-        _prep_dimi(spark, sf_dir),
-        base_feed(spark, sf_dir),
-        supplier_article="article_dimi",
-        supplier_price="price_usd",
-        base_article="article_dimi",
-        base_price="price_dimi_usd",
-        cache=True,
-    )
+    key = (id(spark), sf_dir, "dimi")
+    if key not in _CASCADE_MEMO:
+        _CASCADE_MEMO[key] = perform_comparison(
+            _prep_dimi(spark, sf_dir),
+            base_feed(spark, sf_dir),
+            supplier_article="article_dimi",
+            supplier_price="price_usd",
+            base_article="article_dimi",
+            base_price="price_dimi_usd",
+            cache=True,
+        )
+    return _CASCADE_MEMO[key]
 
 
 def _sql_code_cascade_dimi(code_of, match_type: str) -> str:

@@ -217,18 +217,25 @@ def snapshot_diff(
 
     Full outer join on the key; each compared column contributes a
     (key, column, old, new, change) row via an explode of per-column
-    structs — one shuffle on the key, output bounded by changed cells.
+    structs — one shuffle on the key, output bounded by changed cells
+    plus one row per column of every added/removed key.
+
+    Comparison is NATIVE (pre-cast) per column; the string cast is for
+    display only.  Added/removed keys always emit their rows, even when
+    every compared value is NULL — a full-outer side miss is itself the
+    audit fact (round-2 advisory: the old value-inequality filter silently
+    dropped all-NULL added/removed keys).
     """
     cols = compare_cols or [c for c in before.columns if c != key and c in after.columns]
     b = before.select(
         F.col(key).alias("__k"),
         F.lit(True).alias("__b_present"),
-        *[F.col(c).cast("string").alias(f"__b_{c}") for c in cols],
+        *[F.col(c).alias(f"__b_{c}") for c in cols],
     )
     a = after.select(
         F.col(key).alias("__k"),
         F.lit(True).alias("__a_present"),
-        *[F.col(c).cast("string").alias(f"__a_{c}") for c in cols],
+        *[F.col(c).alias(f"__a_{c}") for c in cols],
     )
     j = b.join(a, on="__k", how="full_outer")
     in_b = F.coalesce(F.col("__b_present"), F.lit(False))
@@ -237,8 +244,11 @@ def snapshot_diff(
         *[
             F.struct(
                 F.lit(c).alias("column"),
-                F.col(f"__b_{c}").alias("old_value"),
-                F.col(f"__a_{c}").alias("new_value"),
+                F.col(f"__b_{c}").cast("string").alias("old_value"),
+                F.col(f"__a_{c}").cast("string").alias("new_value"),
+                # native (pre-cast) comparison — a string cast can mask
+                # type-only or precision-only differences
+                (~F.col(f"__b_{c}").eqNullSafe(F.col(f"__a_{c}"))).alias("differs"),
             )
             for c in cols
         ]
@@ -252,6 +262,7 @@ def snapshot_diff(
             F.col("e.column").alias("column"),
             F.col("e.old_value").alias("old_value"),
             F.col("e.new_value").alias("new_value"),
+            F.col("e.differs").alias("__differs"),
         )
     )
     change = (
@@ -260,7 +271,7 @@ def snapshot_diff(
         .otherwise(F.lit("changed"))
     )
     return (
-        per_cell.filter(~F.col("old_value").eqNullSafe(F.col("new_value")))
+        per_cell.filter((F.col("__inb") != F.col("__ina")) | F.col("__differs"))
         .select(key, "column", "old_value", "new_value", change.alias("change"))
     )
 

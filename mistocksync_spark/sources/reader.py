@@ -170,8 +170,12 @@ def _read_xlsx_stdlib(path: str, sheet: int = 0) -> "list[list]":
             root = ET.fromstring(z.read("xl/sharedStrings.xml"))
             for si in root.findall(f"{NS}si"):
                 shared.append("".join(t.text or "" for t in si.iter(f"{NS}t")))
+        # numeric-suffix order, NOT lexicographic: with 10+ sheets,
+        # "sheet10.xml" sorts before "sheet2.xml" lexicographically and a
+        # nonzero sheet index would select the wrong worksheet
         sheet_names = sorted(
-            n for n in z.namelist() if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)
+            (n for n in z.namelist() if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)),
+            key=lambda n: int(re.search(r"\d+", n).group()),
         )
         root = ET.fromstring(z.read(sheet_names[sheet]))
         rows: list[list] = []
@@ -225,9 +229,30 @@ def read_excel(spark: SparkSession, path: str, config: SourceConfig, sheet: int 
         header = [str(h) if h is not None else f"col_{i}" for i, h in enumerate(cells[0])]
         width = len(header)
         data = [tuple((r + [None] * width)[:width]) for r in cells[1:]]
+
+        # per-column type inference so the fallback yields the same typed
+        # schema as the pandas path (round-2 advisory: an all-string
+        # fallback schema made results differ by environment for columns
+        # the SourceConfig did not cast)
+        def _col_type(i: int):
+            vals = [r[i] for r in data if r[i] is not None]
+            if vals and all(isinstance(v, bool) for v in vals):
+                return "boolean", bool
+            if vals and all(isinstance(v, int) and not isinstance(v, bool) for v in vals):
+                return "bigint", int
+            if vals and all(
+                isinstance(v, (int, float)) and not isinstance(v, bool) for v in vals
+            ):
+                return "double", float
+            return "string", str
+
+        types = [_col_type(i) for i in range(width)]
         raw = spark.createDataFrame(
-            [tuple(str(v) if v is not None else None for v in r) for r in data],
-            schema=", ".join(f"`{h}` string" for h in header),
+            [
+                tuple(conv(v) if v is not None else None for (_, conv), v in zip(types, r))
+                for r in data
+            ],
+            schema=", ".join(f"`{h}` {t}" for h, (t, _) in zip(header, types)),
         )
     return apply_config(raw, config)
 

@@ -545,3 +545,29 @@ def test_stateful_sessions_incremental_two_batches(spark, sf_dir, tmp_path):
         if r.session_idx != last_idx[r.user_id]
     }
     assert got == expected and len(expected) > 0
+
+
+def test_tfidf_top_terms_values_and_ranking(spark):
+    from math import log
+
+    from mistocksync_spark.operators.textual import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "apple apple banana"),
+            (2, "en", "banana cherry"),
+            (3, "en", "banana banana banana"),
+            (4, "ru", "яблоко"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    out = {(r.stratum, r.term): r for r in tfidf_top_terms(docs, k=10).collect()}
+    # 'apple': tf=2, df=1 of 3 en docs -> 2*ln(3)
+    r = out[("en", "apple")]
+    assert (r.tf, r.df) == (2, 1) and abs(r.tfidf - round(2 * log(3), 6)) < 1e-9
+    # 'banana' in every en doc -> idf = ln(1) = 0, ranked below apple/cherry
+    assert out[("en", "banana")].tfidf == 0.0
+    en_rank = {r.term: r.rk for (s, _), r in out.items() if s == "en"}
+    assert en_rank["apple"] == 1 and en_rank["banana"] == 3
+    # single-doc stratum: tf*ln(1) = 0 but still emitted
+    assert out[("ru", "яблоко")].tfidf == 0.0 and out[("ru", "яблоко")].rk == 1

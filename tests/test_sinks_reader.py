@@ -303,3 +303,65 @@ def test_bucketed_join_has_no_exchange(spark):
         assert j.count() == 500
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_snapshot_diff_all_null_added_removed_rows(spark):
+    """An added/removed key whose compared columns are ALL NULL must still
+    emit its audit rows — the side miss is the fact (round-2 advisory: the
+    old value-inequality filter silently dropped such keys)."""
+    from mistocksync_spark.sinks.mutate import snapshot_diff
+
+    before = spark.createDataFrame(
+        [(1, "a", 10.0), (3, None, None)], "row_id long, name string, price double"
+    )
+    after = spark.createDataFrame(
+        [(1, "a", 10.0), (4, None, None)], "row_id long, name string, price double"
+    )
+    got = {(r.row_id, r.column): r.change for r in snapshot_diff(before, after).collect()}
+    assert got[(3, "name")] == "removed" and got[(3, "price")] == "removed"
+    assert got[(4, "name")] == "added" and got[(4, "price")] == "added"
+    assert not any(k for k, _ in got if k == 1)  # unchanged key emits nothing
+
+
+def test_read_xlsx_stdlib_sheet_order_numeric(tmp_path):
+    """sheet10.xml must NOT sort before sheet2.xml: with 10+ sheets the
+    worksheet index must follow the numeric suffix (round-2 advisory)."""
+    from mistocksync_spark.sinks.excel import _write_xlsx_stdlib
+    from mistocksync_spark.sources.reader import _read_xlsx_stdlib
+
+    path = str(tmp_path / "many.xlsx")
+    sheets = [(f"S{i}", ["v"], [(f"sheet-{i}",)]) for i in range(12)]
+    _write_xlsx_stdlib(path, sheets)
+    for idx in (0, 1, 2, 9, 10, 11):
+        cells = _read_xlsx_stdlib(path, sheet=idx)
+        assert cells[1][0] == f"sheet-{idx}", (idx, cells)
+
+
+def test_read_excel_stdlib_fallback_typed_schema(spark, cfg_dir, tmp_path):
+    """The no-openpyxl fallback must infer bigint/double/string per column
+    (round-2 advisory: an all-string fallback schema made results differ by
+    environment for columns the SourceConfig did not cast)."""
+    from mistocksync_spark.sinks.excel import _write_xlsx_stdlib
+    from mistocksync_spark.sources.reader import SourceConfig, read_excel
+
+    path = str(tmp_path / "typed.xlsx")
+    _write_xlsx_stdlib(
+        path,
+        [
+            (
+                "Лист1",
+                ["Артикул", "Цена", "name", "extra_int", "extra_mixed"],
+                [
+                    (1, 10.5, "Повербанк", 7, 1),
+                    (7, 20.0, "Кабель", None, "x"),
+                ],
+            )
+        ],
+    )
+    cfg = SourceConfig.load("custom", config_dir=cfg_dir)
+    out = read_excel(spark, path, cfg)
+    dtypes = dict(out.dtypes)
+    assert dtypes["extra_int"] == "bigint"  # not string
+    assert dtypes["extra_mixed"] == "string"  # mixed -> string
+    rows = {r.article: r for r in out.collect()}
+    assert rows[1].extra_int == 7 and rows[7].extra_int is None

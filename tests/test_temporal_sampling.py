@@ -224,3 +224,27 @@ def test_dup_rate_by_source_unordered_rollup(spark):
     out = {(r["source_a"], r["source_b"]): r["pair_cnt"] for r in dup_rate_by_source(pairs, meta).collect()}
     # (1,2)=(b,a) and (2,3)=(a,b) collapse onto the same unordered pair
     assert out == {("a", "b"): 2, ("a", "a"): 1}
+
+
+def test_interval_join_inverted_interval_yields_no_bins(spark):
+    """end <= start must emit ZERO bins, not a descending sequence() blow-up
+    (round-2 advisory): the inverted row matches nothing and the plan never
+    materializes a giant spurious bin array."""
+    import datetime
+
+    from mistocksync_spark.operators.temporal import interval_join
+
+    def us(sec):
+        return datetime.datetime(2026, 1, 1) + datetime.timedelta(seconds=sec)
+
+    points = spark.createDataFrame([(1, us(50))], ["event_id", "ts"])
+    intervals = spark.createDataFrame(
+        [
+            ("ok", us(0), us(3600)),
+            ("empty", us(100), us(100)),        # end == start
+            ("inverted", us(864000), us(0)),    # end << start: would be ~10-day bin range
+        ],
+        ["w", "w_start", "w_end"],
+    )
+    got = {(r.event_id, r.w) for r in interval_join(points, intervals).collect()}
+    assert got == {(1, "ok")}
