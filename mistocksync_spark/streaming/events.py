@@ -19,12 +19,13 @@ from pyspark.sql import functions as F
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-based streaming source over the events parquet (schema fixed up
-    for the NANOS timestamp like the batch loader)."""
-    from mistocksync_spark.sources.testdata import load_events
+    """File-based streaming source over the events parquet, with ``ts``
+    normalized to TIMESTAMP exactly like the batch loader (shared
+    ``normalize_event_ts`` — nanos-BIGINT and TIMESTAMP_NTZ encodings)."""
+    from mistocksync_spark.sources.testdata import normalize_event_ts
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    _ = load_events  # batch loader documents the ts fix-up this mirrors
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = (
         spark.readStream.schema(raw_schema)
@@ -32,9 +33,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(f"{sf_dir.rstrip('/')}/events.parq*")  # glob: FileStreamSource needs a dir or glob, not a bare file
     )
     ev = stream.select(*[c for c in ("event_id", "ts", "user_id", "event_type", "value") if c in stream.columns])
-    if dict(ev.dtypes).get("ts") == "bigint":
-        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return ev
+    return normalize_event_ts(spark, ev)
 
 
 def hourly_aggregate(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
