@@ -40,21 +40,16 @@ def _ngram_keys(col, n: int = 3):
     return F.array_distinct(F.transform(idx, lambda i: F.substring(low, i, n)))
 
 
-def fuzzy_candidate_pairs(
+def _prep_sides(
     candidates: DataFrame,
     base: DataFrame,
     candidate_name: str = "name",
     base_name: str = "name",
     candidate_order: str = "supplier_index",
     base_order: str = "row_id",
-    threshold: float = FUZZY_THRESHOLD,
-    blocking: str = "none",
-) -> DataFrame:
-    """The (candidate × base) pairs that reach the Python scorer: blocking
-    join + JVM length-band prefilter, NO similarity UDF.  Used by
-    ``fuzzy_best_match`` and by the bench to report the scored-pair count
-    without paying for scoring twice.
-    """
+):
+    """Normalize both join sides to the fixed (supplier_*, base_*) payload
+    schema shared by every fuzzy path."""
     cand = candidates.filter(F.col(candidate_name).isNotNull()).select(
         F.col(candidate_order).alias("supplier_index"),
         strip_ws(F.col(candidate_name).cast("string")).alias("supplier_name"),
@@ -97,6 +92,32 @@ def fuzzy_candidate_pairs(
         )
         .filter(F.col("base_name") != "")
     )
+    return cand, bs
+
+
+def fuzzy_candidate_pairs(
+    candidates: DataFrame,
+    base: DataFrame,
+    candidate_name: str = "name",
+    base_name: str = "name",
+    candidate_order: str = "supplier_index",
+    base_order: str = "row_id",
+    threshold: float = FUZZY_THRESHOLD,
+    blocking: str = "none",
+) -> DataFrame:
+    """The (candidate × base) pairs that reach the Python scorer: blocking
+    join + JVM length-band prefilter, NO similarity UDF.  Used by
+    ``fuzzy_best_match`` and by the bench to report the scored-pair count
+    without paying for scoring twice.
+    """
+    cand, bs = _prep_sides(
+        candidates,
+        base,
+        candidate_name=candidate_name,
+        base_name=base_name,
+        candidate_order=candidate_order,
+        base_order=base_order,
+    )
 
     if blocking == "ngram":
         # Equi-join on shared trigrams instead of a cross join: candidate
@@ -133,6 +154,132 @@ def fuzzy_candidate_pairs(
     return pairs.filter(length_ok)
 
 
+_PARTIAL_SCHEMA = (
+    "supplier_index bigint, supplier_name string, supplier_price double, "
+    "supplier_article string, supplier_color string, base_index bigint, "
+    "base_name string, base_price double, base_article string, "
+    "base_color string, similarity_ratio double"
+)
+
+
+def _bounded_partition_scorer(cand_rows: list, threshold: float):
+    """Build the ``mapInPandas`` partition function for ``blocking='bounded'``.
+
+    EXACT best-match search with upper-bound pruning instead of scoring every
+    pair: difflib's ``quick_ratio`` — 2·Σ_c min(count_a(c), count_b(c)) /
+    (|a|+|b|) — is a proven upper bound on ``ratio()``, and it vectorizes as
+    char-count matrices (numpy ``minimum`` + row sum).  Per candidate we walk
+    base rows in bound-descending order and evaluate the real O(n·m) difflib
+    ratio only while the bound can still beat the running best (``>=`` so
+    equal-ratio/lower-index ties are never skipped), so the expensive matcher
+    runs on a few dozen rows per candidate instead of all of them.  Chars
+    absent from every candidate name can never contribute to a min(), so the
+    count matrices only span the candidate-side alphabet.
+
+    Exactness: ratio ≤ bound always; a skipped pair has bound < max(threshold,
+    best_ratio) ⇒ its ratio can neither pass the filter nor win the (ratio
+    desc, base_index asc) tie-break.  Parity with the reference's nested loop
+    (main.py:2874-2898) is asserted by tests/test_fuzzy.py on the full batch.
+    """
+    from collections import Counter
+
+    import numpy as np
+
+    ncand = len(cand_rows)
+    cnames_l = [str(r["supplier_name"]).lower() for r in cand_rows]
+    la = np.array([len(s) for s in cnames_l], dtype=np.int64)
+    alphabet = sorted({ch for s in cnames_l for ch in s})
+    aidx = {ch: j for j, ch in enumerate(alphabet)}
+    width = max(len(alphabet), 1)
+    cmat = np.zeros((ncand, width), dtype=np.int32)
+    for i, s in enumerate(cnames_l):
+        for ch, k in Counter(s).items():
+            cmat[i, aidx[ch]] = k
+
+    def score(batches):
+        import difflib
+
+        import pandas as pd
+
+        # running best per candidate within this partition:
+        # (ratio, base_index, base_name, base_price, base_article, base_color)
+        best: list = [None] * ncand
+        for pdf in batches:
+            low = [s.lower() for s in pdf["base_name"].tolist()]
+            nb = len(low)
+            if nb == 0:
+                continue
+            bmat = np.zeros((nb, width), dtype=np.int32)
+            lb = np.fromiter((len(s) for s in low), dtype=np.int64, count=nb)
+            for i, s in enumerate(low):
+                for ch, k in Counter(s).items():
+                    j = aidx.get(ch)
+                    if j is not None:
+                        bmat[i, j] = k
+            bidx = pdf["base_index"].to_numpy()
+            bname = pdf["base_name"].tolist()
+            bprice = pdf["base_price"].to_numpy()
+            bart = pdf["base_article"].tolist()
+            bcolor = pdf["base_color"].tolist()
+            for ci in range(ncand):
+                cur = best[ci]
+                floor = cur[0] if cur is not None else threshold
+                bound = (2.0 * np.minimum(bmat, cmat[ci]).sum(axis=1)) / np.maximum(
+                    la[ci] + lb, 1
+                )
+                elig = np.nonzero(bound >= floor)[0]
+                if elig.size == 0:
+                    continue
+                order = elig[np.argsort(-bound[elig], kind="stable")]
+                for i in order:
+                    if bound[i] < (cur[0] if cur is not None else threshold):
+                        break  # sorted desc: nothing later can win or tie
+                    sm = difflib.SequenceMatcher()
+                    sm.set_seq2(low[i])
+                    sm.set_seq1(cnames_l[ci])
+                    r = sm.ratio()
+                    if r < threshold:
+                        continue
+                    bi = int(bidx[i])
+                    if cur is None or r > cur[0] or (r == cur[0] and bi < cur[1]):
+                        cur = (r, bi, bname[i], bprice[i], bart[i], bcolor[i])
+                best[ci] = cur
+
+        cols: dict = {k: [] for k in (
+            "supplier_index", "supplier_name", "supplier_price", "supplier_article",
+            "supplier_color", "base_index", "base_name", "base_price",
+            "base_article", "base_color", "similarity_ratio",
+        )}
+        for ci, b in enumerate(best):
+            if b is None:
+                continue
+            cr = cand_rows[ci]
+            cols["supplier_index"].append(cr["supplier_index"])
+            cols["supplier_name"].append(cr["supplier_name"])
+            cols["supplier_price"].append(cr["supplier_price"])
+            cols["supplier_article"].append(cr["supplier_article"])
+            cols["supplier_color"].append(cr["supplier_color"])
+            cols["base_index"].append(b[1])
+            cols["base_name"].append(b[2])
+            cols["base_price"].append(b[3])
+            cols["base_article"].append(b[4])
+            cols["base_color"].append(b[5])
+            cols["similarity_ratio"].append(b[0])
+        if cols["supplier_index"]:
+            out = pd.DataFrame(cols).astype(
+                {
+                    "supplier_index": "int64",
+                    "supplier_price": "float64",
+                    "base_index": "int64",
+                    "base_price": "float64",
+                    "similarity_ratio": "float64",
+                }
+            )
+            yield out
+
+    return score
+
+
 def fuzzy_best_match(
     candidates: DataFrame,
     base: DataFrame,
@@ -147,20 +294,47 @@ def fuzzy_best_match(
 
     Returns one row per matched candidate with base name/price/article/color,
     similarity_ratio and match_type='fuzzy_string' (ref main.py:2804-2924).
+
+    ``blocking='bounded'`` is the fast exact path for a driver-sized candidate
+    batch: the candidate side is collected (the same driver materialization a
+    broadcast build performs — it is the small side by contract) and the base
+    side is scanned ONCE by a ``mapInPandas`` scorer that prunes with the
+    vectorized quick-ratio upper bound (see ``_bounded_partition_scorer``);
+    the shuffle then carries only one partial best per candidate per
+    partition.  At 100× candidate volume switch to ``blocking='ngram'``.
     """
-    scored = fuzzy_candidate_pairs(
-        candidates,
-        base,
-        candidate_name=candidate_name,
-        base_name=base_name,
-        candidate_order=candidate_order,
-        base_order=base_order,
-        threshold=threshold,
-        blocking=blocking,
-    ).withColumn(
-        "similarity_ratio",
-        similarity(F.col("supplier_name"), F.col("base_name"), skip_below=threshold),
-    )
+    if blocking == "bounded":
+        cand, bs = _prep_sides(
+            candidates,
+            base,
+            candidate_name=candidate_name,
+            base_name=base_name,
+            candidate_order=candidate_order,
+            base_order=base_order,
+        )
+        cand_rows = [r.asDict() for r in cand.collect()]
+        # spread the single-file parquet scan across the cores for the
+        # Python stage (hash, not round-robin — see the broadcast note)
+        spread = bs.repartition(
+            bs.sparkSession.sparkContext.defaultParallelism, F.col("base_index")
+        ).select("base_index", "base_name", "base_price", "base_article", "base_color")
+        scored = spread.mapInPandas(
+            _bounded_partition_scorer(cand_rows, threshold), _PARTIAL_SCHEMA
+        )
+    else:
+        scored = fuzzy_candidate_pairs(
+            candidates,
+            base,
+            candidate_name=candidate_name,
+            base_name=base_name,
+            candidate_order=candidate_order,
+            base_order=base_order,
+            threshold=threshold,
+            blocking=blocking,
+        ).withColumn(
+            "similarity_ratio",
+            similarity(F.col("supplier_name"), F.col("base_name"), skip_below=threshold),
+        )
 
     # Best-match selection as max_by aggregation, not a row_number window:
     # partial (map-side) aggregation collapses each partition to one row per

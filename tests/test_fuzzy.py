@@ -106,6 +106,35 @@ def test_annotate_new_items(spark):
     assert out[1].fuzzy_match_similarity == 0.0
 
 
+def test_bounded_blocking_exact_parity(spark):
+    """blocking='bounded' (upper-bound-pruned mapInPandas scorer) must agree
+    with the exhaustive path pair-for-pair: same best rows, same ratios, same
+    tie-breaks — including the equal-ratio/lowest-index case."""
+    base = _base(
+        spark,
+        BASE_ROWS
+        + [(4, "abcd", 1.0, "a4", None), (5, "abcd", 2.0, "a5", None)],
+    )
+    cands = _cand(
+        spark,
+        [
+            (0, "Повербанк GREENOE Power bank 60000mah", 90.0),
+            (1, "abcd", 1.0),  # ties rows 4/5 → lowest base_index must win
+            (2, "zzzz qqqq xxxx", 1.0),  # below threshold → absent
+            (3, "Кабель Type-C 2m черный", 4.0),
+        ],
+    )
+    key = lambda rows: sorted(
+        (r.supplier_index, r.base_index, r.similarity_ratio, r.base_name, r.base_price)
+        for r in rows
+    )
+    exact = fuzzy_best_match(cands, base, blocking="none").collect()
+    bounded = fuzzy_best_match(cands, base, blocking="bounded").collect()
+    assert key(exact) == key(bounded)
+    assert {r.supplier_index for r in bounded} == {0, 1, 3}
+    assert next(r.base_index for r in bounded if r.supplier_index == 1) == 4
+
+
 def test_ngram_blocking_agrees_on_realistic_names(spark):
     cands = _cand(spark, [(0, "Повербанк GREENOE Power bank 60000mah", 90.0)])
     exact = fuzzy_best_match(cands, _base(spark, BASE_ROWS), blocking="none").collect()
