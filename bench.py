@@ -5,19 +5,28 @@ JSON line with per-query wall seconds.
 Materialization uses the noop datasource sink — full execution, no
 driver-side collect cost.
 
-Hygiene (round-2 verdict): the cache/broadcast/Python-worker state left by
-one query inflated the next one's reading by up to 2× (minhash_lsh_pairs
-read 14 s in-sequence vs its true ~8 s cold).  Every entry now runs against
-a cleared cache, and each query is timed twice in-process: ``cold`` (first
-run, includes plan compile + codegen) and ``warm`` (second run, plan and
-JIT state hot).  The headline ``value`` is the sum of COLD runs — the
-number a fresh session would pay.
+Methodology (round-3/4 verdicts):
+
+- **Hygiene**: cache/broadcast/Python-worker state left by one query
+  inflated the next one's reading by up to 2×, so every timed run starts
+  from a cleared cache and cleared feed/cascade memos.
+- **Median-of-3 cold**: iterative/codegen-heavy entries (dedup_clusters
+  measured 9.5 vs 31.4 s in back-to-back runs) make a single cold sample
+  untrustworthy; each entry is timed three times cold and the per-query
+  number is the MEDIAN.  All three samples are reported
+  (``queries_cold_runs``) so variance itself is on the record.
+- **Cold AND warm totals**: ``value`` (the headline, what the 2× gate in
+  BASELINE.md applies to) is the sum of median-cold runs — the cost a fresh
+  session pays per query with nothing shared.  ``value_warm`` sums one
+  in-process re-run per query (plan/JIT hot, memos still cleared) — the
+  steady-state cost a long-lived session pays.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -38,6 +47,7 @@ def _reset(spark):
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    cold_samples = int(os.environ.get("SPARK_GRAFT_BENCH_SAMPLES", "3"))
 
     from mistocksync_spark.plans.queries import QUERIES
     from mistocksync_spark.session import get_spark
@@ -83,11 +93,15 @@ def main():
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         return round(time.monotonic() - t0, 3)
 
-    timings, warm = {}, {}
+    timings, cold_runs, warm = {}, {}, {}
     for name in headline:
-        _reset(spark)
-        timings[name] = run_once(name)
-        warm[name] = run_once(name)
+        samples = []
+        for _ in range(cold_samples):
+            _reset(spark)
+            samples.append(run_once(name))
+        cold_runs[name] = samples
+        timings[name] = round(statistics.median(samples), 3)
+        warm[name] = run_once(name)  # no reset: plan/JIT/cache hot
 
     scale_timings = {}
     for name in scale_paths:
@@ -95,6 +109,7 @@ def main():
         scale_timings[name] = run_once(name)
 
     total = round(sum(timings.values()), 3)
+    total_warm = round(sum(warm.values()), 3)
 
     # the fuzzy_match entry times the FULL candidate batch; report the
     # scored-pair count so the measured workload is explicit
@@ -109,7 +124,10 @@ def main():
                 "metric": "headline_queries_wall_sec",
                 "value": total,
                 "unit": "sec",
+                "methodology": "sum of per-query median-of-%d cold runs (cache+memos cleared); see BASELINE.md" % cold_samples,
+                "value_warm": total_warm,
                 "queries": timings,
+                "queries_cold_runs": cold_runs,
                 "queries_warm": warm,
                 "scale_path_queries": scale_timings,
                 "sf": float(sf),

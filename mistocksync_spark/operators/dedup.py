@@ -245,16 +245,17 @@ def connected_components(pairs: DataFrame, max_iterations: int = 25) -> DataFram
             "node", new_label.alias("cluster_id"), "__orig"
         )
 
-    # Two propagation rounds per checkpoint + convergence probe: each
+    # Three propagation rounds per checkpoint + convergence probe: each
     # materialization is a full Spark job, and duplicate clusters converge
-    # in 2-4 rounds, so halving the per-round job count matters more than
-    # detecting convergence one round earlier.  Labels only DECREASE, so
+    # in 2-4 rounds, so near-clique graphs finish in ONE checkpoint job and
+    # even 3-hop stragglers need two — fewer materializations matters more
+    # than detecting convergence a round earlier.  Labels only DECREASE, so
     # "changed since the last check" is simply cluster_id < the label at
     # the previous checkpoint (__orig).  The probe is folded into the
     # checkpoint materialization: a LAZY localCheckpoint plus one full-scan
     # aggregate persists every partition AND returns the changed count in
     # a single job (an eager checkpoint + separate count was two).
-    rounds_per_check = 2
+    rounds_per_check = 3
     changed = 1
     done = 0
     while done < max_iterations:
