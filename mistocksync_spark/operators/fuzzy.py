@@ -124,8 +124,13 @@ def fuzzy_candidate_pairs(
         # pairs must share at least one trigram.  Distinct pair ids, then
         # re-attach payloads — shuffles on small keys, never quadratic.
         # Right at 100 TB-scale candidate sets; for small candidate batches
-        # the broadcast cross join below is faster (the trigram join is
+        # the bounded mapInPandas path below is faster (the trigram join is
         # skew-bound on stop-grams).
+        #
+        # The candidate side is referenced twice (shingle keys + payload
+        # re-attach); checkpoint it so its upstream lineage (e.g. the full
+        # matching cascade) is materialized once, not inlined per reference.
+        cand = cand.localCheckpoint(eager=False)
         ck = cand.select("supplier_index", F.explode(_ngram_keys(F.col("supplier_name"))).alias("g"))
         bk = bs.select("base_index", F.explode(_ngram_keys(F.col("base_name"))).alias("g"))
         pair_ids = ck.join(bk, on="g").select("supplier_index", "base_index").distinct()

@@ -32,8 +32,13 @@ def test_near_dup_has_no_nested_loop(spark):
 
 
 def test_fuzzy_single_python_eval_no_window(spark):
+    # blocking='bounded': ONE MapInPandas scorer over the base side — no
+    # scalar-UDF projection, no pair-materializing join (the candidate side
+    # is a driver-collected build, like a broadcast), no Window
     plan = _plan(spark, "fuzzy_match")
-    assert plan.count("ArrowEvalPython") == 1
+    assert plan.count("MapInPandas") == 1
+    assert "ArrowEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
     assert "Window" not in plan
     assert "partial_max_by" in plan  # map-side combine before the shuffle
 
