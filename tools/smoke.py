@@ -8,8 +8,11 @@ local run.  This script would have caught it at analysis time:
 1. loads every table at the given sf and prints its schema fingerprint;
 2. asserts ``load_events`` yields a proper TIMESTAMP ``ts`` (not NTZ/bigint);
 3. ANALYZES every registered query plan (touching ``.schema`` forces
-   Catalyst analysis — unresolved columns / type mismatches throw here)
-   without running a single job;
+   Catalyst analysis — unresolved columns / type mismatches throw here).
+   Plan CONSTRUCTION is mostly job-free; the exceptions are the fuzzy
+   queries (the bounded scorer collects its small candidate batch at build
+   time, like a broadcast build) and the iterative ops — all cheap at
+   sf0.001;
 4. exercises ``entry(spark)`` schema the same way.
 
 Run it (plus tools/check.py and bench.py) as the final act of every round:
