@@ -1,6 +1,14 @@
 import difflib
 
-from mistocksync_spark.operators.fuzzy import annotate_new_items_with_fuzzy, fuzzy_best_match
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from mistocksync_spark.operators.fuzzy import (
+    _bounded_partition_scorer,
+    annotate_new_items_with_fuzzy,
+    fuzzy_best_match,
+)
 
 
 def _cand(spark, rows):
@@ -133,6 +141,66 @@ def test_bounded_blocking_exact_parity(spark):
     assert key(exact) == key(bounded)
     assert {r.supplier_index for r in bounded} == {0, 1, 3}
     assert next(r.base_index for r in bounded if r.supplier_index == 1) == 4
+
+
+_name = st.text(alphabet="abcабв 0-", min_size=0, max_size=12)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    cnames=st.lists(_name, min_size=1, max_size=5),
+    bnames=st.lists(_name, min_size=1, max_size=12),
+    threshold=st.sampled_from([0.2, 0.33, 0.6, 0.9]),
+    batch_split=st.integers(min_value=1, max_value=3),
+)
+def test_bounded_scorer_property_parity(cnames, bnames, threshold, batch_split):
+    """The upper-bound-pruned scorer (pure Python, no Spark) must equal the
+    literal reference nested loop on arbitrary strings — tiny alphabet so
+    hypothesis hits equal-ratio ties, chars outside the candidate alphabet,
+    empty strings, and multi-batch partition state."""
+    cand_rows = [
+        {
+            "supplier_index": i,
+            "supplier_name": n,
+            "supplier_price": float(i),
+            "supplier_article": f"a{i}",
+            "supplier_color": None,
+        }
+        for i, n in enumerate(cnames)
+    ]
+    score = _bounded_partition_scorer(cand_rows, threshold)
+
+    # the scorer only ever sees prefiltered base rows (_prep_sides drops
+    # base_name == '' — same contract as every other fuzzy path); keep the
+    # original indices so tie-breaks still reference real row ids
+    kept = [(j, n) for j, n in enumerate(bnames) if n != ""]
+    base = pd.DataFrame(
+        {
+            "base_index": [j for j, _ in kept],
+            "base_name": [n for _, n in kept],
+            "base_price": [float(j) for j, _ in kept],
+            "base_article": [f"b{j}" for j, _ in kept],
+            "base_color": [None] * len(kept),
+        }
+    )
+    # one partition, possibly several Arrow-style batches
+    step = max(1, len(base) // batch_split)
+    batches = [base.iloc[k : k + step] for k in range(0, len(base), step)]
+    got = {}
+    for out in score(batches):
+        for r in out.itertuples():
+            got[r.supplier_index] = (r.base_index, round(r.similarity_ratio, 12))
+
+    want = {}
+    for ci, cname in enumerate(cnames):
+        best_r, best_i = 0.0, None
+        for bi, bname in kept:  # ascending + strict > == first-wins
+            r = difflib.SequenceMatcher(None, cname.lower(), bname.lower()).ratio()
+            if r > best_r:
+                best_r, best_i = r, bi
+        if best_i is not None and best_r >= threshold:
+            want[ci] = (best_i, round(best_r, 12))
+    assert got == want
 
 
 def test_ngram_blocking_agrees_on_realistic_names(spark):
