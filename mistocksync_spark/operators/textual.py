@@ -123,6 +123,57 @@ def stratified_sample(
     return df.filter(bucket < keep)
 
 
+def mixture_plan(
+    df: DataFrame,
+    token_budget: int = 1_000_000,
+    text_col: str = "text",
+    stratum_col: str = "source",
+) -> DataFrame:
+    """Data-mixture planner: per-stratum corpus inventory plus the sampling
+    rate that hits a UNIFORM target mixture under a global token budget —
+    the calculation every pretraining-data pipeline runs before assembling
+    a mix (docs/tokens per source, current share, keep-rate, expected yield).
+
+    Output per stratum: ``docs``, ``tokens`` (whitespace tokens, same
+    definition as ``token_counts``), ``token_share`` of the corpus,
+    ``sample_rate`` = min(1, budget/n_strata/tokens) — the rate to feed
+    :func:`stratified_sample` — and ``expected_tokens`` = tokens × rate.
+
+    Plan: ONE shuffle (the per-stratum partial-aggregated groupBy); the
+    corpus totals come from a second aggregate over the tiny per-stratum
+    frame, attached via a 1-row broadcast cross join.  At 100 TB the wide
+    text column reduces map-side to two longs per stratum per partition.
+    """
+    per_src = (
+        df.groupBy(F.col(stratum_col).alias("source"))
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum(token_count(F.col(text_col)).cast("long")).alias("tokens"),
+        )
+    )
+    totals = per_src.agg(
+        F.sum("tokens").alias("__total_tokens"), F.count("*").alias("__n_strata")
+    )
+    target = F.col("__total_budget") / F.col("__n_strata")
+    # a token-less stratum keeps rate 1.0 (nothing to downsample) — and the
+    # guard keeps ANSI mode from raising DIVIDE_BY_ZERO on it
+    rate = F.when(
+        F.col("tokens") > 0, F.least(F.lit(1.0), target / F.col("tokens"))
+    ).otherwise(F.lit(1.0))
+    return (
+        per_src.crossJoin(F.broadcast(totals))
+        .withColumn("__total_budget", F.lit(float(token_budget)))
+        .select(
+            "source",
+            "docs",
+            "tokens",
+            (F.col("tokens") / F.col("__total_tokens")).alias("token_share"),
+            rate.alias("sample_rate"),
+            (F.col("tokens") * rate).alias("expected_tokens"),
+        )
+    )
+
+
 def length_quantiles(
     df: DataFrame,
     value_col: str = "n_chars",

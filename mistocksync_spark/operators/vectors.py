@@ -108,6 +108,81 @@ def lsh_bucket_topk(
     return scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()).limit(k)
 
 
+def knn_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Batched k-NN join: exact cosine top-k corpus neighbors for EVERY row
+    of a (small) query set — the retrieval shape of batched RAG lookups and
+    cross-dataset dedup, where a single-query ``brute_force_topk`` loop
+    would rescan the corpus per query.
+
+    Plan (scale story): the query side is broadcast (one corpus scan total,
+    scored rows never leave their scan partition), then top-k is TWO-PHASE:
+
+    1. per-(query, input-partition) partials — ``sort_array`` over a
+       ``collect_list`` of (−cos, id) structs, sliced to k.  The full scored
+       set is reduced map-side; group memory is bounded by one scan
+       partition (``spark.sql.files.maxPartitionBytes``).
+    2. a global ``row_number`` rank over only queries × partitions × k
+       partial rows — the only shuffle, and it carries k-bounded data.
+
+    Float negation is a sign-bit flip (exact), so phase-1 selection under
+    ascending struct order equals (cos desc, vec_id asc); the cosine is the
+    strict left-fold (``dot``/``norm``), bit-identical to a SQL
+    ``list_reduce`` oracle.  Self-pairs (corpus id == query id) are
+    excluded.
+    """
+    from pyspark.sql import Window
+
+    q = F.broadcast(
+        queries.select(F.col(query_id_col).alias("__qid"), F.col(vec_col).alias("__qv"))
+    )
+    scored = (
+        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__cv"))
+        .join(q, F.col("vec_id") != F.col("__qid"))
+        .select(
+            "__qid",
+            "vec_id",
+            cosine(F.col("__cv"), F.col("__qv")).alias("cos_sim"),
+        )
+    )
+    partials = (
+        scored.withColumn("__pid", F.spark_partition_id())
+        .groupBy("__qid", "__pid")
+        .agg(
+            F.slice(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("cos_sim")).alias("nc"),
+                            F.col("vec_id").alias("vid"),
+                        )
+                    )
+                ),
+                1,
+                k,
+            ).alias("topk")
+        )
+        .select("__qid", F.explode("topk").alias("t"))
+        .select(
+            "__qid",
+            F.col("t.vid").alias("vec_id"),
+            (-F.col("t.nc")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("__qid").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    return (
+        partials.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(F.col("__qid").alias("query_id"), "vec_id", "cos_sim", "rnk")
+    )
+
+
 def unrolled_dot(a: Column, b: Column, dim: int) -> Column:
     """Fixed-dimension dot product as a flat expression chain.
 

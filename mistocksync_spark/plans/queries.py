@@ -861,6 +861,37 @@ def token_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_MIXTURE_PLAN = r"""
+    WITH per_src AS (
+        SELECT source, COUNT(*) AS docs,
+               CAST(SUM(CASE WHEN trim(text) IS NULL OR trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT) AS tokens
+        FROM documents GROUP BY source
+    ), totals AS (
+        SELECT CAST(SUM(tokens) AS BIGINT) AS total_tokens, COUNT(*) AS n_strata FROM per_src
+    )
+    SELECT source, docs, tokens,
+           tokens / total_tokens AS token_share,
+           CASE WHEN tokens > 0
+                THEN LEAST(CAST(1.0 AS DOUBLE), (CAST(1000000 AS DOUBLE) / n_strata) / tokens)
+                ELSE CAST(1.0 AS DOUBLE) END AS sample_rate,
+           tokens * CASE WHEN tokens > 0
+                THEN LEAST(CAST(1.0 AS DOUBLE), (CAST(1000000 AS DOUBLE) / n_strata) / tokens)
+                ELSE CAST(1.0 AS DOUBLE) END AS expected_tokens
+    FROM per_src, totals
+"""
+
+
+@query("mixture_plan", _SQL_MIXTURE_PLAN)
+def mixture_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture planner: per-source inventory + uniform-target sampling
+    rates under a 1M-token budget (operators/textual.mixture_plan)."""
+    from mistocksync_spark.operators.textual import mixture_plan
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return mixture_plan(docs, token_budget=1_000_000)
+
+
 def _sql_quality() -> str:
     from mistocksync_spark.operators.textual import LANG_STOPWORDS
 
@@ -1312,6 +1343,39 @@ def embedding_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return brute_force_topk(emb, _query_vec(spark, sf_dir), k=20)
+
+
+_SQL_KNN_JOIN = f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
+    scored AS (
+        SELECT q.qid AS query_id, e.vec_id,
+               CASE WHEN {_SQL_NORM.format(a='e.embedding')} * {_SQL_NORM.format(a='q.qv')} > 0
+                    THEN {_SQL_DOT.format(a='e.embedding', b='q.qv')}
+                         / ({_SQL_NORM.format(a='e.embedding')} * {_SQL_NORM.format(a='q.qv')})
+                    ELSE 0.0 END AS cos_sim
+        FROM embeddings e, q WHERE e.vec_id <> q.qid
+    )
+    SELECT query_id, vec_id, cos_sim, rnk FROM (
+        SELECT query_id, vec_id, cos_sim,
+               row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+        FROM scored
+    ) WHERE rnk <= 10
+"""
+
+
+@query("embedding_knn_join", _SQL_KNN_JOIN)
+def embedding_knn_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched exact k-NN join: top-10 cosine neighbors for each of the
+    first 8 embeddings against the whole corpus (self-pairs excluded) —
+    two-phase partial top-k, the only shuffle carries k-bounded partials
+    (operators/vectors.knn_join)."""
+    from mistocksync_spark.operators.vectors import knn_join
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return knn_join(emb, queries_df, k=10)
 
 
 def _sql_topk_lsh(nbits: int = 8, dim: int = 64) -> str:

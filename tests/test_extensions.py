@@ -132,6 +132,57 @@ def test_lsh_bucket_topk_recalls_top1(spark):
     assert got[0] == 0 and 1 in got
 
 
+def test_knn_join_equals_per_query_brute_force(spark):
+    """The batched two-phase k-NN join must equal a brute_force_topk loop
+    per query (self-pair excluded), including ranks and tie-breaks."""
+    import random
+
+    from mistocksync_spark.operators.vectors import brute_force_topk, knn_join
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(6)]) for i in range(40)]
+    # inject an exact duplicate pair to force a cosine tie
+    rows[11] = (11, list(rows[3][1]))
+    corpus = _vecs(spark, rows).repartition(5)  # multiple partials per query
+    queries = _vecs(spark, rows[:3]).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = {
+        (r.query_id, r.rnk): (r.vec_id, round(r.cos_sim, 10))
+        for r in knn_join(corpus, queries, k=5).collect()
+    }
+    # brute-force with the FLOAT32-stored query vectors (what knn_join and
+    # the parquet-backed registered query both see), not the raw literals
+    stored = {r.vec_id: [float(x) for x in r.embedding] for r in corpus.collect()}
+    want = {}
+    for qid, _ in rows[:3]:
+        top = brute_force_topk(
+            _vecs(spark, [r for r in rows if r[0] != qid]), stored[qid], k=5
+        ).collect()
+        for rank, r in enumerate(top, start=1):
+            want[(qid, rank)] = (r.vec_id, round(r.cos_sim, 10))
+    assert got == want
+
+
+def test_mixture_plan_arithmetic(spark):
+    from mistocksync_spark.operators.textual import mixture_plan
+
+    docs = spark.createDataFrame(
+        [(0, "a b c", "s1"), (1, "a b", "s1"), (2, "x " * 50, "s2"), (3, None, "s3")],
+        "doc_id long, text string, source string",
+    )
+    got = {r.source: r for r in mixture_plan(docs, token_budget=60).collect()}
+    assert got["s1"].docs == 2 and got["s1"].tokens == 5
+    assert got["s2"].tokens == 50
+    assert got["s3"].tokens == 0
+    # target per stratum = 60/3 = 20: s1 capped at rate 1.0 (5 < 20),
+    # s2 downsampled to 20/50
+    assert got["s1"].sample_rate == 1.0
+    assert got["s2"].sample_rate == pytest.approx(0.4)
+    assert got["s2"].expected_tokens == pytest.approx(20.0)
+    assert got["s1"].token_share == pytest.approx(5 / 55)
+
+
 def test_cosine_near_dup_pairs_threshold(spark):
     from mistocksync_spark.operators.vectors import cosine_near_dup_pairs
 
