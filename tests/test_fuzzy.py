@@ -210,3 +210,20 @@ def test_ngram_blocking_agrees_on_realistic_names(spark):
     assert [(r.supplier_index, r.base_index, r.similarity_ratio) for r in exact] == [
         (r.supplier_index, r.base_index, r.similarity_ratio) for r in blocked
     ]
+
+
+def test_ngram_scale_path_full_batch_parity(spark, sf_dir):
+    """The 100×-scale ngram equi-join path must return the SAME matches as
+    the exact bounded path on the FULL registered candidate batch — the
+    switchover is a recorded bench number (BASELINE.md) and this pins that
+    it trades plan shape, not answers."""
+    from mistocksync_spark.plans.queries import QUERIES
+
+    key = lambda rows: [
+        (r.supplier_index, r.base_index, round(r.similarity_ratio, 12))
+        for r in rows
+    ]
+    exact = QUERIES["fuzzy_match"](spark, sf_dir).collect()
+    ngram = QUERIES["fuzzy_match_ngram"](spark, sf_dir).collect()
+    assert len(exact) > 0
+    assert key(exact) == key(ngram)
