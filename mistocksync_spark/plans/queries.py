@@ -820,6 +820,30 @@ def exact_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(docs_aug(spark, sf_dir))
 
 
+@query("exact_dedup_stream")
+def exact_dedup_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming parity: exact-dedup as a continuously-running
+    digest aggregation (file source, complete mode, Trigger.AvailableNow)
+    must equal the batch query — oracle shared with ``exact_dedup``."""
+    from mistocksync_spark.streaming.documents import (
+        augment_documents,
+        exact_dedup_stream,
+        read_documents_stream,
+    )
+
+    qname = _stream_sink_name("exact_dedup_stream_sink")
+    q = (
+        exact_dedup_stream(augment_documents(read_documents_stream(spark, sf_dir)))
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(qname)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(qname)
+
+
 @query("minhash_lsh_pairs")
 def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mistocksync_spark.operators.dedup import lsh_bands, lsh_candidate_pairs, minhash_signatures, shingle_table
@@ -1434,6 +1458,10 @@ ORACLES["exact_dedup"] = (
     _docs_cte()
     + " SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS occurrences FROM docs GROUP BY md5(text)"
 )
+
+# complete-mode digest aggregation == the batch query, so the streaming twin
+# is held to the SAME full hash oracle (not a rows-only check)
+ORACLES["exact_dedup_stream"] = ORACLES["exact_dedup"]
 
 ORACLES["minhash_lsh_pairs"] = (
     _docs_cte()

@@ -421,6 +421,16 @@ def test_sliding_stream_equals_batch(spark, sf_dir):
     assert stream == batch and len(batch) > 0
 
 
+def test_exact_dedup_stream_equals_batch(spark, sf_dir):
+    """Complete-mode digest aggregation must equal the batch exact_dedup
+    row-for-row (same min keep-id and counts)."""
+    from mistocksync_spark.plans.queries import QUERIES
+
+    batch = {tuple(r) for r in QUERIES["exact_dedup"](spark, sf_dir).collect()}
+    stream = {tuple(r) for r in QUERIES["exact_dedup_stream"](spark, sf_dir).collect()}
+    assert stream == batch and len(batch) > 0
+
+
 def test_throttle_stream_key_set_equals_batch_distinct(spark, sf_dir):
     """dropDuplicatesWithinWatermark keeps an arrival-order-dependent
     representative, so parity is on the key set, not rows."""
