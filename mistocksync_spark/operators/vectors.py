@@ -183,6 +183,71 @@ def knn_join(
     )
 
 
+def cosine_contamination(
+    corpus: DataFrame,
+    probes: DataFrame,
+    threshold: float = 0.99,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    probe_id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-space benchmark decontamination: every (eval, train) vector
+    pair with cosine ≥ threshold — the semantic complement of the
+    shingle-overlap ``contamination_check``, catching paraphrase-level
+    leakage that exact-text operators miss.
+
+    Scale shape: the eval/benchmark set is SMALL by contract (thousands), so
+    it is collected once and closed over — the training corpus is scanned
+    exactly once by a ``mapInPandas`` stage that scores a whole Arrow batch
+    against the probe matrix with one BLAS matmul and emits only the leaked
+    pairs.  ZERO joins, ZERO shuffles, no pair materialization; at 100 TB
+    the filter runs map-side wherever the corpus lives.  Scores are rounded
+    to 6 decimals like the other numpy-scored vector surfaces.
+    """
+    import numpy as np
+    import pandas as pd
+
+    probe_rows = probes.select(
+        F.col(probe_id_col).alias("pid"), _to_double(F.col(vec_col)).alias("pv")
+    ).collect()
+    pids = np.array([r["pid"] for r in probe_rows], dtype="int64")
+    pmat = (
+        np.stack([np.asarray(r["pv"], dtype="float64") for r in probe_rows])
+        if probe_rows
+        else np.zeros((0, 1))
+    )
+    pnorm = np.sqrt((pmat * pmat).sum(axis=1)) if probe_rows else np.zeros(0)
+
+    src = corpus.select(
+        F.col(id_col).alias("vec_id"), _to_double(F.col(vec_col)).alias("v")
+    )
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"eval_id bigint, vec_id {id_type}, cos_sim double"
+
+    def score(batches):
+        if len(pids) == 0:
+            return
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cmat = np.stack([np.asarray(v, dtype="float64") for v in pdf["v"]])
+            cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+            denom = np.outer(cnorm, pnorm)
+            sims = np.where(denom > 0, (cmat @ pmat.T) / np.where(denom > 0, denom, 1.0), 0.0)
+            ci, pi = np.nonzero(sims >= threshold)
+            if len(ci) == 0:
+                continue
+            yield pd.DataFrame(
+                {
+                    "eval_id": pids[pi],
+                    "vec_id": pdf["vec_id"].values[ci],
+                    "cos_sim": np.round(sims[ci, pi], 6),
+                }
+            )
+
+    return src.mapInPandas(score, out_schema)
+
+
 def unrolled_dot(a: Column, b: Column, dim: int) -> Column:
     """Fixed-dimension dot product as a flat expression chain.
 

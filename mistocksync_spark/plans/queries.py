@@ -1849,10 +1849,48 @@ ORACLES["embedding_near_dup_recall"] = f"""
 """
 
 
+@query("embedding_contamination")
+def embedding_contamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination: the planted duplicate vectors
+    (vec_id ≥ 1M in the augmented corpus) play the eval/benchmark set and
+    must be flagged against the training corpus at cosine ≥ 0.99 — the
+    semantic complement of the shingle-based ``contamination_check``
+    (operators/vectors.cosine_contamination: one corpus scan, zero joins)."""
+    from mistocksync_spark.operators.vectors import cosine_contamination
+    from mistocksync_spark.plans.feeds import emb_aug
+
+    aug = emb_aug(spark, sf_dir)
+    corpus = aug.filter(F.col("vec_id") < 1000000)
+    probes = aug.filter(F.col("vec_id") >= 1000000)
+    return cosine_contamination(corpus, probes, threshold=0.99)
+
+
+ORACLES["embedding_contamination"] = f"""
+    WITH emb AS ({{emb_aug}}),
+    withn AS (
+        SELECT vec_id, embedding,
+               {_SQL_NORM.format(a='embedding')} AS nrm
+        FROM emb
+    )
+    SELECT p.vec_id AS eval_id, c.vec_id,
+           round(CASE WHEN p.nrm * c.nrm > 0
+                 THEN {_SQL_DOT_VAR.format(a='p.embedding', b='c.embedding')} / (p.nrm * c.nrm)
+                 ELSE 0.0 END, 6) AS cos_sim
+    FROM withn p JOIN withn c ON p.vec_id >= 1000000 AND c.vec_id < 1000000
+    WHERE CASE WHEN p.nrm * c.nrm > 0
+          THEN {_SQL_DOT_VAR.format(a='p.embedding', b='c.embedding')} / (p.nrm * c.nrm)
+          ELSE 0.0 END >= 0.99
+"""
+
+
 def _patch_emb_oracle():
     from mistocksync_spark.plans.feeds import EMB_AUG_SQL_DUCKDB
 
-    for name in ("embedding_near_dup", "embedding_near_dup_recall"):
+    for name in (
+        "embedding_near_dup",
+        "embedding_near_dup_recall",
+        "embedding_contamination",
+    ):
         ORACLES[name] = ORACLES[name].replace("{emb_aug}", EMB_AUG_SQL_DUCKDB)
 
 

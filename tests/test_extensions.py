@@ -164,6 +164,26 @@ def test_knn_join_equals_per_query_brute_force(spark):
     assert got == want
 
 
+def test_cosine_contamination_flags_only_leaked(spark):
+    from mistocksync_spark.operators.vectors import cosine_contamination
+
+    corpus = _vecs(
+        spark,
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0]), (2, [0.5, 0.5, 0.0])],
+    )
+    probes = _vecs(
+        spark,
+        [
+            (100, [2.0, 0.0, 0.0]),   # scaled copy of 0 → cos 1.0, leaked
+            (101, [0.0, 0.0, 1.0]),   # orthogonal to everything → clean
+        ],
+    )
+    got = {(r.eval_id, r.vec_id): r.cos_sim for r in cosine_contamination(
+        corpus, probes, threshold=0.99
+    ).collect()}
+    assert got == {(100, 0): 1.0}
+
+
 def test_mixture_plan_arithmetic(spark):
     from mistocksync_spark.operators.textual import mixture_plan
 
