@@ -281,6 +281,32 @@ def connected_components(pairs: DataFrame, max_iterations: int = 25) -> DataFram
     return labels.select(F.col("node").alias("doc_id"), "cluster_id")
 
 
+def dedup_cluster_histogram(doc_ids: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Duplication profile of the corpus: how many clusters of each size —
+    the first number a dedup stage reports ("X% of the corpus is in
+    duplicate clusters of size ≥ 2") and the sanity check that near-dup
+    thresholds aren't collapsing the corpus into one giant component.
+
+    Docs in no near-dup pair are singleton clusters (size 1), so the
+    histogram covers the WHOLE corpus, not just the paired subgraph.  Plan:
+    connected components over the pairs, a broadcast left join of the (small,
+    paired-nodes-only) label table onto the doc ids, then two map-side-
+    partial groupBys whose inputs are one row per doc and one row per
+    cluster respectively.
+    """
+    labels = connected_components(pairs)
+    full = doc_ids.select("doc_id").join(
+        F.broadcast(labels), on="doc_id", how="left"
+    ).select(
+        "doc_id", F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id")
+    )
+    sizes = full.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(
+        F.count("*").alias("n_clusters"),
+        F.sum("cluster_size").alias("n_docs"),
+    )
+
+
 def minhash_estimate(sigs: DataFrame, pairs: DataFrame) -> DataFrame:
     """MinHash-estimated Jaccard for candidate pairs: the fraction of seeds
     whose min-hashes agree is an unbiased estimator of the true Jaccard —

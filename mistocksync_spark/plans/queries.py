@@ -2416,6 +2416,39 @@ def _dedup_clusters_oracle() -> str:
 ORACLES["dedup_clusters"] = _dedup_clusters_oracle()
 
 
+@query("dedup_cluster_histogram")
+def dedup_cluster_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus duplication profile: clusters-per-size over the WHOLE corpus
+    (unpaired docs count as singletons) — the dedup stage's headline report
+    (operators/dedup.dedup_cluster_histogram)."""
+    from mistocksync_spark.operators.dedup import (
+        dedup_cluster_histogram,
+        simhash,
+        simhash_near_dup_pairs,
+    )
+    from mistocksync_spark.plans.feeds import docs_aug
+
+    docs = docs_aug(spark, sf_dir)
+    pairs = simhash_near_dup_pairs(simhash(docs), max_hamming=3)
+    return dedup_cluster_histogram(docs.select("doc_id"), pairs)
+
+
+ORACLES["dedup_cluster_histogram"] = (
+    _dedup_clusters_oracle().rsplit("SELECT node AS doc_id", 1)[0]
+    + """
+    , labels AS (SELECT node, LEAST(node, MIN(reach)) AS cluster_id FROM walk GROUP BY node)
+    , everydoc AS (
+        SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+        FROM docs d LEFT JOIN labels l ON d.doc_id = l.node
+    )
+    , sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM everydoc GROUP BY cluster_id)
+    SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(cluster_size) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY cluster_size
+    """
+)
+
+
 @query("dedup_survivors")
 def dedup_survivors_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs → clusters → one survivor per cluster: the corpus that would be

@@ -164,6 +164,20 @@ def test_knn_join_equals_per_query_brute_force(spark):
     assert got == want
 
 
+def test_dedup_cluster_histogram_counts_singletons(spark):
+    from mistocksync_spark.operators.dedup import dedup_cluster_histogram
+
+    doc_ids = spark.createDataFrame([(i,) for i in range(7)], "doc_id long")
+    # {0,1,2} a triangle, {3,4} a pair, 5 and 6 singletons
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (3, 4)], "doc_a long, doc_b long"
+    )
+    got = {r.cluster_size: (r.n_clusters, r.n_docs) for r in dedup_cluster_histogram(
+        doc_ids, pairs
+    ).collect()}
+    assert got == {1: (2, 2), 2: (1, 2), 3: (1, 3)}
+
+
 def test_cosine_contamination_flags_only_leaked(spark):
     from mistocksync_spark.operators.vectors import cosine_contamination
 
