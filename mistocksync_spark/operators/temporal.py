@@ -101,6 +101,55 @@ def rolling_window_agg(
     )
 
 
+def ohlc_rollup(
+    events: DataFrame,
+    key: str = "event_type",
+    ts: str = "ts",
+    value: str = "value",
+    bucket: str = "1 hour",
+) -> DataFrame:
+    """Time-bucketed first/last/min/max/mean rollup per key — the OHLC
+    candle / hypertable continuous-aggregate shape every time-series engine
+    ships.  ``first``/``last`` are by event TIME (``min_by``/``max_by`` on
+    the timestamp), not arrival order, so the result is deterministic under
+    any partitioning; ties on ts break by value so the pick is total.
+
+    Plan: ONE partial-aggregated shuffle keyed by (bucket, key) — each map
+    task reduces its slice to one row per group before the exchange, which
+    is what makes the rollup a streaming-compatible continuous aggregate
+    (the same plan runs under a watermark; see streaming/events.py).
+    """
+    tsv = F.struct(F.col(ts).alias("t"), F.col(value).alias("v"))
+    return (
+        events.groupBy(F.window(ts, bucket).alias("w"), F.col(key).alias("key"))
+        .agg(
+            F.min_by(value, tsv).alias("open"),
+            F.max_by(value, tsv).alias("close"),
+            F.round(F.min(value), 4).alias("low"),
+            F.round(F.max(value), 4).alias("high"),
+            F.sum(F.col(value).cast("decimal(18,6)")).alias("__sum"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            "key",
+            F.round(F.col("open"), 4).alias("open"),
+            F.round(F.col("close"), 4).alias("close"),
+            "low",
+            "high",
+            # mean from a DECIMAL sum, deliberately UNROUNDED: decimal
+            # addition is exact and order-independent, so both engines
+            # divide bit-identical operands and the quotient is
+            # bit-identical too.  Rounding it would REINTRODUCE divergence:
+            # Spark rounds the shortest decimal repr of a double, DuckDB the
+            # exact binary value — they disagree whenever the repr ends in a
+            # half (4 of 3600 cells at sf0.1).
+            (F.col("__sum").cast("double") / F.col("n_events")).alias("mean_value"),
+            "n_events",
+        )
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -1588,6 +1588,38 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+@query(
+    "events_ohlc",
+    """
+    WITH ranked AS (
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+               event_type AS key, value,
+               row_number() OVER (PARTITION BY date_trunc('hour', ts), event_type
+                                  ORDER BY ts ASC, value ASC) AS rn_first,
+               row_number() OVER (PARTITION BY date_trunc('hour', ts), event_type
+                                  ORDER BY ts DESC, value DESC) AS rn_last
+        FROM events
+    )
+    SELECT bucket, key,
+           round(MAX(CASE WHEN rn_first = 1 THEN value END), 4) AS open,
+           round(MAX(CASE WHEN rn_last = 1 THEN value END), 4) AS close,
+           round(MIN(value), 4) AS low,
+           round(MAX(value), 4) AS high,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mean_value,
+           COUNT(*) AS n_events
+    FROM ranked GROUP BY 1, 2
+    """,
+)
+def events_ohlc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC candle / hypertable continuous-aggregate rollup per
+    event_type — first/last by event time with (ts, value) tie-breaking
+    (operators/temporal.ohlc_rollup; one partial-aggregated shuffle)."""
+    from mistocksync_spark.operators.temporal import ohlc_rollup
+    from mistocksync_spark.sources.testdata import load_events
+
+    return ohlc_rollup(load_events(spark, sf_dir))
+
+
 # memory-sink names must be unique per invocation: restarting a terminated
 # stream under an existing name can collide within one session (e.g. a
 # driver scoring pass that runs queries() twice)

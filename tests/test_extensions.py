@@ -164,6 +164,28 @@ def test_knn_join_equals_per_query_brute_force(spark):
     assert got == want
 
 
+def test_ohlc_rollup_first_last_by_time(spark):
+    from mistocksync_spark.operators.temporal import ohlc_rollup
+
+    ev = spark.createDataFrame(
+        [
+            ("2024-01-01 10:05:00", "click", 5.0),
+            ("2024-01-01 10:01:00", "click", 9.0),   # earliest → open
+            ("2024-01-01 10:59:00", "click", 2.0),   # latest → close
+            ("2024-01-01 10:01:00", "view", 7.0),
+            ("2024-01-01 10:01:00", "view", 3.0),    # ts tie → min value opens
+        ],
+        "ts string, event_type string, value double",
+    ).select(F.col("ts").cast("timestamp").alias("ts"), "event_type", "value")
+    got = {r.key: r for r in ohlc_rollup(ev).collect()}
+    c = got["click"]
+    assert (c.open, c.close, c.low, c.high, c.n_events) == (9.0, 2.0, 2.0, 9.0, 3)
+    assert c.mean_value == pytest.approx(16.0 / 3)
+    v = got["view"]
+    # equal timestamps: open = smallest value, close = largest (total order)
+    assert (v.open, v.close) == (3.0, 7.0)
+
+
 def test_dedup_cluster_histogram_counts_singletons(spark):
     from mistocksync_spark.operators.dedup import dedup_cluster_histogram
 
