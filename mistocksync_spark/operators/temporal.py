@@ -150,6 +150,61 @@ def ohlc_rollup(
     )
 
 
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Strict-order funnel analysis: per entity, the first time of step 1,
+    then the first step-2 event STRICTLY AFTER it, then the first step-3
+    event strictly after that, and so on — the product-analytics
+    "view → click → purchase" progression with per-step reach and
+    conversion-from-first.
+
+    Plan: chained unordered window minimums, all over the same
+    ``partitionBy(key)`` spec, so Catalyst reuses ONE hash exchange for the
+    whole chain (the ``user_sessions`` single-shuffle trick) — no
+    self-joins, no per-step scans.  The per-entity frame then collapses to
+    one row of step counts and unpivots to step rows driver-free.
+    """
+    w = Window.partitionBy(key)
+    cur = events.select(key, ts, type_col)
+    prev_col = None
+    tcols = []
+    for i, step in enumerate(steps):
+        cond = F.col(type_col) == step
+        if prev_col is not None:
+            cond = cond & (F.col(ts) > F.col(prev_col))
+        tcol = f"__t{i + 1}"
+        cur = cur.withColumn(tcol, F.min(F.when(cond, F.col(ts))).over(w))
+        prev_col = tcol
+        tcols.append(tcol)
+
+    per_entity = cur.select(key, *tcols).distinct()
+    counts = per_entity.agg(
+        *[F.count(F.col(t)).alias(f"n{i + 1}") for i, t in enumerate(tcols)]
+    )
+    # unpivot the 1-row counts via explode, NOT a union of per-step selects —
+    # a union would reference (and re-plan) the whole upstream chain once per
+    # step
+    step_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("step_index"),
+                F.lit(step).alias("step"),
+                F.col(f"n{i + 1}").alias("n_users"),
+                F.when(F.col("n1") > 0, F.col(f"n{i + 1}") / F.col("n1"))
+                .otherwise(F.lit(0.0))
+                .alias("conversion"),
+            )
+            for i, step in enumerate(steps)
+        ]
+    )
+    return counts.select(F.explode(step_structs).alias("r")).select("r.*")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

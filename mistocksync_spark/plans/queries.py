@@ -1589,6 +1589,41 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_funnel",
+    """
+    WITH p1 AS (
+        SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts END) AS t1
+        FROM events GROUP BY user_id
+    ), p2 AS (
+        SELECT e.user_id, p.t1,
+               MIN(CASE WHEN e.event_type = 'click' AND e.ts > p.t1 THEN e.ts END) AS t2
+        FROM events e JOIN p1 p USING (user_id) GROUP BY e.user_id, p.t1
+    ), p3 AS (
+        SELECT e.user_id, p.t1, p.t2,
+               MIN(CASE WHEN e.event_type = 'purchase' AND e.ts > p.t2 THEN e.ts END) AS t3
+        FROM events e JOIN p2 p USING (user_id) GROUP BY e.user_id, p.t1, p.t2
+    ), counts AS (
+        SELECT COUNT(t1) AS n1, COUNT(t2) AS n2, COUNT(t3) AS n3 FROM p3
+    )
+    SELECT 1 AS step_index, 'view' AS step, n1 AS n_users,
+           CASE WHEN n1 > 0 THEN n1 / n1 ELSE 0.0 END AS conversion FROM counts
+    UNION ALL
+    SELECT 2, 'click', n2, CASE WHEN n1 > 0 THEN n2 / n1 ELSE 0.0 END FROM counts
+    UNION ALL
+    SELECT 3, 'purchase', n3, CASE WHEN n1 > 0 THEN n3 / n1 ELSE 0.0 END FROM counts
+    """,
+)
+def events_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order view→click→purchase funnel per user: reach and
+    conversion-from-first per step (operators/temporal.funnel — chained
+    window minimums over ONE hash exchange, no self-joins)."""
+    from mistocksync_spark.operators.temporal import funnel
+    from mistocksync_spark.sources.testdata import load_events
+
+    return funnel(load_events(spark, sf_dir), ["view", "click", "purchase"])
+
+
+@query(
     "events_ohlc",
     """
     WITH ranked AS (

@@ -164,6 +164,35 @@ def test_knn_join_equals_per_query_brute_force(spark):
     assert got == want
 
 
+def test_funnel_strict_ordering(spark):
+    from mistocksync_spark.operators.temporal import funnel
+
+    ev = spark.createDataFrame(
+        [
+            # u1 completes the funnel in order
+            (1, "2024-01-01 10:00:00", "view"),
+            (1, "2024-01-01 10:01:00", "click"),
+            (1, "2024-01-01 10:02:00", "purchase"),
+            # u2 clicks BEFORE viewing — click must not count; purchase
+            # without a qualifying click must not count either
+            (2, "2024-01-01 09:00:00", "click"),
+            (2, "2024-01-01 09:30:00", "view"),
+            (2, "2024-01-01 09:45:00", "purchase"),
+            # u3 views only
+            (3, "2024-01-01 08:00:00", "view"),
+            # u4 never views — contributes to no step
+            (4, "2024-01-01 08:00:00", "purchase"),
+        ],
+        "user_id long, ts string, event_type string",
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"), "event_type")
+    got = {r.step: (r.n_users, r.conversion) for r in funnel(
+        ev, ["view", "click", "purchase"]
+    ).collect()}
+    assert got["view"] == (3, 1.0)
+    assert got["click"] == (1, pytest.approx(1 / 3))
+    assert got["purchase"] == (1, pytest.approx(1 / 3))
+
+
 def test_ohlc_rollup_first_last_by_time(spark):
     from mistocksync_spark.operators.temporal import ohlc_rollup
 
