@@ -87,6 +87,23 @@ def main():
     # (round-2 verdict: the ngram fuzzy path was "argued, not measured").
     scale_paths = [q for q in ["fuzzy_match_ngram"] if q in QUERIES]
 
+    # Round-4 extension operators, one cold run each (NOT in the headline
+    # total — membership there is frozen for baseline comparability): the
+    # numbers exist so new operators never ship without a recorded cost.
+    extensions = [
+        q
+        for q in [
+            "embedding_knn_join",
+            "mixture_plan",
+            "embedding_contamination",
+            "dedup_cluster_histogram",
+            "events_ohlc",
+            "events_funnel",
+            "exact_dedup_stream",
+        ]
+        if q in QUERIES
+    ]
+
     spark = get_spark("bench", cpus=int(cpus))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
@@ -112,6 +129,11 @@ def main():
         _reset(spark)
         scale_timings[name] = run_once(name)
 
+    ext_timings = {}
+    for name in extensions:
+        _reset(spark)
+        ext_timings[name] = run_once(name)
+
     total = round(sum(timings.values()), 3)
     total_warm = round(sum(warm.values()), 3)
 
@@ -134,6 +156,7 @@ def main():
                 "queries_cold_runs": cold_runs,
                 "queries_warm": warm,
                 "scale_path_queries": scale_timings,
+                "extension_queries": ext_timings,
                 "sf": float(sf),
                 "fuzzy_match_scored_pairs": pairs,
             }
