@@ -156,12 +156,15 @@ def funnel(
     key: str = "user_id",
     ts: str = "ts",
     type_col: str = "event_type",
+    max_gap_seconds: int | None = None,
 ) -> DataFrame:
     """Strict-order funnel analysis: per entity, the first time of step 1,
     then the first step-2 event STRICTLY AFTER it, then the first step-3
     event strictly after that, and so on — the product-analytics
     "view → click → purchase" progression with per-step reach and
-    conversion-from-first.
+    conversion-from-first.  ``max_gap_seconds`` bounds each hop (the usual
+    "converted within an hour" form — without it, long-lived entities
+    eventually do everything and every step saturates).
 
     Plan: chained unordered window minimums, all over the same
     ``partitionBy(key)`` spec, so Catalyst reuses ONE hash exchange for the
@@ -177,6 +180,13 @@ def funnel(
         cond = F.col(type_col) == step
         if prev_col is not None:
             cond = cond & (F.col(ts) > F.col(prev_col))
+            if max_gap_seconds is not None:
+                # µs integer arithmetic: identical in any engine, no
+                # interval-addition semantics to match
+                cond = cond & (
+                    F.unix_micros(F.col(ts)) - F.unix_micros(F.col(prev_col))
+                    <= max_gap_seconds * 1_000_000
+                )
         tcol = f"__t{i + 1}"
         cur = cur.withColumn(tcol, F.min(F.when(cond, F.col(ts))).over(w))
         prev_col = tcol

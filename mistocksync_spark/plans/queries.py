@@ -1624,6 +1624,48 @@ def events_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_funnel_1h",
+    """
+    WITH p1 AS (
+        SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts END) AS t1
+        FROM events GROUP BY user_id
+    ), p2 AS (
+        SELECT e.user_id, p.t1,
+               MIN(CASE WHEN e.event_type = 'click' AND e.ts > p.t1
+                        AND epoch_us(e.ts) - epoch_us(p.t1) <= 3600000000
+                        THEN e.ts END) AS t2
+        FROM events e JOIN p1 p USING (user_id) GROUP BY e.user_id, p.t1
+    ), p3 AS (
+        SELECT e.user_id, p.t1, p.t2,
+               MIN(CASE WHEN e.event_type = 'purchase' AND e.ts > p.t2
+                        AND epoch_us(e.ts) - epoch_us(p.t2) <= 3600000000
+                        THEN e.ts END) AS t3
+        FROM events e JOIN p2 p USING (user_id) GROUP BY e.user_id, p.t1, p.t2
+    ), counts AS (
+        SELECT COUNT(t1) AS n1, COUNT(t2) AS n2, COUNT(t3) AS n3 FROM p3
+    )
+    SELECT 1 AS step_index, 'view' AS step, n1 AS n_users,
+           CASE WHEN n1 > 0 THEN n1 / n1 ELSE 0.0 END AS conversion FROM counts
+    UNION ALL
+    SELECT 2, 'click', n2, CASE WHEN n1 > 0 THEN n2 / n1 ELSE 0.0 END FROM counts
+    UNION ALL
+    SELECT 3, 'purchase', n3, CASE WHEN n1 > 0 THEN n3 / n1 ELSE 0.0 END FROM counts
+    """,
+)
+def events_funnel_1h_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded funnel: each hop must land within 1 hour of the
+    previous step (µs integer gap arithmetic, engine-identical) — the
+    discriminating conversion metric; the unbounded variant saturates on
+    long-lived users."""
+    from mistocksync_spark.operators.temporal import funnel
+    from mistocksync_spark.sources.testdata import load_events
+
+    return funnel(
+        load_events(spark, sf_dir), ["view", "click", "purchase"], max_gap_seconds=3600
+    )
+
+
+@query(
     "events_ohlc",
     """
     WITH ranked AS (

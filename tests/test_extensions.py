@@ -193,6 +193,30 @@ def test_funnel_strict_ordering(spark):
     assert got["purchase"] == (1, pytest.approx(1 / 3))
 
 
+def test_funnel_max_gap_bounds_each_hop(spark):
+    from mistocksync_spark.operators.temporal import funnel
+
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", "view"),
+            (1, "2024-01-01 10:30:00", "click"),      # within 1h of view
+            (1, "2024-01-01 12:00:00", "purchase"),   # >1h after click → out
+            (2, "2024-01-01 10:00:00", "view"),
+            (2, "2024-01-01 11:30:00", "click"),      # >1h after view → out
+        ],
+        "user_id long, ts string, event_type string",
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"), "event_type")
+    got = {r.step: r.n_users for r in funnel(
+        ev, ["view", "click", "purchase"], max_gap_seconds=3600
+    ).collect()}
+    assert got == {"view": 2, "click": 1, "purchase": 0}
+    # and the exact boundary (gap == max) still counts
+    got2 = {r.step: r.n_users for r in funnel(
+        ev, ["view", "click"], max_gap_seconds=5400
+    ).collect()}
+    assert got2["click"] == 2
+
+
 def test_ohlc_rollup_first_last_by_time(spark):
     from mistocksync_spark.operators.temporal import ohlc_rollup
 
