@@ -99,6 +99,7 @@ def main():
             "dedup_cluster_histogram",
             "events_ohlc",
             "events_funnel",
+            "events_funnel_1h",
             "exact_dedup_stream",
         ]
         if q in QUERIES
