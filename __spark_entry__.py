@@ -23,11 +23,41 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
+def _graded_keys() -> set[str]:
+    """Query names already graded in a prior round's CORRECTNESS file.
+
+    The driver grades a bounded window of the registry in iteration order;
+    listing never-graded queries first rotates them into the window so the
+    binding correctness signal eventually covers the whole registry (round-4
+    verdict ask #4).  Falls back to the full-registry order if the artifact
+    files are absent.
+    """
+    import glob
+    import json
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    graded: set[str] = set()
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as f:
+                graded |= set(json.load(f).keys())
+        except (OSError, ValueError):
+            continue
+    return graded
+
+
+def _window_order(d: dict) -> dict:
+    graded = _graded_keys()
+    fresh = {k: v for k, v in d.items() if k not in graded}
+    rest = {k: v for k, v in d.items() if k in graded}
+    return {**fresh, **rest}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return dict(QUERIES)
+    return _window_order(dict(QUERIES))
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query (omitted keys → rows-only check)."""
-    return dict(ORACLES)
+    return _window_order(dict(ORACLES))
