@@ -28,7 +28,10 @@ def test_near_dup_has_no_nested_loop(spark):
     plan = _plan(spark, "embedding_near_dup")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
-    assert "MapInPandas" in plan  # numpy signature stage
+    # the numpy signature stage sits behind a lazy localCheckpoint so both
+    # band-join sides read ONE materialization; the checkpoint boundary
+    # shows as an RDD scan in the plan (the MapInPandas runs inside it)
+    assert "ExistingRDD" in plan or "MapInPandas" in plan
 
 
 def test_fuzzy_single_python_eval_no_window(spark):
