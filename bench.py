@@ -1,27 +1,45 @@
 """Benchmark runner: executes the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line with per-query wall seconds.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Output contract (round-4 verdict #1 — the headline must survive the
+artifact pipeline):
+
+- stdout line 1: the FULL result blob as one JSON object, with the gated
+  totals (``value``/``value_warm``) as its LAST keys.
+- stdout final line: a SHORT summary object repeating ``metric``/``value``/
+  ``unit``/``value_warm``/``queries``/``sf`` — small enough that any
+  tail-truncating recorder keeps it intact, so ``"value":`` is always on
+  the permanent record even if the long line is cut.
+- ``bench_out.json`` next to this file: the full blob, pretty-printed, for
+  committing into the repo each round.
 
 Materialization uses the noop datasource sink — full execution, no
 driver-side collect cost.
 
-Methodology (round-3/4 verdicts):
+Methodology (round-3/4/5 verdicts):
 
+- **Warmup**: one untimed throwaway query right after session start eats
+  the JVM/codegen/session warmup that otherwise lands in the first timed
+  sample (q1's first cold sample read 6.4 s vs 0.88/0.82 in round 4).
 - **Hygiene**: cache/broadcast/Python-worker state left by one query
   inflated the next one's reading by up to 2×, so every timed run starts
-  from a cleared cache and cleared feed/cascade memos.
+  from a cleared cache and cleared feed/cascade/CC memos.
 - **Adaptive median cold**: iterative/codegen-heavy entries (dedup_clusters
   measured 9.5 vs 31.4 s in back-to-back runs) make a single cold sample
-  untrustworthy; each entry is timed at least twice cold, with a THIRD
-  sample only when the first two disagree by more than 15% (stable entries
-  don't pay for it, so the whole bench stays inside any driver timeout).
-  The per-query number is the MEDIAN of collected samples, all of which are
-  reported (``queries_cold_runs``) so variance itself is on the record.
+  untrustworthy; each entry — headline, scale-path AND extension — is timed
+  at least twice cold, with a THIRD sample only when the first two disagree
+  by more than 15% (stable entries don't pay for it, so the whole bench
+  stays inside any driver timeout).  The per-query number is the MEDIAN of
+  collected samples, all of which are reported (``queries_cold_runs`` /
+  ``extension_cold_runs``) so variance itself is on the record.
 - **Cold AND warm totals**: ``value`` (the headline, what the 2× gate in
   BASELINE.md applies to) is the sum of median-cold runs — the cost a fresh
   session pays per query with nothing shared.  ``value_warm`` sums one
-  in-process re-run per query (plan/JIT hot, memos still cleared) — the
-  steady-state cost a long-lived session pays.
+  in-process re-run per query with plan/JIT state AND the Python-side
+  feed/cascade memos left hot — deliberately: a long-lived session keeps
+  its memos, so the warm number measures the steady state such a session
+  actually pays (round-4 advisory asked the docstring to match the code;
+  the code is what's intended).
 """
 
 from __future__ import annotations
@@ -37,8 +55,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def _reset(spark):
     """Clear cross-query state so each entry is measured cold: cached
-    feeds/bands from previous entries would turn downstream scans into
-    memory reads and upstream ones into cache-build overhead."""
+    feeds/bands/CC labels from previous entries would turn downstream scans
+    into memory reads and upstream ones into cache-build overhead."""
     spark.catalog.clearCache()
     from mistocksync_spark.plans import feeds, queries
 
@@ -55,7 +73,8 @@ def main():
     from mistocksync_spark.session import get_spark
 
     # Headline set: the flagship aggregation, the matching cascade stages,
-    # the merge-source join, audit, and the scale extensions.
+    # the merge-source join, audit, and the scale extensions.  Membership is
+    # FROZEN for baseline comparability (BASELINE.md pins the gate).
     headline = [
         "q1_pricing_summary",
         "exact_article_match",
@@ -87,9 +106,9 @@ def main():
     # (round-2 verdict: the ngram fuzzy path was "argued, not measured").
     scale_paths = [q for q in ["fuzzy_match_ngram"] if q in QUERIES]
 
-    # Round-4 extension operators, one cold run each (NOT in the headline
-    # total — membership there is frozen for baseline comparability): the
-    # numbers exist so new operators never ship without a recorded cost.
+    # Extension operators (NOT in the headline total — membership there is
+    # frozen): the numbers exist so new operators never ship without a
+    # recorded cost.
     extensions = [
         q
         for q in [
@@ -113,53 +132,83 @@ def main():
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         return round(time.monotonic() - t0, 3)
 
-    timings, cold_runs, warm = {}, {}, {}
-    for name in headline:
+    def sample_cold(name: str) -> list[float]:
         samples = []
         for i in range(cold_samples):
             if i >= 2 and max(samples) <= 1.15 * min(samples):
                 break  # first two agree within 15% — skip the tiebreaker
             _reset(spark)
             samples.append(run_once(name))
-        cold_runs[name] = samples
-        timings[name] = round(statistics.median(samples), 3)
-        warm[name] = run_once(name)  # no reset: plan/JIT/cache hot
+        return samples
 
-    scale_timings = {}
+    # untimed throwaway: eat JVM/codegen/session warmup before sample 1
+    _reset(spark)
+    run_once("top_event_types" if "top_event_types" in QUERIES else headline[0])
+
+    timings, cold_runs, warm = {}, {}, {}
+    for name in headline:
+        cold_runs[name] = sample_cold(name)
+        timings[name] = round(statistics.median(cold_runs[name]), 3)
+        warm[name] = run_once(name)  # no reset: plan/JIT/cache/memos hot
+
+    scale_timings, scale_runs = {}, {}
     for name in scale_paths:
-        _reset(spark)
-        scale_timings[name] = run_once(name)
+        scale_runs[name] = sample_cold(name)
+        scale_timings[name] = round(statistics.median(scale_runs[name]), 3)
 
-    ext_timings = {}
+    ext_timings, ext_runs = {}, {}
     for name in extensions:
-        _reset(spark)
-        ext_timings[name] = run_once(name)
+        ext_runs[name] = sample_cold(name)
+        ext_timings[name] = round(statistics.median(ext_runs[name]), 3)
 
     total = round(sum(timings.values()), 3)
     total_warm = round(sum(warm.values()), 3)
 
     # the fuzzy_match entry times the FULL candidate batch; report the
-    # scored-pair count so the measured workload is explicit
+    # post-prefilter candidate-pair count (upper bound on difflib-scored
+    # pairs under bounded pruning) so the workload scale is explicit
     from mistocksync_spark.plans.queries import fuzzy_match_pair_count
 
     _reset(spark)
     pairs = fuzzy_match_pair_count(spark, sf_dir)
 
+    # Full blob: totals LAST so a head-truncating window still shows the
+    # per-query data and the dict ends with the gated numbers.
+    blob = {
+        "metric": "headline_queries_wall_sec",
+        "unit": "sec",
+        "methodology": "sum of per-query median-of-%d cold runs (cache+memos cleared); see BASELINE.md" % cold_samples,
+        "sf": float(sf),
+        "queries": timings,
+        "queries_cold_runs": cold_runs,
+        "queries_warm": warm,
+        "scale_path_queries": scale_timings,
+        "scale_path_cold_runs": scale_runs,
+        "extension_queries": ext_timings,
+        "extension_cold_runs": ext_runs,
+        "fuzzy_match_candidate_pairs": pairs,
+        "value": total,
+        "value_warm": total_warm,
+    }
+    print(json.dumps(blob))
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json")
+    try:
+        with open(out_path, "w") as f:
+            json.dump(blob, f, indent=1)
+            f.write("\n")
+    except OSError:
+        pass  # read-only checkout: stdout still carries everything
+    # Short tail-survivable summary: ALWAYS the last stdout line, so any
+    # tail window preserves the gated headline number.
     print(
         json.dumps(
             {
                 "metric": "headline_queries_wall_sec",
                 "value": total,
                 "unit": "sec",
-                "methodology": "sum of per-query median-of-%d cold runs (cache+memos cleared); see BASELINE.md" % cold_samples,
                 "value_warm": total_warm,
-                "queries": timings,
-                "queries_cold_runs": cold_runs,
-                "queries_warm": warm,
-                "scale_path_queries": scale_timings,
-                "extension_queries": ext_timings,
                 "sf": float(sf),
-                "fuzzy_match_scored_pairs": pairs,
+                "queries": timings,
             }
         )
     )

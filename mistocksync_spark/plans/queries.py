@@ -679,9 +679,13 @@ def fuzzy_match_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def fuzzy_match_pair_count(spark: SparkSession, sf_dir: str) -> int:
-    """Pairs reaching the Python scorer in ``fuzzy_match`` (blocking join +
-    length-band prefilter).  Not a registered query — the bench reports it
-    alongside the timing so the measured workload is explicit."""
+    """Candidate×base pairs after the length-band prefilter — an UPPER BOUND
+    on the pairs the Python scorer evaluates: ``fuzzy_match`` runs the
+    ``bounded`` blocking path, whose vectorized quick-ratio bound skips
+    difflib for most of these (round-4 advisory: the broadcast-path count no
+    longer described the measured workload).  Not a registered query — the
+    bench reports it alongside the timing so the workload scale is
+    explicit."""
     from mistocksync_spark.operators.fuzzy import fuzzy_candidate_pairs
 
     r = _cascade_hot(spark, sf_dir)
