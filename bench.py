@@ -120,6 +120,10 @@ def main():
             "events_funnel",
             "events_funnel_1h",
             "exact_dedup_stream",
+            "pii_redact",
+            "boilerplate_paragraphs",
+            "boilerplate_strip",
+            "doc_chunks",
         ]
         if q in QUERIES
     ]

@@ -436,3 +436,137 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k
         F.array_min(grams).alias("min_gram_hash"),
         F.array_max(grams).alias("max_gram_hash"),
     )
+
+
+# --------------------------------------------------------------------------
+# PII redaction, boilerplate-paragraph removal, context-window chunking —
+# the remaining standard stages of a pre-training text pipeline (C4 /
+# RefinedWeb-style cleanup), as pure column-expression plans.
+# --------------------------------------------------------------------------
+
+# Deliberately simple patterns that parse identically under Java regex
+# (Spark) and RE2 (DuckDB oracles): no lookaround, no backreferences.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+\d{1,3} \d{3} \d{3}-\d{2}-\d{2}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_redact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """PII scrub: replace emails / international-format phone numbers /
+    IPv4 literals with typed placeholder tokens and count what was
+    redacted per document — the audit trail a compliance review asks for.
+
+    Pure ``regexp_count`` + ``regexp_replace`` column expressions (JVM
+    codegen, single corpus scan, zero shuffles; the counts are computed on
+    the ORIGINAL text before any replacement, so overlapping pattern
+    classes can't mask each other).  Replacement order (email → phone →
+    ip) is fixed so the output text is deterministic.
+    """
+    t = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL_RE, "[EMAIL]"), PII_PHONE_RE, "[PHONE]"
+        ),
+        PII_IPV4_RE,
+        "[IP]",
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.regexp_count(t, F.lit(PII_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_PHONE_RE)).alias("n_phones"),
+        F.regexp_count(t, F.lit(PII_IPV4_RE)).alias("n_ips"),
+        redacted.alias("text_redacted"),
+    )
+
+
+def paragraph_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, pos, para) — documents split on newline into ordered
+    paragraphs; the exploded long form every paragraph-level operator
+    shares."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "para"),
+    )
+
+
+def boilerplate_paragraphs(
+    df: DataFrame, min_docs: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Paragraphs repeated across ≥ ``min_docs`` distinct documents — the
+    boilerplate detector (nav bars, cookie banners, footers) of C4-style
+    cleanup.  One explode + one groupBy(paragraph) with a distinct-doc
+    count; at 100 TB the aggregate is map-side partial and the detected
+    set is small enough to broadcast into the strip stage.
+    """
+    return (
+        paragraph_table(df, text_col, id_col)
+        .groupBy("para")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def boilerplate_strip(
+    df: DataFrame, min_docs: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Remove cross-document boilerplate paragraphs and reassemble each
+    document in original paragraph order (C4's repeated-line removal).
+
+    Plan: explode once, broadcast-anti-join the (small) detected
+    boilerplate set, then one groupBy(doc_id) whose ``array_sort`` over
+    (pos, para) structs restores order without a Window — so reassembly is
+    a single shuffle keyed by doc_id.  Documents whose every paragraph was
+    boilerplate survive with empty text (left join from the doc list), so
+    the output row count always equals the input's.
+    """
+    paras = paragraph_table(df, text_col, id_col)
+    boiler = boilerplate_paragraphs(df, min_docs, text_col, id_col).select("para")
+    kept = paras.join(F.broadcast(boiler), "para", "left_anti")
+    reassembled = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))), lambda s: s["para"]
+            ),
+            "\n",
+        ).alias("text_clean")
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(reassembled, "doc_id", "left")
+        .select("doc_id", F.coalesce("text_clean", F.lit("")).alias("text_clean"))
+    )
+
+
+def doc_chunks(
+    df: DataFrame,
+    chunk_size: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Context-window chunking: split each document into overlapping
+    ``chunk_size``-token windows every ``stride`` tokens — the step that
+    turns variable-length documents into training-sample candidates.
+
+    Chunk k covers tokens [k*stride, k*stride + chunk_size); windows are
+    emitted while k*stride < n_tokens, so the tail chunk may be short (and,
+    when stride < chunk_size, partially contained in its predecessor —
+    accepted for the simple deterministic contract).  Pure expressions:
+    ``sequence`` + ``posexplode`` + ``slice``, one corpus scan, zero
+    shuffles, no UDFs.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    last_k = F.floor((n - 1) / stride).cast("int")
+    exploded = df.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("__toks"),
+        F.explode(F.sequence(F.lit(0), F.greatest(last_k, F.lit(0)))).alias("chunk_id"),
+    )
+    piece = F.slice(F.col("__toks"), F.col("chunk_id") * stride + 1, chunk_size)
+    return exploded.select(
+        "doc_id",
+        "chunk_id",
+        F.size(piece).alias("n_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )

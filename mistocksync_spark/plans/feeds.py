@@ -124,6 +124,49 @@ def docs_aug(spark, sf_dir: str):
     return spark.sql(DOCS_AUG_SQL)
 
 
+# Documents with deterministic PII planted on every 7th doc (the raw corpus
+# is PII-free word soup, so the redaction operator needs positives).  Pure
+# dialect-portable SQL — the same text builds the Spark input and the
+# DuckDB-oracle CTE.
+DOCS_PII_SQL = """
+SELECT doc_id,
+  CASE WHEN doc_id % 7 = 0
+       THEN text || ' contact user' || CAST(doc_id AS STRING)
+            || '@example.com or +7 999 123-45-67 from 192.168.1.42'
+       ELSE text END AS text,
+  lang, source
+FROM documents
+"""
+
+# Documents with cross-document boilerplate paragraphs planted (newsletter
+# header on every 3rd doc, rights footer on 3rd+5th-pattern docs) so the
+# C4-style repeated-paragraph detector has positives.
+DOCS_PARA_SQL = """
+SELECT doc_id,
+  CASE
+    WHEN doc_id % 3 = 0
+      THEN 'subscribe to our newsletter' || chr(10) || text || chr(10) || 'all rights reserved'
+    WHEN doc_id % 5 = 1 THEN text || chr(10) || 'all rights reserved'
+    ELSE text END AS text,
+  lang, source
+FROM documents
+"""
+
+
+def docs_pii(spark, sf_dir: str):
+    import os
+
+    spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).createOrReplaceTempView("documents")
+    return spark.sql(DOCS_PII_SQL)
+
+
+def docs_para(spark, sf_dir: str):
+    import os
+
+    spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).createOrReplaceTempView("documents")
+    return spark.sql(DOCS_PARA_SQL)
+
+
 def register_feeds(spark, sf_dir: str) -> None:
     """Register ``part`` plus the derived supplier/base feeds as temp views."""
     import os

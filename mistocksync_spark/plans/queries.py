@@ -2874,3 +2874,132 @@ ORACLES["dup_rate_by_source"] = f"""
     JOIN documents db ON db.doc_id = p.doc_b % 1000000
     GROUP BY 1, 2
     """
+
+
+# --------------------------------------------------------------------------
+# Round-5 text-pipeline extensions: PII redaction, C4-style boilerplate
+# paragraph removal, context-window chunking (operators/textual.py).
+# --------------------------------------------------------------------------
+
+
+def _docs_pii_cte() -> str:
+    from mistocksync_spark.plans.feeds import DOCS_PII_SQL
+
+    return f"WITH docsp AS ({DOCS_PII_SQL})"
+
+
+def _docs_para_cte() -> str:
+    from mistocksync_spark.plans.feeds import DOCS_PARA_SQL
+
+    return f"WITH docsp AS ({DOCS_PARA_SQL})"
+
+
+@query("pii_redact")
+def pii_redact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub with per-class counts over the planted-PII corpus view
+    (operators/textual.pii_redact): single scan, zero shuffles, all JVM
+    regex expressions."""
+    from mistocksync_spark.operators.textual import pii_redact
+    from mistocksync_spark.plans.feeds import docs_pii
+
+    return pii_redact(docs_pii(spark, sf_dir))
+
+
+from mistocksync_spark.operators.textual import (  # noqa: E402
+    PII_EMAIL_RE,
+    PII_IPV4_RE,
+    PII_PHONE_RE,
+)
+
+ORACLES["pii_redact"] = (
+    _docs_pii_cte()
+    + f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(text, '{PII_PHONE_RE}')) AS n_phones,
+           len(regexp_extract_all(text, '{PII_IPV4_RE}')) AS n_ips,
+           regexp_replace(regexp_replace(regexp_replace(
+               text, '{PII_EMAIL_RE}', '[EMAIL]', 'g'),
+               '{PII_PHONE_RE}', '[PHONE]', 'g'),
+               '{PII_IPV4_RE}', '[IP]', 'g') AS text_redacted
+    FROM docsp
+    """
+)
+
+# shared oracle fragment: docs split into 1-indexed (doc_id, pos, para)
+_SQL_PARA_TABLE = """
+    , tok AS (SELECT doc_id, string_split(text, chr(10)) AS t FROM docsp)
+    , p AS (
+        SELECT doc_id, i AS pos, t[i] AS para
+        FROM tok, UNNEST(generate_series(1, len(t))) AS u(i)
+    )
+"""
+
+
+@query("boilerplate_paragraphs")
+def boilerplate_paragraphs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated paragraphs (≥3 distinct docs) over the
+    planted-boilerplate corpus view (operators/textual.boilerplate_paragraphs)."""
+    from mistocksync_spark.operators.textual import boilerplate_paragraphs
+    from mistocksync_spark.plans.feeds import docs_para
+
+    return boilerplate_paragraphs(docs_para(spark, sf_dir), min_docs=3)
+
+
+ORACLES["boilerplate_paragraphs"] = (
+    _docs_para_cte()
+    + _SQL_PARA_TABLE
+    + """
+    SELECT para, COUNT(DISTINCT doc_id) AS n_docs
+    FROM p GROUP BY para HAVING COUNT(DISTINCT doc_id) >= 3
+    """
+)
+
+
+@query("boilerplate_strip")
+def boilerplate_strip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-removed, order-preserving reassembly of every document
+    (operators/textual.boilerplate_strip): explode once, broadcast-anti-join
+    the detected set, one groupBy(doc_id)."""
+    from mistocksync_spark.operators.textual import boilerplate_strip
+    from mistocksync_spark.plans.feeds import docs_para
+
+    return boilerplate_strip(docs_para(spark, sf_dir), min_docs=3)
+
+
+ORACLES["boilerplate_strip"] = (
+    _docs_para_cte()
+    + _SQL_PARA_TABLE
+    + """
+    , b AS (SELECT para FROM p GROUP BY para HAVING COUNT(DISTINCT doc_id) >= 3)
+    , k AS (SELECT doc_id, pos, para FROM p WHERE para NOT IN (SELECT para FROM b))
+    SELECT d.doc_id, COALESCE(string_agg(k.para, chr(10) ORDER BY k.pos), '') AS text_clean
+    FROM docsp d LEFT JOIN k ON d.doc_id = k.doc_id
+    GROUP BY d.doc_id
+    """
+)
+
+
+@query(
+    "doc_chunks",
+    """
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    , ex AS (
+        SELECT doc_id, t, i AS chunk_id
+        FROM tok, UNNEST(generate_series(0, greatest((len(t)-1)//48, 0))) AS u(i)
+    )
+    SELECT doc_id, chunk_id,
+           len(list_slice(t, chunk_id*48+1, chunk_id*48+64)) AS n_tokens,
+           array_to_string(list_slice(t, chunk_id*48+1, chunk_id*48+64), ' ') AS chunk_text
+    FROM ex
+    """,
+)
+def doc_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 64-token windows every 48 tokens per document
+    (operators/textual.doc_chunks): sequence + posexplode + slice, one scan,
+    zero shuffles."""
+    from mistocksync_spark.operators.textual import doc_chunks
+
+    return doc_chunks(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), chunk_size=64, stride=48
+    )

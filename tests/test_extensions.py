@@ -741,3 +741,68 @@ def test_tfidf_top_terms_values_and_ranking(spark):
     assert en_rank["apple"] == 1 and en_rank["banana"] == 3
     # single-doc stratum: tf*ln(1) = 0 but still emitted
     assert out[("ru", "яблоко")].tfidf == 0.0 and out[("ru", "яблоко")].rk == 1
+
+
+# ------------------------------------------------- round-5 text pipeline
+def test_pii_redact_counts_and_replaces(spark):
+    from mistocksync_spark.operators.textual import pii_redact
+
+    df = _docs(
+        spark,
+        [
+            (1, "mail a@b.io and c.d+x@e.org call +7 999 123-45-67 ip 10.0.0.1"),
+            (2, "clean text only"),
+        ],
+    )
+    rows = {r.doc_id: r for r in pii_redact(df).collect()}
+    assert (rows[1].n_emails, rows[1].n_phones, rows[1].n_ips) == (2, 1, 1)
+    assert rows[1].text_redacted == "mail [EMAIL] and [EMAIL] call [PHONE] ip [IP]"
+    assert (rows[2].n_emails, rows[2].n_phones, rows[2].n_ips) == (0, 0, 0)
+    assert rows[2].text_redacted == "clean text only"
+
+
+def test_boilerplate_detect_and_strip_preserves_order(spark):
+    from mistocksync_spark.operators.textual import boilerplate_paragraphs, boilerplate_strip
+
+    df = _docs(
+        spark,
+        [
+            (1, "footer\nunique one\nmiddle one"),
+            (2, "unique two\nfooter"),
+            (3, "footer\nunique three"),
+            (4, "footer"),  # becomes empty after stripping
+        ],
+    )
+    boiler = {r.para: r.n_docs for r in boilerplate_paragraphs(df, min_docs=3).collect()}
+    assert boiler == {"footer": 4}
+    out = {r.doc_id: r.text_clean for r in boilerplate_strip(df, min_docs=3).collect()}
+    # paragraph order inside each doc is preserved; all-boilerplate doc
+    # survives as an empty row (row count parity with the input)
+    assert out == {
+        1: "unique one\nmiddle one",
+        2: "unique two",
+        3: "unique three",
+        4: "",
+    }
+
+
+def test_doc_chunks_overlap_and_tail(spark):
+    from mistocksync_spark.operators.textual import doc_chunks
+
+    words = " ".join(f"w{i}" for i in range(10))
+    df = _docs(spark, [(1, words), (2, "short text")])
+    rows = sorted(
+        doc_chunks(df, chunk_size=4, stride=3).collect(),
+        key=lambda r: (r.doc_id, r.chunk_id),
+    )
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_id, r.n_tokens, r.chunk_text))
+    # 10 tokens, stride 3 -> starts 0,3,6,9; chunk k covers [3k, 3k+4)
+    assert by_doc[1] == [
+        (0, 4, "w0 w1 w2 w3"),
+        (1, 4, "w3 w4 w5 w6"),
+        (2, 4, "w6 w7 w8 w9"),
+        (3, 1, "w9"),
+    ]
+    assert by_doc[2] == [(0, 2, "short text")]
