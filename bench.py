@@ -145,9 +145,14 @@ def main():
             samples.append(run_once(name))
         return samples
 
-    # untimed throwaway: eat JVM/codegen/session warmup before sample 1
-    _reset(spark)
-    run_once("top_event_types" if "top_event_types" in QUERIES else headline[0])
+    # untimed throwaways: eat JVM/session warmup plus the giant feed/stage1
+    # codegen compiles (shared by the five cascade-backed entries) before
+    # sample 1 — state is reset afterwards, so timed runs still rebuild
+    # their own caches/memos from scratch
+    for wq in ("top_event_types", "new_items"):
+        if wq in QUERIES:
+            _reset(spark)
+            run_once(wq)
 
     timings, cold_runs, warm = {}, {}, {}
     for name in headline:

@@ -85,3 +85,22 @@ def test_minhash_candidates_are_equi_join(spark):
 def test_survivor_selection_is_anti_join(spark, name):
     plan = _plan(spark, name)
     assert "LeftAnti" in plan
+
+
+def test_pii_and_chunking_are_scan_only(spark):
+    # single-scan, shuffle-free column-expression plans: no exchange, no
+    # Python stage anywhere (the 100 TB shape — pure map-side work)
+    for name in ("pii_redact", "doc_chunks"):
+        plan = _plan(spark, name)
+        assert "Exchange" not in plan, name
+        assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan, name
+
+
+def test_boilerplate_strip_broadcasts_detected_set(spark):
+    # the detected boilerplate set joins back as a BROADCAST anti join;
+    # reassembly is a hash aggregate (array_sort), not a Window
+    plan = _plan(spark, "boilerplate_strip")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
