@@ -124,6 +124,12 @@ def main():
             "boilerplate_paragraphs",
             "boilerplate_strip",
             "doc_chunks",
+            "event_transitions",
+            "user_retention",
+            "events_gapfill",
+            "events_anomaly",
+            "gopher_quality",
+            "rare_token_score",
         ]
         if q in QUERIES
     ]

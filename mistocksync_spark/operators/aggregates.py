@@ -98,3 +98,39 @@ def salted_group_count(
         key, "__salt"
     ).agg(*partial_aggs)
     return partial.groupBy(key).agg(*final_aggs)
+
+
+def zscore_outliers(
+    df: DataFrame,
+    key: str = "event_type",
+    value: str = "value",
+    id_col: str = "event_id",
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Per-group z-score anomaly flags: rows whose value sits more than
+    ``threshold`` population standard deviations from their group mean.
+
+    Plan: one partial-agg shuffle computes per-key (mean, stddev_pop) —
+    a #keys-row frame — which broadcasts back onto the scan; the second
+    pass is shuffle-free.  Groups with zero variance emit no outliers.
+
+    Determinism margin: mean/stddev accumulate in engine-specific order,
+    so the rounded z-score (3 dp) and the ``|z| > threshold`` membership
+    are exact only while no point sits within float-noise of the cut —
+    true by construction for the synthetic corpus (same margin argument
+    as ``cosine_contamination``).
+    """
+    stats = df.groupBy(key).agg(
+        F.avg(value).alias("__mu"), F.stddev_pop(value).alias("__sigma")
+    )
+    z = (F.col(value) - F.col("__mu")) / F.col("__sigma")
+    return (
+        df.join(F.broadcast(stats), on=key)
+        .filter((F.col("__sigma") > 0) & (F.abs(z) > threshold))
+        .select(
+            F.col(id_col),
+            F.col(key),
+            F.round(F.col(value), 4).alias("value_r"),
+            F.round(z, 3).alias("zscore"),
+        )
+    )

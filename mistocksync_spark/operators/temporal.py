@@ -263,3 +263,119 @@ def asof_join(
     )
     out_cols = [F.col(f"__l.{c}").alias(c) for c in left.columns]
     return merged.filter(F.col("__is_left") == 1).select(*out_cols, ts_alias, value_alias)
+
+
+def transition_matrix(
+    events: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-entity event-type transition counts and row-normalized
+    probabilities — the empirical Markov chain over user journeys
+    ("after a view, how often does a click follow?").
+
+    Plan: ONE hash exchange on the entity key feeds a ``lag`` window
+    (total order by (ts, id) so ties are deterministic), then the
+    (from, to) pair frame collapses via map-side-partial counting; the
+    row-normalizing sum runs as a window over the tiny #types² count
+    frame, not over raw events.  At 100 TB the only full-data shuffle is
+    the per-entity ordering — the same exchange sessionization uses.
+    """
+    w = Window.partitionBy(key).orderBy(F.col(ts).asc(), F.col(id_col).asc())
+    pairs = (
+        events.select(key, ts, id_col, type_col)
+        .withColumn("__prev", F.lag(type_col).over(w))
+        .filter(F.col("__prev").isNotNull())
+    )
+    counts = pairs.groupBy(
+        F.col("__prev").alias("from_type"), F.col(type_col).alias("to_type")
+    ).agg(F.count("*").alias("cnt"))
+    w_from = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "cnt",
+        F.round(F.col("cnt") / F.sum("cnt").over(w_from), 6).alias("prob"),
+    )
+
+
+def retention_cohorts(
+    events: DataFrame, key: str = "user_id", ts: str = "ts"
+) -> DataFrame:
+    """Classic cohort-retention matrix: users grouped by first-seen day,
+    activity counted per (cohort day, day offset), retention as the share
+    of the cohort's day-0 size still active at each offset.
+
+    Plan: the cohort day is an unordered window ``min`` over ONE hash
+    exchange on the entity key; the per-(user, offset) frame dedups and
+    counts with map-side partials; the day-0 size attaches via a window
+    over the tiny cohort×offset grid — no self-join back to raw events.
+    """
+    w = Window.partitionBy(key)
+    act = events.select(F.col(key), F.to_date(F.col(ts)).alias("__day"))
+    act = act.withColumn("__cohort", F.min("__day").over(w))
+    per = act.select(
+        F.col(key),
+        F.col("__cohort"),
+        F.datediff(F.col("__day"), F.col("__cohort")).alias("day_offset"),
+    ).distinct()
+    grid = per.groupBy("__cohort", "day_offset").agg(
+        F.countDistinct(key).alias("n_users")
+    )
+    w_c = Window.partitionBy("__cohort")
+    cohort_size = F.max(F.when(F.col("day_offset") == 0, F.col("n_users"))).over(w_c)
+    return grid.select(
+        F.date_format("__cohort", "yyyy-MM-dd").alias("cohort_day"),
+        "day_offset",
+        "n_users",
+        cohort_size.alias("cohort_size"),
+        F.round(F.col("n_users") / cohort_size, 6).alias("retention"),
+    )
+
+
+def gapfill_locf(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts: str = "ts",
+    value: str = "value",
+) -> DataFrame:
+    """Hypertable-style gap-filled hourly series with last-observation-
+    carried-forward — ``time_bucket_gapfill + locf`` parity: every hour
+    between a key's first and last observation gets a row; hours with no
+    events carry the previous bucket's (rounded) average and are flagged.
+
+    Plan: one partial-agg shuffle builds the per-(key, hour) averages; the
+    dense hour grid derives from a per-key min/max + ``sequence`` explode
+    over the ALREADY-AGGREGATED frame (tiny — keys × hours, never raw
+    events); the LOCF is a running ``last(ignorenulls)`` window per key.
+    The bucket average is rounded BEFORE the fill so carried values are
+    bit-identical across engines.
+    """
+    bucket = F.date_trunc("hour", F.col(ts))
+    agg_df = events.groupBy(
+        F.col(key_col).alias("key"), bucket.alias("__bucket")
+    ).agg(F.round(F.avg(value), 4).alias("avg_value"))
+    spans = agg_df.groupBy("key").agg(
+        F.min("__bucket").alias("__b0"), F.max("__bucket").alias("__b1")
+    )
+    grid = spans.select(
+        "key",
+        F.explode(
+            F.sequence(F.col("__b0"), F.col("__b1"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("__bucket"),
+    )
+    filled = grid.join(agg_df, on=["key", "__bucket"], how="left")
+    w = (
+        Window.partitionBy("key")
+        .orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return filled.select(
+        "key",
+        F.date_format("__bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "avg_value",
+        F.last("avg_value", ignorenulls=True).over(w).alias("value_locf"),
+        F.col("avg_value").isNull().cast("int").alias("is_gap"),
+    )

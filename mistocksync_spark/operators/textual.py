@@ -570,3 +570,114 @@ def doc_chunks(
         F.size(piece).alias("n_tokens"),
         F.array_join(piece, " ").alias("chunk_text"),
     )
+
+
+# Gopher-style rule thresholds (Rae et al. 2021, public): word-count
+# bounds, mean-word-length band, symbol-to-word ratio, bullet/ellipsis
+# line shares.  Pure column expressions, single scan, zero shuffles.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MAX_BULLET_FRAC = 0.9
+GOPHER_MAX_ELLIPSIS_FRAC = 0.3
+
+GOPHER_SYMBOL_RE = r"#|\.\.\.|…"
+GOPHER_BULLET_RE = r"(?m)^[ \t]*[-*•]"
+GOPHER_ELLIPSIS_RE = r"(?m)(\.\.\.|…)[ \t]*$"
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style document quality rules: per-doc features plus a pass
+    flag.  Complements ``quality_features`` (generic shape stats) and
+    ``repetition_features`` (degenerate-text stats) with the published
+    rule set training pipelines actually gate on.
+
+    All features are JVM regex/length expressions — one scan, zero
+    shuffles, fully codegen'd; ratios are div-guarded for empty docs.
+    """
+    t = F.col(text_col)
+    trimmed = F.trim(t)
+    n_words = F.when(
+        trimmed.isNull() | (trimmed == ""), F.lit(0)
+    ).otherwise(F.size(F.split(trimmed, r"\s+")))
+    mean_wl = F.when(
+        n_words > 0, F.length(F.regexp_replace(t, r"\s+", "")) / n_words
+    ).otherwise(F.lit(0.0))
+    n_symbols = F.size(F.regexp_extract_all(t, F.lit(GOPHER_SYMBOL_RE), 0))
+    symbol_ratio = F.when(n_words > 0, n_symbols / n_words).otherwise(F.lit(0.0))
+    n_lines = F.when(
+        trimmed.isNull() | (trimmed == ""), F.lit(0)
+    ).otherwise(F.size(F.split(t, "\n")))
+    n_bullet = F.size(F.regexp_extract_all(t, F.lit(GOPHER_BULLET_RE), 0))
+    n_ellipsis = F.size(F.regexp_extract_all(t, F.lit(GOPHER_ELLIPSIS_RE), 0))
+    bullet_frac = F.when(n_lines > 0, n_bullet / n_lines).otherwise(F.lit(0.0))
+    ellipsis_frac = F.when(n_lines > 0, n_ellipsis / n_lines).otherwise(F.lit(0.0))
+    passes = (
+        (n_words >= GOPHER_MIN_WORDS)
+        & (n_words <= GOPHER_MAX_WORDS)
+        & (mean_wl >= GOPHER_MIN_MEAN_WORD_LEN)
+        & (mean_wl <= GOPHER_MAX_MEAN_WORD_LEN)
+        & (symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO)
+        & (bullet_frac <= GOPHER_MAX_BULLET_FRAC)
+        & (ellipsis_frac <= GOPHER_MAX_ELLIPSIS_FRAC)
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.alias("n_words"),
+        F.round(mean_wl, 4).alias("mean_word_len"),
+        F.round(symbol_ratio, 4).alias("symbol_ratio"),
+        F.round(bullet_frac, 4).alias("bullet_frac"),
+        F.round(ellipsis_frac, 4).alias("ellipsis_frac"),
+        passes.cast("int").alias("pass_gopher"),
+    )
+
+
+def rare_token_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rel_threshold: float = 1e-4,
+) -> DataFrame:
+    """Corpus-relative out-of-vocabulary quality score: the in-corpus
+    vocabulary is every token carrying at least ``rel_threshold`` of total
+    token mass; each document scores the fraction of its tokens OUTSIDE
+    that vocabulary (a cheap unigram-LM "perplexity" stand-in — gibberish
+    and boilerplate-free junk score high).
+
+    Plan: the exploded token stream shuffles exactly TWICE — once for the
+    map-side-partial token frequency count, once for the per-doc
+    aggregation.  The vocabulary is bounded above by 1/rel_threshold
+    entries regardless of corpus size (each needs ≥ that share of mass),
+    so it ALWAYS broadcasts; the total-mass scalar attaches via a 1-row
+    broadcast crossJoin, the same shape ``mixture_plan`` uses.  Docs with
+    zero tokens drop out (no denominator).
+    """
+    tok = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+    )
+    freq = tok.groupBy("token").agg(F.count("*").alias("cnt"))
+    total = freq.agg(F.sum("cnt").alias("__total"))
+    vocab = (
+        freq.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") >= F.ceil(F.col("__total") * F.lit(rel_threshold)))
+        .select("token")
+    )
+    joined = tok.join(
+        F.broadcast(vocab.withColumn("__v", F.lit(1))), on="token", how="left"
+    )
+    return (
+        joined.groupBy("doc_id")
+        .agg(F.count("*").alias("n_tokens"), F.count("__v").alias("n_in_vocab"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_in_vocab",
+            F.round(1.0 - F.col("n_in_vocab") / F.col("n_tokens"), 6).alias("oov_fraction"),
+        )
+    )

@@ -3003,3 +3003,217 @@ def doc_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_chunks(
         spark.read.parquet(f"{sf_dir}/documents.parquet"), chunk_size=64, stride=48
     )
+
+
+# --------------------------------------------------------------------------
+# Round-5 session additions: journey analytics over events (transition
+# matrix, cohort retention, gap-fill+LOCF, z-score anomalies) and two more
+# training-data quality gates (Gopher rules, corpus-relative OOV score).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "event_transitions",
+    """
+    WITH pairs AS (
+        SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+                   AS from_type,
+               event_type AS to_type
+        FROM events
+    )
+    SELECT from_type, to_type, COUNT(*) AS cnt,
+           round(COUNT(*) / SUM(COUNT(*)) OVER (PARTITION BY from_type), 6) AS prob
+    FROM pairs WHERE from_type IS NOT NULL
+    GROUP BY from_type, to_type
+    """,
+)
+def event_transitions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical Markov transition matrix over per-user event journeys
+    (operators/temporal.transition_matrix): one hash exchange on user_id
+    feeds the lag window; normalization runs over the #types² count frame."""
+    from mistocksync_spark.operators.temporal import transition_matrix
+    from mistocksync_spark.sources.testdata import load_events
+
+    return transition_matrix(load_events(spark, sf_dir))
+
+
+@query(
+    "user_retention",
+    """
+    WITH act AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               MIN(CAST(ts AS DATE)) OVER (PARTITION BY user_id) AS cohort
+        FROM events
+    ), per AS (
+        SELECT DISTINCT user_id, cohort, date_diff('day', cohort, day) AS day_offset
+        FROM act
+    ), grid AS (
+        SELECT cohort, day_offset, COUNT(DISTINCT user_id) AS n_users
+        FROM per GROUP BY cohort, day_offset
+    )
+    SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day, day_offset, n_users,
+           MAX(CASE WHEN day_offset = 0 THEN n_users END)
+               OVER (PARTITION BY cohort) AS cohort_size,
+           round(n_users / MAX(CASE WHEN day_offset = 0 THEN n_users END)
+               OVER (PARTITION BY cohort), 6) AS retention
+    FROM grid
+    """,
+)
+def user_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort-retention matrix (operators/temporal.retention_cohorts):
+    first-seen day per user via an unordered window min, distinct
+    (user, offset) activity, day-0 size attached over the tiny grid."""
+    from mistocksync_spark.operators.temporal import retention_cohorts
+    from mistocksync_spark.sources.testdata import load_events
+
+    return retention_cohorts(load_events(spark, sf_dir))
+
+
+@query(
+    "events_gapfill",
+    """
+    WITH agg AS (
+        SELECT event_type AS key, date_trunc('hour', ts) AS b,
+               round(AVG(value), 4) AS avg_value
+        FROM events GROUP BY 1, 2
+    ), spans AS (
+        SELECT key, MIN(b) AS b0, MAX(b) AS b1 FROM agg GROUP BY key
+    ), grid AS (
+        SELECT key, UNNEST(generate_series(b0, b1, INTERVAL 1 HOUR)) AS b FROM spans
+    ), filled AS (
+        SELECT g.key, g.b, a.avg_value FROM grid g LEFT JOIN agg a USING (key, b)
+    )
+    SELECT key, strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket, avg_value,
+           last_value(avg_value IGNORE NULLS) OVER (
+               PARTITION BY key ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf,
+           CAST(avg_value IS NULL AS INTEGER) AS is_gap
+    FROM filled
+    """,
+)
+def events_gapfill_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable gap-fill + LOCF parity (operators/temporal.gapfill_locf):
+    dense hourly grid per event_type between first and last observation,
+    missing buckets carry the previous rounded average and are flagged."""
+    from mistocksync_spark.operators.temporal import gapfill_locf
+    from mistocksync_spark.sources.testdata import load_events
+
+    return gapfill_locf(load_events(spark, sf_dir))
+
+
+@query(
+    "events_anomaly",
+    """
+    WITH stats AS (
+        SELECT event_type, AVG(value) AS mu, stddev_pop(value) AS sigma
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, round(e.value, 4) AS value_r,
+           round((e.value - s.mu) / s.sigma, 3) AS zscore
+    FROM events e JOIN stats s USING (event_type)
+    WHERE s.sigma > 0 AND abs((e.value - s.mu) / s.sigma) > 3.0
+    """,
+)
+def events_anomaly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outliers (operators/aggregates.zscore_outliers):
+    #keys-row stat frame broadcast back onto the scan, second pass
+    shuffle-free; rounding/threshold margin documented in the operator."""
+    from mistocksync_spark.operators.aggregates import zscore_outliers
+    from mistocksync_spark.sources.testdata import load_events
+
+    return zscore_outliers(load_events(spark, sf_dir))
+
+
+def _sql_gopher() -> str:
+    from mistocksync_spark.operators.textual import (
+        GOPHER_BULLET_RE,
+        GOPHER_ELLIPSIS_RE,
+        GOPHER_MAX_BULLET_FRAC,
+        GOPHER_MAX_ELLIPSIS_FRAC,
+        GOPHER_MAX_MEAN_WORD_LEN,
+        GOPHER_MAX_SYMBOL_RATIO,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_MEAN_WORD_LEN,
+        GOPHER_MIN_WORDS,
+        GOPHER_SYMBOL_RE,
+    )
+
+    return rf"""
+    WITH feat AS (
+        SELECT doc_id,
+               CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_words,
+               length(regexp_replace(text, '\s+', '', 'g')) AS n_nonspace,
+               len(regexp_extract_all(text, '{GOPHER_SYMBOL_RE}')) AS n_symbols,
+               CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                    ELSE len(string_split(text, chr(10))) END AS n_lines,
+               len(regexp_extract_all(text, '{GOPHER_BULLET_RE}')) AS n_bullet,
+               len(regexp_extract_all(text, '{GOPHER_ELLIPSIS_RE}')) AS n_ellipsis
+        FROM documents
+    ), ratio AS (
+        SELECT doc_id, n_words,
+               CASE WHEN n_words > 0 THEN n_nonspace / n_words ELSE 0.0 END AS mean_wl,
+               CASE WHEN n_words > 0 THEN n_symbols / n_words ELSE 0.0 END AS sym_r,
+               CASE WHEN n_lines > 0 THEN n_bullet / n_lines ELSE 0.0 END AS bul_f,
+               CASE WHEN n_lines > 0 THEN n_ellipsis / n_lines ELSE 0.0 END AS ell_f
+        FROM feat
+    )
+    SELECT doc_id, n_words,
+           round(mean_wl, 4) AS mean_word_len,
+           round(sym_r, 4) AS symbol_ratio,
+           round(bul_f, 4) AS bullet_frac,
+           round(ell_f, 4) AS ellipsis_frac,
+           CAST(n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}
+                AND mean_wl >= {GOPHER_MIN_MEAN_WORD_LEN}
+                AND mean_wl <= {GOPHER_MAX_MEAN_WORD_LEN}
+                AND sym_r <= {GOPHER_MAX_SYMBOL_RATIO}
+                AND bul_f <= {GOPHER_MAX_BULLET_FRAC}
+                AND ell_f <= {GOPHER_MAX_ELLIPSIS_FRAC} AS INTEGER) AS pass_gopher
+    FROM ratio
+    """
+
+
+@query("gopher_quality", _sql_gopher())
+def gopher_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality gate (operators/textual.gopher_rules): published
+    word-count / word-length / symbol / bullet / ellipsis thresholds as
+    pure column expressions — one scan, zero shuffles.  Threshold
+    comparisons run on the UNROUNDED shared subexpressions both engines
+    compute with single IEEE ops, so the pass flag is exact."""
+    from mistocksync_spark.operators.textual import gopher_rules
+
+    return gopher_rules(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+@query(
+    "rare_token_score",
+    r"""
+    WITH tok AS (
+        SELECT doc_id, token FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+            FROM documents
+        ) WHERE token <> ''
+    ), freq AS (
+        SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token
+    ), total AS (
+        SELECT SUM(cnt) AS t FROM freq
+    ), vocab AS (
+        SELECT token FROM freq, total WHERE cnt >= ceil(t * 0.0001)
+    )
+    SELECT t.doc_id, COUNT(*) AS n_tokens, COUNT(v.token) AS n_in_vocab,
+           round(1.0 - COUNT(v.token) / COUNT(*), 6) AS oov_fraction
+    FROM tok t LEFT JOIN vocab v USING (token)
+    GROUP BY t.doc_id
+    """,
+)
+def rare_token_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative OOV fraction per document (operators/textual.
+    rare_token_score): vocabulary = tokens with ≥1e-4 of total token mass
+    (≤10k entries by construction → always broadcastable); the exploded
+    stream shuffles exactly twice."""
+    from mistocksync_spark.operators.textual import rare_token_score
+
+    return rare_token_score(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), rel_threshold=1e-4
+    )

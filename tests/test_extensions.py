@@ -806,3 +806,155 @@ def test_doc_chunks_overlap_and_tail(spark):
         (3, 1, "w9"),
     ]
     assert by_doc[2] == [(0, 2, "short text")]
+
+
+# --------------------------------------- round-5 session: journey analytics
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+
+
+def test_transition_matrix_counts_and_probs(spark):
+    from datetime import datetime
+
+    from mistocksync_spark.operators.temporal import transition_matrix
+
+    t = lambda s: datetime(2026, 1, 1, 0, 0, s)
+    df = _ev(
+        spark,
+        [
+            (1, t(0), 1, "view", 0.0),
+            (2, t(1), 1, "click", 0.0),
+            (3, t(2), 1, "view", 0.0),
+            (4, t(3), 1, "click", 0.0),
+            (5, t(0), 2, "view", 0.0),
+            (6, t(1), 2, "buy", 0.0),
+            # user 3: single event -> no transition
+            (7, t(0), 3, "view", 0.0),
+        ],
+    )
+    got = {(r.from_type, r.to_type): (r.cnt, r.prob) for r in transition_matrix(df).collect()}
+    assert got == {
+        ("view", "click"): (2, round(2 / 3, 6)),
+        ("click", "view"): (1, 1.0),
+        ("view", "buy"): (1, round(1 / 3, 6)),
+    }
+
+
+def test_transition_matrix_tie_break_on_event_id(spark):
+    from datetime import datetime
+
+    from mistocksync_spark.operators.temporal import transition_matrix
+
+    ts = datetime(2026, 1, 1)
+    # identical timestamps: order falls back to event_id, so a->b->c
+    df = _ev(spark, [(1, ts, 1, "a", 0.0), (2, ts, 1, "b", 0.0), (3, ts, 1, "c", 0.0)])
+    got = {(r.from_type, r.to_type) for r in transition_matrix(df).collect()}
+    assert got == {("a", "b"), ("b", "c")}
+
+
+def test_retention_cohorts_matrix(spark):
+    from datetime import datetime
+
+    from mistocksync_spark.operators.temporal import retention_cohorts
+
+    d = lambda day, u: (day * 10 + u, datetime(2026, 1, day, 12), u, "view", 0.0)
+    # cohort Jan-1: users 1,2 (day0), user 1 back on day2
+    # cohort Jan-2: user 3 only
+    df = _ev(spark, [d(1, 1), d(1, 2), d(3, 1), d(2, 3)])
+    got = {
+        (r.cohort_day, r.day_offset): (r.n_users, r.cohort_size, r.retention)
+        for r in retention_cohorts(df).collect()
+    }
+    assert got == {
+        ("2026-01-01", 0): (2, 2, 1.0),
+        ("2026-01-01", 2): (1, 2, 0.5),
+        ("2026-01-02", 0): (1, 1, 1.0),
+    }
+
+
+def test_gapfill_locf_fills_missing_hours(spark):
+    from datetime import datetime
+
+    from mistocksync_spark.operators.temporal import gapfill_locf
+
+    df = _ev(
+        spark,
+        [
+            (1, datetime(2026, 1, 1, 0, 30), 1, "a", 10.0),
+            (2, datetime(2026, 1, 1, 0, 45), 1, "a", 20.0),
+            # hour 1 and 2 empty for 'a'
+            (3, datetime(2026, 1, 1, 3, 0), 1, "a", 7.0),
+            (4, datetime(2026, 1, 1, 5, 0), 1, "b", 1.0),
+        ],
+    )
+    rows = {(r.key, r.bucket): r for r in gapfill_locf(df).collect()}
+    assert len(rows) == 5  # a: hours 0..3 inclusive, b: hour 5 only
+    a1 = rows[("a", "2026-01-01 01:00:00")]
+    assert a1.avg_value is None and a1.value_locf == 15.0 and a1.is_gap == 1
+    a3 = rows[("a", "2026-01-01 03:00:00")]
+    assert a3.avg_value == 7.0 and a3.value_locf == 7.0 and a3.is_gap == 0
+    assert rows[("b", "2026-01-01 05:00:00")].value_locf == 1.0
+
+
+def test_zscore_outliers_flags_planted_spike(spark):
+    from datetime import datetime
+
+    from mistocksync_spark.operators.aggregates import zscore_outliers
+
+    ts = datetime(2026, 1, 1)
+    rows = [(i, ts, 1, "a", float(v)) for i, v in enumerate([10.0] * 20 + [11.0] * 20)]
+    rows.append((99, ts, 1, "a", 1000.0))  # the spike
+    rows.append((100, ts, 1, "b", 5.0))  # zero-variance group: no outliers
+    out = zscore_outliers(_ev(spark, rows)).collect()
+    assert [r.event_id for r in out] == [99]
+    assert out[0].zscore > 3.0 and out[0].value_r == 1000.0
+
+
+# ------------------------------------- round-5 session: quality gates
+def test_gopher_rules_planted_cases(spark):
+    from mistocksync_spark.operators.textual import gopher_rules
+
+    good = " ".join(f"word{i}" for i in range(60))  # 60 words, mean len ~6
+    short = "tiny doc"
+    bullets = "\n".join(f"- item {i}" for i in range(10)) + "\npadding " * 1
+    symbols = " ".join(["###"] * 50 + ["plain"] * 10)
+    df = _docs(spark, [(1, good), (2, short), (3, bullets), (4, symbols)])
+    got = {r.doc_id: r for r in gopher_rules(df).collect()}
+    assert got[1].pass_gopher == 1
+    assert got[2].pass_gopher == 0 and got[2].n_words == 2
+    # 10 of 11 lines are bullets -> bullet_frac > 0.9 (and too few words)
+    assert got[3].bullet_frac > 0.9 and got[3].pass_gopher == 0
+    assert got[4].symbol_ratio > 0.1 and got[4].pass_gopher == 0
+
+
+def test_gopher_rules_empty_and_null_text(spark):
+    from mistocksync_spark.operators.textual import gopher_rules
+
+    df = _docs(spark, [(1, ""), (2, None), (3, "   ")])
+    got = {r.doc_id: r for r in gopher_rules(df).collect()}
+    for i in (1, 2, 3):
+        assert got[i].n_words == 0 and got[i].pass_gopher == 0
+        assert got[i].mean_word_len == 0.0 and got[i].symbol_ratio == 0.0
+
+
+def test_rare_token_score_vocab_threshold(spark):
+    from mistocksync_spark.operators.textual import rare_token_score
+
+    # 10 docs of "common", 1 doc with "common rare": total 21 tokens.
+    # rel_threshold 0.1 -> vocab needs >= ceil(2.1) = 3 occurrences.
+    rows = [(i, "common common") for i in range(10)]
+    rows.append((10, "common rareword"))
+    out = {r.doc_id: r for r in rare_token_score(_docs(spark, rows), rel_threshold=0.1).collect()}
+    assert out[0].oov_fraction == 0.0 and out[0].n_tokens == 2
+    assert out[10].n_in_vocab == 1 and out[10].oov_fraction == 0.5
+
+
+def test_rare_token_score_drops_empty_docs(spark):
+    from mistocksync_spark.operators.textual import rare_token_score
+
+    df = _docs(spark, [(1, "a a a a"), (2, ""), (3, None)])
+    out = rare_token_score(df, rel_threshold=0.5).collect()
+    assert [r.doc_id for r in out] == [1]
+    assert out[0].oov_fraction == 0.0

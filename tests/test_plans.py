@@ -104,3 +104,41 @@ def test_boilerplate_strip_broadcasts_detected_set(spark):
     assert "SortMergeJoin" not in plan
     assert "Window" not in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_gopher_rules_is_scan_only(spark):
+    # pure column expressions: no exchange, no Python stage
+    plan = _plan(spark, "gopher_quality")
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_rare_token_vocab_broadcasts(spark):
+    # the ≤10k-entry vocabulary joins back as a broadcast; the exploded
+    # token stream never sort-merge-joins
+    plan = _plan(spark, "rare_token_score")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_anomaly_stats_broadcast_back(spark):
+    # #keys-row stat frame broadcasts onto the scan; second pass shuffle-free
+    plan = _plan(spark, "events_anomaly")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_transition_matrix_single_raw_shuffle(spark):
+    # only the per-user lag window shuffles raw events; the normalizing
+    # window runs over the tiny counts frame
+    plan = _plan(spark, "event_transitions")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Window") >= 1
+
+
+def test_gapfill_grid_never_joins_raw_events(spark):
+    # the dense hour grid derives from the aggregated frame; the
+    # grid↔agg join may be broadcast or shuffled but never a nested loop
+    plan = _plan(spark, "events_gapfill")
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
