@@ -130,6 +130,8 @@ def main():
             "events_anomaly",
             "gopher_quality",
             "rare_token_score",
+            "event_transitions_stream",
+            "embedding_quantize",
         ]
         if q in QUERIES
     ]
@@ -152,10 +154,12 @@ def main():
         return samples
 
     # untimed throwaways: eat JVM/session warmup plus the giant feed/stage1
-    # codegen compiles (shared by the five cascade-backed entries) before
+    # and code-extraction codegen compiles (shared by the cascade- and
+    # code-match-backed entries; the unified-code regex class alone kept
+    # product_code_match's first samples at ~2× its steady cost) before
     # sample 1 — state is reset afterwards, so timed runs still rebuild
     # their own caches/memos from scratch
-    for wq in ("top_event_types", "new_items"):
+    for wq in ("top_event_types", "new_items", "product_code_extract", "bracket_code_extract"):
         if wq in QUERIES:
             _reset(spark)
             run_once(wq)

@@ -288,10 +288,16 @@ def transition_matrix(
         events.select(key, ts, id_col, type_col)
         .withColumn("__prev", F.lag(type_col).over(w))
         .filter(F.col("__prev").isNotNull())
+        .select(F.col("__prev").alias("from_type"), F.col(type_col).alias("to_type"))
     )
-    counts = pairs.groupBy(
-        F.col("__prev").alias("from_type"), F.col(type_col).alias("to_type")
-    ).agg(F.count("*").alias("cnt"))
+    return transition_counts(pairs)
+
+
+def transition_counts(pairs: DataFrame) -> DataFrame:
+    """Collapse a (from_type, to_type) pair stream into counts and
+    row-normalized probabilities — shared by the batch lag-window plan and
+    the stateful-streaming pair emitter."""
+    counts = pairs.groupBy("from_type", "to_type").agg(F.count("*").alias("cnt"))
     w_from = Window.partitionBy("from_type")
     return counts.select(
         "from_type",

@@ -626,3 +626,38 @@ def ivf_topk(
     qcol = F.array(*[F.lit(float(x)) for x in query_vec])
     scored = candidates.select("vec_id", cosine(F.col("__vec"), qcol).alias("cos_sim"))
     return scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()).limit(k)
+
+
+def quantize_int8(df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization — the standard 4×
+    memory compression for ANN serving (scale = 127 / max|x|, code =
+    round(x·scale)) — with an EXACT reconstruction-error audit.
+
+    Pure column expressions over one scan, zero shuffles, no Python: the
+    error and code-sum fold sequentially over the array (``F.aggregate``),
+    the same strict left-fold the SQL oracle replays, so every output
+    double is bit-identical across engines (no accumulation-order margin).
+    All-zero vectors quantize to scale 0 / codes 0 / error 0.
+
+    Emits (vec_id, n_dims, scale_r, sum_q, recon_err_r): ``sum_q`` is the
+    integer code checksum (verifies the code vector without hashing
+    arrays), ``recon_err_r`` the rounded squared reconstruction error.
+    """
+    v = F.col(vec_col)
+    maxabs = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.when(maxabs > 0, F.lit(127.0) / maxabs).otherwise(F.lit(0.0))
+    code = lambda x: F.round(x * scale)  # integral-valued double in [-127, 127]
+    sum_q = F.aggregate(
+        F.transform(v, lambda x: code(x).cast("long")), F.lit(0).cast("long"), lambda a, b: a + b
+    )
+    err_terms = F.transform(v, lambda x: F.pow(x - code(x) / scale, F.lit(2.0)))
+    recon = F.when(
+        maxabs > 0, F.aggregate(err_terms, F.lit(0.0), lambda a, b: a + b)
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col).alias("vec_id"),
+        F.size(v).alias("n_dims"),
+        F.round(scale, 6).alias("scale_r"),
+        sum_q.alias("sum_q"),
+        F.round(recon, 9).alias("recon_err_r"),
+    )

@@ -3217,3 +3217,72 @@ def rare_token_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rare_token_score(
         spark.read.parquet(f"{sf_dir}/documents.parquet"), rel_threshold=1e-4
     )
+
+
+@query("event_transitions_stream")
+def event_transitions_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful-streaming parity run of the transition matrix: the
+    (from, to) pair stream comes from ``applyInPandasWithState`` (O(1)
+    state per user — the last event), counted downstream; with
+    Trigger.AvailableNow over the static file the result equals the batch
+    lag-window plan, so it shares the batch oracle (full hash check)."""
+    from mistocksync_spark.operators.temporal import transition_counts
+    from mistocksync_spark.streaming.events import read_events_stream
+    from mistocksync_spark.streaming.transitions import transition_pairs_stateful
+
+    qname = _stream_sink_name("event_transitions_stream_sink")
+    q = (
+        transition_pairs_stateful(read_events_stream(spark, sf_dir))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError(
+            "availableNow stream did not finish within 300 s — refusing to "
+            "return a partial memory table (it would fail the oracle with a "
+            "confusing value diff instead of a clear timeout)"
+        )
+    return transition_counts(spark.table(qname))
+
+
+ORACLES["event_transitions_stream"] = ORACLES["event_transitions"]
+
+
+@query(
+    "embedding_quantize",
+    r"""
+    WITH q AS (
+        SELECT vec_id, embedding,
+               list_max(list_transform(embedding, x -> abs(x))) AS maxabs
+        FROM embeddings
+    ), s AS (
+        SELECT vec_id, embedding,
+               -- CAST: 127.0 / FLOAT stays FLOAT in DuckDB; Spark's
+               -- lit(127.0)/float is DOUBLE — align the arithmetic type
+               CASE WHEN maxabs > 0 THEN 127.0 / CAST(maxabs AS DOUBLE) ELSE 0.0 END AS scale
+        FROM q
+    )
+    SELECT vec_id, len(embedding) AS n_dims,
+           round(scale, 6) AS scale_r,
+           CASE WHEN scale > 0 THEN CAST(list_reduce(
+               list_transform(embedding, x -> CAST(round(x * scale) AS BIGINT)),
+               (a, b) -> a + b) AS BIGINT) ELSE 0 END AS sum_q,
+           CASE WHEN scale > 0 THEN round(list_reduce(
+               list_transform(embedding,
+                   x -> pow(x - round(x * scale) / scale, 2)),
+               (a, b) -> a + b), 9) ELSE 0.0 END AS recon_err_r
+    FROM s
+    """,
+)
+def embedding_quantize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization audit over the embeddings corpus
+    (operators/vectors.quantize_int8): one scan, zero shuffles; the
+    reconstruction error folds strictly left-to-right in BOTH engines, so
+    the hash parity is exact, not margin-based."""
+    from mistocksync_spark.operators.vectors import quantize_int8
+
+    return quantize_int8(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))

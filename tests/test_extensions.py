@@ -958,3 +958,75 @@ def test_rare_token_score_drops_empty_docs(spark):
     out = rare_token_score(df, rel_threshold=0.5).collect()
     assert [r.doc_id for r in out] == [1]
     assert out[0].oov_fraction == 0.0
+
+
+def test_transitions_stream_equals_batch(spark, sf_dir):
+    from mistocksync_spark.plans.queries import QUERIES
+
+    got = {
+        (r.from_type, r.to_type): (r.cnt, r.prob)
+        for r in QUERIES["event_transitions_stream"](spark, sf_dir).collect()
+    }
+    want = {
+        (r.from_type, r.to_type): (r.cnt, r.prob)
+        for r in QUERIES["event_transitions"](spark, sf_dir).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_transitions_stream_incremental_two_batches(spark, sf_dir, tmp_path):
+    """Two time-ordered micro-batches: the cross-batch pair (last event of
+    batch 1 → first event of batch 2 per user) must come from carried
+    state — the branch a single AvailableNow batch never hits."""
+    from mistocksync_spark.operators.temporal import transition_counts, transition_matrix
+    from mistocksync_spark.sources.testdata import load_events
+    from mistocksync_spark.streaming.transitions import transition_pairs_stateful
+
+    ev = load_events(spark, sf_dir).select("event_id", "ts", "user_id", "event_type")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    cutoff = lo + (hi - lo) / 2
+    src = str(tmp_path / "src")
+    ev.filter(F.col("ts") < F.lit(cutoff)).coalesce(1).write.parquet(src)
+    import time as _t
+
+    _t.sleep(1.1)  # file-source orders batches by mod time
+    ev.filter(F.col("ts") >= F.lit(cutoff)).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        transition_pairs_stateful(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("trans_incr_sink")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    got = {
+        (r.from_type, r.to_type): (r.cnt, r.prob)
+        for r in transition_counts(spark.table("trans_incr_sink")).collect()
+    }
+    want = {
+        (r.from_type, r.to_type): (r.cnt, r.prob)
+        for r in transition_matrix(load_events(spark, sf_dir)).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_quantize_int8_exact_values(spark):
+    from mistocksync_spark.operators.vectors import quantize_int8
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25]), (2, [0.0, 0.0]), (3, [2.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r.vec_id: r for r in quantize_int8(df).collect()}
+    # vec 1: scale 127, codes [127, -64 (round(-63.5) away from zero), 32]
+    assert got[1].scale_r == 127.0 and got[1].sum_q == 127 - 64 + 32
+    assert got[1].recon_err_r == round((0.25 - 32 / 127.0) ** 2 + (0.5 - 64 / 127.0) ** 2, 9)
+    # all-zero vector: scale 0, codes 0, error 0
+    assert (got[2].scale_r, got[2].sum_q, got[2].recon_err_r) == (0.0, 0, 0.0)
+    assert got[3].scale_r == 63.5 and got[3].sum_q == 127 and got[3].recon_err_r == 0.0

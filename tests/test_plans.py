@@ -142,3 +142,9 @@ def test_gapfill_grid_never_joins_raw_events(spark):
     # grid↔agg join may be broadcast or shuffled but never a nested loop
     plan = _plan(spark, "events_gapfill")
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_quantize_is_scan_only(spark):
+    plan = _plan(spark, "embedding_quantize")
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
