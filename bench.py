@@ -132,6 +132,8 @@ def main():
             "rare_token_score",
             "event_transitions_stream",
             "embedding_quantize",
+            "events_value_histogram",
+            "lineitem_profile",
         ]
         if q in QUERIES
     ]

@@ -134,3 +134,75 @@ def zscore_outliers(
             F.round(z, 3).alias("zscore"),
         )
     )
+
+
+def value_histogram(df: DataFrame, value: str = "value", nbins: int = 20) -> DataFrame:
+    """Equal-width histogram over a numeric column (``width_bucket``
+    parity): global [min, max] splits into ``nbins`` buckets, the max
+    lands in the last one.
+
+    Plan: a 1-row min/max aggregate broadcasts back onto the scan (the
+    ``mixture_plan`` shape), then ONE partial-agg shuffle of ≤nbins rows.
+    The constant bounds ride along as group keys, so bucket edges need no
+    second pass.  Degenerate all-equal input collapses into bucket 0.
+    """
+    mm = df.agg(F.min(value).alias("__lo"), F.max(value).alias("__hi"))
+    j = df.select(value).crossJoin(F.broadcast(mm))
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(nbins)
+    bucket = (
+        F.when(
+            width > 0,
+            F.least(F.floor((F.col(value) - F.col("__lo")) / width), F.lit(nbins - 1)),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    grouped = j.groupBy(bucket.alias("bin"), F.col("__lo"), F.col("__hi")).agg(
+        F.count("*").alias("cnt")
+    )
+    w = (F.col("__hi") - F.col("__lo")) / F.lit(nbins)
+    return grouped.select(
+        "bin",
+        F.round(F.col("__lo") + F.col("bin") * w, 6).alias("bin_lo"),
+        F.round(F.col("__lo") + (F.col("bin") + 1) * w, 6).alias("bin_hi"),
+        "cnt",
+    )
+
+
+def numeric_profile(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Table profiler (``describe`` parity) for a set of numeric columns:
+    non-null count, null count, min, max, rounded mean and sum — one row
+    per column.
+
+    Plan: ONE full-scan aggregate computes every statistic for every
+    column simultaneously (map-side partials, a single 1-row result);
+    the per-column rows unpivot from that row via explode — the funnel's
+    driver-free unpivot — so the table is scanned once regardless of how
+    many columns are profiled.
+    """
+    aggs = []
+    for c in columns:
+        aggs += [
+            F.count(c).alias(f"__n_{c}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nn_{c}"),
+            F.min(c).alias(f"__min_{c}"),
+            F.max(c).alias(f"__max_{c}"),
+            F.round(F.avg(c), 4).alias(f"__avg_{c}"),
+            F.round(F.sum(c), 2).alias(f"__sum_{c}"),
+        ]
+    row = df.agg(*aggs)
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col(f"__n_{c}").alias("n_values"),
+                F.col(f"__nn_{c}").alias("n_nulls"),
+                F.col(f"__min_{c}").cast("double").alias("min_v"),
+                F.col(f"__max_{c}").cast("double").alias("max_v"),
+                F.col(f"__avg_{c}").alias("avg_r"),
+                F.col(f"__sum_{c}").alias("sum_r"),
+            )
+            for c in columns
+        ]
+    )
+    return row.select(F.explode(structs).alias("r")).select("r.*")

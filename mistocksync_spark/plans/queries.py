@@ -3286,3 +3286,59 @@ def embedding_quantize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mistocksync_spark.operators.vectors import quantize_int8
 
     return quantize_int8(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+
+
+@query(
+    "events_value_histogram",
+    """
+    WITH mm AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events),
+    b AS (
+        SELECT CASE WHEN (hi - lo) / 20 > 0
+                    THEN CAST(least(floor((value - lo) / ((hi - lo) / 20)), 19) AS BIGINT)
+                    ELSE 0 END AS bin,
+               lo, hi
+        FROM events, mm
+    )
+    SELECT bin,
+           round(lo + bin * ((hi - lo) / 20), 6) AS bin_lo,
+           round(lo + (bin + 1) * ((hi - lo) / 20), 6) AS bin_hi,
+           COUNT(*) AS cnt
+    FROM b GROUP BY bin, lo, hi
+    """,
+)
+def events_value_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width 20-bucket histogram over event values
+    (operators/aggregates.value_histogram): 1-row bounds broadcast back,
+    one ≤nbins-row partial-agg shuffle."""
+    from mistocksync_spark.operators.aggregates import value_histogram
+    from mistocksync_spark.sources.testdata import load_events
+
+    return value_histogram(load_events(spark, sf_dir), nbins=20)
+
+
+def _sql_numeric_profile() -> str:
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    parts = [
+        f"""
+        SELECT '{c}' AS column_name, COUNT({c}) AS n_values,
+               SUM(CAST({c} IS NULL AS BIGINT)) AS n_nulls,
+               CAST(MIN({c}) AS DOUBLE) AS min_v, CAST(MAX({c}) AS DOUBLE) AS max_v,
+               round(AVG({c}), 4) AS avg_r, round(SUM({c}), 2) AS sum_r
+        FROM lineitem
+        """
+        for c in cols
+    ]
+    return " UNION ALL ".join(parts)
+
+
+@query("lineitem_profile", _sql_numeric_profile())
+def lineitem_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """describe-parity profiler over lineitem's numeric measures
+    (operators/aggregates.numeric_profile): every statistic for every
+    column computes in ONE full-scan aggregate; rows unpivot via explode."""
+    from mistocksync_spark.operators.aggregates import numeric_profile
+
+    return numeric_profile(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )

@@ -1030,3 +1030,33 @@ def test_quantize_int8_exact_values(spark):
     # all-zero vector: scale 0, codes 0, error 0
     assert (got[2].scale_r, got[2].sum_q, got[2].recon_err_r) == (0.0, 0, 0.0)
     assert got[3].scale_r == 63.5 and got[3].sum_q == 127 and got[3].recon_err_r == 0.0
+
+
+def test_value_histogram_buckets_and_max_edge(spark):
+    from mistocksync_spark.operators.aggregates import value_histogram
+
+    df = spark.createDataFrame([(float(v),) for v in range(10)], "value double")
+    got = {r.bin: r for r in value_histogram(df, nbins=5).collect()}
+    # range [0,9], width 1.8: bins 0..4 get 2 each; v=9 (the max) stays in bin 4
+    assert {b: r.cnt for b, r in got.items()} == {0: 2, 1: 2, 2: 2, 3: 2, 4: 2}
+    assert got[0].bin_lo == 0.0 and got[4].bin_hi == 9.0
+
+
+def test_value_histogram_degenerate_single_value(spark):
+    from mistocksync_spark.operators.aggregates import value_histogram
+
+    df = spark.createDataFrame([(5.0,), (5.0,), (5.0,)], "value double")
+    rows = value_histogram(df, nbins=4).collect()
+    assert len(rows) == 1 and rows[0].bin == 0 and rows[0].cnt == 3
+
+
+def test_numeric_profile_counts_nulls_and_stats(spark):
+    from mistocksync_spark.operators.aggregates import numeric_profile
+
+    df = spark.createDataFrame(
+        [(1.0, 10.0), (3.0, None), (None, 30.0)], "a double, b double"
+    )
+    got = {r.column_name: r for r in numeric_profile(df, ["a", "b"]).collect()}
+    assert (got["a"].n_values, got["a"].n_nulls) == (2, 1)
+    assert (got["a"].min_v, got["a"].max_v, got["a"].avg_r, got["a"].sum_r) == (1.0, 3.0, 2.0, 4.0)
+    assert (got["b"].n_values, got["b"].avg_r) == (2, 20.0)

@@ -148,3 +148,14 @@ def test_quantize_is_scan_only(spark):
     plan = _plan(spark, "embedding_quantize")
     assert "Exchange" not in plan
     assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_histogram_and_profile_single_scan_shapes(spark):
+    # histogram: 1-row bounds broadcast back (BNLJ of one row is the
+    # accepted attach shape), then one small partial-agg shuffle
+    plan = _plan(spark, "events_value_histogram")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    # profiler: one scan-aggregate, explode unpivot — no join at all
+    plan = _plan(spark, "lineitem_profile")
+    assert "Join" not in plan and "Exchange hashpartitioning" not in plan
