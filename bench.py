@@ -134,6 +134,7 @@ def main():
             "embedding_quantize",
             "events_value_histogram",
             "lineitem_profile",
+            "embedding_topk_pq",
         ]
         if q in QUERIES
     ]

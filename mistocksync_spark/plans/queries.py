@@ -3342,3 +3342,18 @@ def lineitem_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
         ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
     )
+
+
+@query("embedding_topk_pq")
+def embedding_topk_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (rows-only: numpy codebook training
+    and the gather-scored scan are not SQL-expressible; recall vs the
+    exact brute-force oracle is asserted in tests).  Completes the ANN
+    ladder — brute (exact) / LSH buckets (no build) / IVF (coarse
+    partitions) / PQ (compressed codes) — each a different 100 TB
+    memory/recall trade."""
+    from mistocksync_spark.operators.vectors import pq_topk, pq_train
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = pq_train(emb, m=32, k=32, iterations=2)
+    return pq_topk(emb, _query_vec(spark, sf_dir), books, k=20)

@@ -1060,3 +1060,57 @@ def test_numeric_profile_counts_nulls_and_stats(spark):
     assert (got["a"].n_values, got["a"].n_nulls) == (2, 1)
     assert (got["a"].min_v, got["a"].max_v, got["a"].avg_r, got["a"].sum_r) == (1.0, 3.0, 2.0, 4.0)
     assert (got["b"].n_values, got["b"].avg_r) == (2, 20.0)
+
+
+def test_pq_topk_recall_vs_brute_force(spark, sf_dir):
+    from mistocksync_spark.operators.vectors import brute_force_topk, pq_topk, pq_train
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    books = pq_train(emb, m=32, k=32, iterations=2)
+    exact = [r.vec_id for r in brute_force_topk(emb, q, k=10).collect()]
+    approx = [r.vec_id for r in pq_topk(emb, q, books, k=10).collect()]
+    # 32×32 codebooks (dsub=2, 8× compression) on 64-dim vectors:
+    # self-match survives compression and most true neighbors rank in
+    # the ADC top-10 (measured 8/10 at sf0.001; gate at >=5)
+    assert approx[0] == 0
+    assert len(set(exact) & set(approx)) >= 5
+
+
+def test_pq_train_reduces_quantization_error(spark, sf_dir):
+    """Lloyd refinement must not worsen the PQ reconstruction error
+    (mean squared distance of normalized sub-vectors to their codeword)."""
+    import numpy as np
+
+    from mistocksync_spark.operators.vectors import pq_train
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    V = np.asarray(
+        [np.asarray(r["embedding"], dtype="float64") for r in emb.select("embedding").collect()]
+    )
+    V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+
+    def mse(books):
+        B = np.asarray(books)
+        m, _, dsub = B.shape
+        err = 0.0
+        for s in range(m):
+            Vs = V[:, s * dsub : (s + 1) * dsub]
+            d = ((Vs[:, None, :] - B[s][None, :, :]) ** 2).sum(axis=2)
+            err += d.min(axis=1).mean()
+        return err
+
+    seed_books = pq_train(emb, m=8, k=16, iterations=0)
+    trained = pq_train(emb, m=8, k=16, iterations=2)
+    assert mse(trained) <= mse(seed_books) + 1e-12
+
+
+def test_pq_encode_shape_and_range(spark, sf_dir):
+    from mistocksync_spark.operators.vectors import pq_encode, pq_train
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = pq_train(emb, m=8, k=16, iterations=1)
+    rows = pq_encode(emb, books).collect()
+    assert len(rows) == emb.count()
+    for r in rows[:20]:
+        assert len(r.codes) == 8 and all(0 <= c < 16 for c in r.codes)
