@@ -135,6 +135,9 @@ def main():
             "events_value_histogram",
             "lineitem_profile",
             "embedding_topk_pq",
+            "q3_shipping_priority",
+            "url_audit",
+            "domain_histogram",
         ]
         if q in QUERIES
     ]

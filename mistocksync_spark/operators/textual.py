@@ -681,3 +681,47 @@ def rare_token_score(
             F.round(1.0 - F.col("n_in_vocab") / F.col("n_tokens"), 6).alias("oov_fraction"),
         )
     )
+
+
+# URL audit / domain statistics (C4-style URL filtering: blocklisted
+# domains disqualify a document before any content-level gate runs).
+URL_RE = r"https?://[A-Za-z0-9.-]+(?:/[^ \t\n]*)?"
+URL_DOMAIN_RE = r"https?://([A-Za-z0-9.-]+)"
+DEFAULT_URL_BLOCKLIST = ("tracker.blocked.example.com",)
+
+
+def url_audit(
+    df: DataFrame,
+    blocklist: tuple[str, ...] = DEFAULT_URL_BLOCKLIST,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document URL audit: URL count, blocklisted-domain hit count and
+    the keep decision — pure regex/array column expressions, one scan,
+    zero shuffles.  The blocklist is a literal predicate (at real scale a
+    broadcast set; the operator shape is identical)."""
+    t = F.col(text_col)
+    urls = F.regexp_extract_all(t, F.lit(URL_RE), 0)
+    domains = F.transform(urls, lambda u: F.regexp_extract(u, URL_DOMAIN_RE, 1))
+    n_blocked = F.size(F.filter(domains, lambda d: d.isin(*blocklist)))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(urls).alias("n_urls"),
+        n_blocked.alias("n_blocked"),
+        (n_blocked == 0).cast("int").alias("keep"),
+    )
+
+
+def domain_histogram(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-wide domain frequency: distinct referencing docs and total
+    mentions per domain — the input to curating a URL blocklist.  Explode
+    of the per-doc domain arrays feeds ONE map-side-partial aggregation."""
+    t = F.col(text_col)
+    urls = F.regexp_extract_all(t, F.lit(URL_RE), 0)
+    domains = F.transform(urls, lambda u: F.regexp_extract(u, URL_DOMAIN_RE, 1))
+    ex = df.select(F.col(id_col).alias("doc_id"), F.explode(domains).alias("domain"))
+    return ex.groupBy("domain").agg(
+        F.countDistinct("doc_id").alias("n_docs"), F.count("*").alias("n_mentions")
+    )

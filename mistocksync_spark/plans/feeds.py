@@ -235,3 +235,27 @@ def emb_aug(spark, sf_dir: str):
         F.transform(F.col("embedding"), lambda x: x.cast("float") * 2).alias("embedding"),
     )
     return emb.select("vec_id", "embedding").unionByName(exact).unionByName(scaled)
+
+
+# Documents with URLs planted (a per-doc unique page on a rotating set of
+# 20 domains every 4th doc; a blocklisted domain on every 9th-pattern doc)
+# so the URL-audit / domain-histogram operators have positives.
+DOCS_URL_SQL = """
+SELECT doc_id,
+  CASE WHEN doc_id % 4 = 0
+       THEN text || ' see https://site' || CAST(doc_id % 20 AS STRING)
+            || '.example.org/p/' || CAST(doc_id AS STRING)
+       ELSE text END
+  || CASE WHEN doc_id % 9 = 2
+          THEN ' via http://tracker.blocked.example.com/c?id=' || CAST(doc_id AS STRING)
+          ELSE '' END AS text,
+  lang, source
+FROM documents
+"""
+
+
+def docs_url(spark, sf_dir: str):
+    import os
+
+    spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).createOrReplaceTempView("documents")
+    return spark.sql(DOCS_URL_SQL)

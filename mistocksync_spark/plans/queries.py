@@ -3357,3 +3357,129 @@ def embedding_topk_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     books = pq_train(emb, m=32, k=32, iterations=2)
     return pq_topk(emb, _query_vec(spark, sf_dir), books, k=20)
+
+
+@query(
+    "q3_shipping_priority",
+    """
+    SELECT l.l_orderkey,
+           round(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l.l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape over the three-table star: segment-filtered customers
+    join orders join lineitem, revenue per order, top 10.  The plan the
+    engine must produce at 100 TB: both date/segment filters PUSHED into
+    the parquet scans, the filtered customer side BROADCAST into orders,
+    and only the orders↔lineitem join shuffling on the fact keys (plan
+    test pins no-cartesian + pushed filters; AQE handles skew)."""
+    cust = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    )
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter(F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    joined = li.join(
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
+        li.l_orderkey == orders.o_orderkey,
+    )
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+def _docs_url_cte() -> str:
+    from mistocksync_spark.plans.feeds import DOCS_URL_SQL
+
+    return f"WITH docsu AS ({DOCS_URL_SQL})"
+
+
+def _sql_url_audit() -> str:
+    from mistocksync_spark.operators.textual import (
+        DEFAULT_URL_BLOCKLIST,
+        URL_DOMAIN_RE,
+        URL_RE,
+    )
+
+    blocked = ", ".join(f"'{d}'" for d in DEFAULT_URL_BLOCKLIST)
+    return (
+        _docs_url_cte()
+        + f"""
+    , u AS (
+        SELECT doc_id,
+               list_transform(regexp_extract_all(text, '{URL_RE}'),
+                              x -> regexp_extract(x, '{URL_DOMAIN_RE}', 1)) AS domains
+        FROM docsu
+    )
+    SELECT doc_id, len(domains) AS n_urls,
+           len(list_filter(domains, d -> d IN ({blocked}))) AS n_blocked,
+           CAST(len(list_filter(domains, d -> d IN ({blocked}))) = 0 AS INTEGER) AS keep
+    FROM u
+    """
+    )
+
+
+@query("url_audit", _sql_url_audit())
+def url_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style URL/blocklist audit over the planted-URL corpus view
+    (operators/textual.url_audit): regex/array expressions, one scan,
+    zero shuffles."""
+    from mistocksync_spark.operators.textual import url_audit
+    from mistocksync_spark.plans.feeds import docs_url
+
+    return url_audit(docs_url(spark, sf_dir))
+
+
+def _sql_domain_histogram() -> str:
+    from mistocksync_spark.operators.textual import URL_DOMAIN_RE, URL_RE
+
+    return (
+        _docs_url_cte()
+        + f"""
+    , d AS (
+        SELECT doc_id, unnest(list_transform(regexp_extract_all(text, '{URL_RE}'),
+                              x -> regexp_extract(x, '{URL_DOMAIN_RE}', 1))) AS domain
+        FROM docsu
+    )
+    SELECT domain, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_mentions
+    FROM d GROUP BY domain
+    """
+    )
+
+
+@query("domain_histogram", _sql_domain_histogram())
+def domain_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide domain frequency over the planted-URL view
+    (operators/textual.domain_histogram): explode + ONE map-side-partial
+    aggregation keyed by domain."""
+    from mistocksync_spark.operators.textual import domain_histogram
+    from mistocksync_spark.plans.feeds import docs_url
+
+    return domain_histogram(docs_url(spark, sf_dir))

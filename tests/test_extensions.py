@@ -1114,3 +1114,44 @@ def test_pq_encode_shape_and_range(spark, sf_dir):
     assert len(rows) == emb.count()
     for r in rows[:20]:
         assert len(r.codes) == 8 and all(0 <= c < 16 for c in r.codes)
+
+
+def test_url_audit_counts_and_blocklist(spark):
+    from mistocksync_spark.operators.textual import url_audit
+
+    df = _docs(
+        spark,
+        [
+            (1, "see https://a.example.org/x and http://tracker.blocked.example.com/c?id=1"),
+            (2, "no links here"),
+            (3, "https://b.example.org/"),
+        ],
+    )
+    got = {r.doc_id: r for r in url_audit(df, blocklist=("tracker.blocked.example.com",)).collect()}
+    assert (got[1].n_urls, got[1].n_blocked, got[1].keep) == (2, 1, 0)
+    assert (got[2].n_urls, got[2].keep) == (0, 1)
+    assert (got[3].n_urls, got[3].n_blocked, got[3].keep) == (1, 0, 1)
+
+
+def test_domain_histogram_distinct_docs_vs_mentions(spark):
+    from mistocksync_spark.operators.textual import domain_histogram
+
+    df = _docs(
+        spark,
+        [
+            (1, "https://a.org/1 https://a.org/2"),
+            (2, "https://a.org/3"),
+            (3, "https://b.org/"),
+        ],
+    )
+    got = {r.domain: (r.n_docs, r.n_mentions) for r in domain_histogram(df).collect()}
+    assert got == {"a.org": (2, 3), "b.org": (1, 1)}
+
+
+def test_q3_plan_executes_and_orders(spark, sf_dir):
+    from mistocksync_spark.plans.queries import QUERIES
+
+    rows = QUERIES["q3_shipping_priority"](spark, sf_dir).collect()
+    assert len(rows) <= 10
+    revs = [r.revenue for r in rows]
+    assert revs == sorted(revs, reverse=True)

@@ -159,3 +159,17 @@ def test_histogram_and_profile_single_scan_shapes(spark):
     # profiler: one scan-aggregate, explode unpivot — no join at all
     plan = _plan(spark, "lineitem_profile")
     assert "Join" not in plan and "Exchange hashpartitioning" not in plan
+
+
+def test_q3_pushes_filters_and_broadcasts_customer(spark):
+    plan = _plan(spark, "q3_shipping_priority")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # segment + date predicates reach the parquet scans
+    assert "PushedFilters" in plan and "c_mktsegment" in plan
+
+
+def test_url_audit_is_scan_only(spark):
+    plan = _plan(spark, "url_audit")
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
