@@ -138,6 +138,7 @@ def main():
             "q3_shipping_priority",
             "url_audit",
             "domain_histogram",
+            "dedup_graph_degrees",
         ]
         if q in QUERIES
     ]

@@ -499,3 +499,21 @@ def dup_rate_by_source(
         .groupBy("source_a", "source_b")
         .agg(F.count("*").alias("pair_cnt"))
     )
+
+
+def similarity_graph_degrees(pairs: DataFrame) -> DataFrame:
+    """Degree distribution of the near-duplicate similarity graph: how
+    many candidate partners each document has, bucketed into a
+    (degree, n_docs) histogram — the triage view for dedup tuning (a fat
+    head means an over-connected band setting or template spam; isolated
+    nodes mean the thresholds are too tight).
+
+    Plan: the pair list explodes into one row per endpoint, then TWO
+    map-side-partial aggregations over shrinking frames (per-doc degree,
+    then the tiny degree histogram) — never touches raw text/signatures.
+    """
+    ends = pairs.select(
+        F.explode(F.array(F.col("doc_a"), F.col("doc_b"))).alias("doc_id")
+    )
+    deg = ends.groupBy("doc_id").agg(F.count("*").alias("degree"))
+    return deg.groupBy("degree").agg(F.count("*").alias("n_docs"))

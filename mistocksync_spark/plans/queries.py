@@ -3483,3 +3483,24 @@ def domain_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mistocksync_spark.plans.feeds import docs_url
 
     return domain_histogram(docs_url(spark, sf_dir))
+
+
+@query("dedup_graph_degrees")
+def dedup_graph_degrees_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the MinHash-LSH candidate graph
+    (operators/dedup.similarity_graph_degrees): explode endpoints + two
+    shrinking partial-agg groupBys over the pair list."""
+    from mistocksync_spark.operators.dedup import similarity_graph_degrees
+
+    return similarity_graph_degrees(QUERIES["minhash_lsh_pairs"](spark, sf_dir))
+
+
+ORACLES["dedup_graph_degrees"] = f"""
+    WITH pairs AS ({ORACLES["minhash_lsh_pairs"]})
+    , ends AS (
+        SELECT doc_a AS doc_id FROM pairs UNION ALL SELECT doc_b FROM pairs
+    ), deg AS (
+        SELECT doc_id, COUNT(*) AS degree FROM ends GROUP BY doc_id
+    )
+    SELECT degree, COUNT(*) AS n_docs FROM deg GROUP BY degree
+    """

@@ -1155,3 +1155,14 @@ def test_q3_plan_executes_and_orders(spark, sf_dir):
     assert len(rows) <= 10
     revs = [r.revenue for r in rows]
     assert revs == sorted(revs, reverse=True)
+
+
+def test_similarity_graph_degrees_counts(spark):
+    from mistocksync_spark.operators.dedup import similarity_graph_degrees
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (4, 5)], "doc_a long, doc_b long"
+    )
+    # docs 1,2,3 each have degree 2; docs 4,5 degree 1
+    got = {r.degree: r.n_docs for r in similarity_graph_degrees(pairs).collect()}
+    assert got == {2: 3, 1: 2}
