@@ -1,0 +1,69 @@
+"""Storage-layout sinks: range clustering must produce disjoint per-file
+statistics that a filter can prune; compaction must hit the file-count
+target.  Assertions read the actual parquet footers via pyarrow."""
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+
+def _file_ranges(path, column):
+    out = []
+    for p in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+        md = pq.ParquetFile(p).metadata
+        lo, hi = None, None
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                if col.path_in_schema == column and col.statistics is not None:
+                    s = col.statistics
+                    lo = s.min if lo is None else min(lo, s.min)
+                    hi = s.max if hi is None else max(hi, s.max)
+        out.append((lo, hi))
+    return out
+
+
+def test_clustered_write_produces_disjoint_ranges(spark, sf_dir, tmp_path):
+    from mistocksync_spark.sinks.layout import clustered_write
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id", "user_id")
+    path = clustered_write(ev, str(tmp_path / "clustered"), ["user_id"], n_files=4)
+    ranges = sorted(r for r in _file_ranges(path, "user_id") if r[0] is not None)
+    assert len(ranges) >= 2
+    for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+        assert hi_prev <= lo_next  # disjoint: a user_id predicate prunes files
+    # and the data round-trips
+    assert spark.read.parquet(path).count() == ev.count()
+
+
+def test_unclustered_write_overlaps_for_contrast(spark, sf_dir, tmp_path):
+    # hash repartition: every file spans ~the whole user_id domain, so a
+    # point predicate must open every file — the layout clustered_write fixes
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id", "user_id")
+    path = str(tmp_path / "hashed")
+    ev.repartition(4, "user_id").write.parquet(path)
+    ranges = [r for r in _file_ranges(path, "user_id") if r[0] is not None]
+    overlapping = sum(
+        1
+        for i, a in enumerate(ranges)
+        for b in ranges[i + 1 :]
+        if not (a[1] <= b[0] or b[1] <= a[0])
+    )
+    assert overlapping > 0
+
+
+def test_compact_files_hits_target_count(spark, sf_dir, tmp_path):
+    from mistocksync_spark.sinks.layout import compact_files
+
+    src = str(tmp_path / "many")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.repartition(16).write.parquet(src)
+    assert len(glob.glob(os.path.join(src, "*.parquet"))) == 16
+    total = sum(os.path.getsize(p) for p in glob.glob(os.path.join(src, "*.parquet")))
+    dst = str(tmp_path / "compact")
+    n = compact_files(spark, src, dst, target_file_bytes=max(-(-total // 2), 1))
+    assert n == 2
+    assert len(glob.glob(os.path.join(dst, "*.parquet"))) == 2
+    assert spark.read.parquet(dst).count() == ev.count()
