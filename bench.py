@@ -139,6 +139,7 @@ def main():
             "url_audit",
             "domain_histogram",
             "dedup_graph_degrees",
+            "events_winsorized",
         ]
         if q in QUERIES
     ]

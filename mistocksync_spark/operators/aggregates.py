@@ -206,3 +206,44 @@ def numeric_profile(df: DataFrame, columns: list[str]) -> DataFrame:
         ]
     )
     return row.select(F.explode(structs).alias("r")).select("r.*")
+
+
+def winsorized_stats(
+    df: DataFrame,
+    key: str = "event_type",
+    value: str = "value",
+    lo: float = 0.01,
+    hi: float = 0.99,
+) -> DataFrame:
+    """Robust per-group statistics: clip values to the exact [p_lo, p_hi]
+    percentile band, report the winsorized mean with clip counts — the
+    outlier-resistant twin of plain AVG (heavy-tail value columns make the
+    raw mean a lie; z-score flags individuals, winsorizing fixes the
+    aggregate).
+
+    Plan: pass 1 computes per-key exact percentiles (ONE shuffle,
+    #keys rows); the tiny threshold frame broadcasts back onto the scan,
+    so pass 2 aggregates with map-side partials only.  At 100 TB swap the
+    exact percentile for ``percentile_approx`` — identical downstream.
+    Thresholds round to 6 dp BEFORE clipping so both engines clip at
+    bit-identical bounds.
+    """
+    pq_ = df.groupBy(key).agg(
+        F.expr(f"percentile({value}, array({lo}D, {hi}D))").alias("__q")
+    )
+    thresholds = pq_.select(
+        key,
+        F.round(F.element_at("__q", 1), 6).alias("__plo"),
+        F.round(F.element_at("__q", 2), 6).alias("__phi"),
+    )
+    j = df.join(F.broadcast(thresholds), on=key)
+    v = F.col(value)
+    clipped = F.least(F.greatest(v, F.col("__plo")), F.col("__phi"))
+    return j.groupBy(key).agg(
+        F.count("*").alias("n"),
+        F.sum((v < F.col("__plo")).cast("long")).alias("n_clipped_low"),
+        F.sum((v > F.col("__phi")).cast("long")).alias("n_clipped_high"),
+        F.round(F.avg(clipped), 4).alias("mean_winsorized"),
+        F.min("__plo").alias("p_lo"),
+        F.min("__phi").alias("p_hi"),
+    )

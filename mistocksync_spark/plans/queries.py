@@ -3504,3 +3504,31 @@ ORACLES["dedup_graph_degrees"] = f"""
     )
     SELECT degree, COUNT(*) AS n_docs FROM deg GROUP BY degree
     """
+
+
+@query(
+    "events_winsorized",
+    """
+    WITH t AS (
+        SELECT event_type,
+               round(quantile_cont(value, 0.01), 6) AS plo,
+               round(quantile_cont(value, 0.99), 6) AS phi
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, COUNT(*) AS n,
+           SUM(CAST(e.value < t.plo AS BIGINT)) AS n_clipped_low,
+           SUM(CAST(e.value > t.phi AS BIGINT)) AS n_clipped_high,
+           round(AVG(least(greatest(e.value, t.plo), t.phi)), 4) AS mean_winsorized,
+           MIN(t.plo) AS p_lo, MIN(t.phi) AS p_hi
+    FROM events e JOIN t USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def events_winsorized_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized per-type value statistics (operators/aggregates.
+    winsorized_stats): exact-percentile thresholds broadcast back, second
+    pass map-side-partial only."""
+    from mistocksync_spark.operators.aggregates import winsorized_stats
+    from mistocksync_spark.sources.testdata import load_events
+
+    return winsorized_stats(load_events(spark, sf_dir))

@@ -1166,3 +1166,18 @@ def test_similarity_graph_degrees_counts(spark):
     # docs 1,2,3 each have degree 2; docs 4,5 degree 1
     got = {r.degree: r.n_docs for r in similarity_graph_degrees(pairs).collect()}
     assert got == {2: 3, 1: 2}
+
+
+def test_winsorized_stats_clips_planted_outlier(spark):
+    from datetime import datetime
+
+    from mistocksync_spark.operators.aggregates import winsorized_stats
+
+    ts = datetime(2026, 1, 1)
+    rows = [(i, ts, 1, "a", float(i)) for i in range(1, 100)]  # 1..99
+    rows.append((100, ts, 1, "a", 1_000_000.0))  # the tail that lies
+    got = winsorized_stats(_ev(spark, rows), lo=0.01, hi=0.99).collect()[0]
+    assert got.n == 100 and got.n_clipped_high >= 1
+    # interpolated p99 sits between 99 and the outlier (~10098), so the
+    # winsorized mean lands near the bulk (~150) instead of the raw ~10050
+    assert got.mean_winsorized < 200
