@@ -140,6 +140,7 @@ def main():
             "domain_histogram",
             "dedup_graph_degrees",
             "events_winsorized",
+            "media_frame_manifest",
         ]
         if q in QUERIES
     ]

@@ -131,3 +131,50 @@ def write_media_partitioned(media: DataFrame, path: str) -> str:
     cols = [c for c in media.columns if c != "payload"] + ["payload"]
     media.select(*cols).write.mode("overwrite").partitionBy("modality").parquet(path)
     return path
+
+
+def frame_sample_manifest(
+    media: DataFrame,
+    stride_sec: float = 2.0,
+    max_frames: int = 16,
+) -> DataFrame:
+    """Frame/clip sampling schedule for video/audio rows: one row per
+    sample timestamp — every ``stride_sec`` from t=0, capped at
+    ``max_frames`` evenly-strided samples per item — the manifest a decode
+    fleet consumes (each row is one independent unit of work, so the
+    decode stage parallelizes by row, not by file).
+
+    Duration comes from the typed metadata (here the deterministic-fake
+    ``duration_sec`` of ``extract_features``; a production table stores
+    probed metadata).  Pure ``sequence``/``explode`` expressions —
+    image rows (no duration) emit a single t=0 sample.
+    """
+    dur = F.coalesce(F.col("duration_sec"), F.lit(0.0))
+    n_raw = F.greatest((dur / F.lit(stride_sec)).cast("long"), F.lit(1))
+    n = F.least(n_raw, F.lit(max_frames))
+    # stride stretches when the cap bites, keeping samples evenly spread
+    eff = F.when(n > 1, dur / n.cast("double")).otherwise(F.lit(0.0))
+    idx = F.explode(F.sequence(F.lit(0), (n - 1).cast("int")))
+    return (
+        media.select(
+            "media_id",
+            "modality",
+            F.col("duration_sec"),
+            eff.alias("__eff"),
+            n.alias("n_samples"),
+        )
+        .select(
+            "media_id",
+            "modality",
+            "n_samples",
+            idx.alias("sample_idx"),
+            F.col("__eff"),
+        )
+        .select(
+            "media_id",
+            "modality",
+            "n_samples",
+            "sample_idx",
+            F.round(F.col("sample_idx") * F.col("__eff"), 3).alias("sample_t_sec"),
+        )
+    )

@@ -3532,3 +3532,19 @@ def events_winsorized_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mistocksync_spark.sources.testdata import load_events
 
     return winsorized_stats(load_events(spark, sf_dir))
+
+
+@query("media_frame_manifest")
+def media_frame_manifest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling schedule over the media table (rows-only: durations
+    come from the mapInPandas feature extractor's deterministic fake, not
+    SQL; the schedule arithmetic itself is pinned by unit tests)."""
+    from mistocksync_spark.operators.multimodal import (
+        extract_features,
+        frame_sample_manifest,
+        media_from_documents,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feats = extract_features(media_from_documents(docs))
+    return frame_sample_manifest(feats.filter(F.col("modality") != "image"))

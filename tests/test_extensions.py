@@ -1181,3 +1181,24 @@ def test_winsorized_stats_clips_planted_outlier(spark):
     # interpolated p99 sits between 99 and the outlier (~10098), so the
     # winsorized mean lands near the bulk (~150) instead of the raw ~10050
     assert got.mean_winsorized < 200
+
+
+def test_frame_sample_manifest_schedule(spark):
+    from mistocksync_spark.operators.multimodal import frame_sample_manifest
+
+    media = spark.createDataFrame(
+        [
+            (1, "video", 10.0),   # 10s / 2s stride -> 5 samples
+            (2, "video", 100.0),  # capped at 16, stride stretches to 6.25
+            (3, "image", None),   # single t=0 sample
+        ],
+        "media_id long, modality string, duration_sec double",
+    )
+    rows = frame_sample_manifest(media, stride_sec=2.0, max_frames=16).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r.media_id, []).append((r.sample_idx, r.sample_t_sec, r.n_samples))
+    assert len(by[1]) == 5 and by[1][0][2] == 5
+    assert sorted(t for _, t, _ in by[1]) == [0.0, 2.0, 4.0, 6.0, 8.0]
+    assert len(by[2]) == 16 and sorted(t for _, t, _ in by[2])[1] == 6.25
+    assert by[3] == [(0, 0.0, 1)]
