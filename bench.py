@@ -141,6 +141,9 @@ def main():
             "dedup_graph_degrees",
             "events_winsorized",
             "media_frame_manifest",
+            "events_pivot_daily",
+            "events_rollup",
+            "orders_referential_audit",
         ]
         if q in QUERIES
     ]

@@ -3548,3 +3548,102 @@ def media_frame_manifest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     feats = extract_features(media_from_documents(docs))
     return frame_sample_manifest(feats.filter(F.col("modality") != "image"))
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "events_pivot_daily",
+    """
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+           COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+           COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+           COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+           COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+    FROM events GROUP BY 1
+    """,
+)
+def events_pivot_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native pivot: day × event-type count matrix.  The EXPLICIT value
+    list keeps the schema static (no extra distinct-values job, no
+    schema drift when a type is absent at small SF) — the form that
+    compiles to ONE partial-agg shuffle of conditional counts, exactly
+    the plan the SQL oracle's CASE aggregation describes."""
+    from mistocksync_spark.sources.testdata import load_events
+
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"))
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, _EVENT_TYPES)
+    )
+
+
+@query(
+    "events_rollup",
+    """
+    SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           COUNT(*) AS cnt, round(SUM(value), 4) AS sum_value
+    FROM events GROUP BY ROLLUP (event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d'))
+    """,
+)
+def events_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals via native ROLLUP: (type, day) cells, per-type
+    subtotals, and the grand total in ONE aggregation pass (Spark expands
+    grouping sets inside the same hash aggregate — no union of re-scans);
+    NULL group markers match the SQL standard on both engines."""
+    from mistocksync_spark.sources.testdata import load_events
+
+    ev = load_events(spark, sf_dir)
+    return ev.rollup(
+        "event_type", F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")
+    ).agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 4).alias("sum_value"))
+
+
+@query(
+    "orders_referential_audit",
+    """
+    SELECT 'orders_without_customer' AS check_name,
+           (SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS n_violations
+    UNION ALL
+    SELECT 'lineitems_without_order',
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+    UNION ALL
+    SELECT 'customers_without_nation',
+           (SELECT COUNT(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+    """,
+)
+def orders_referential_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the order star: orphaned
+    orders/lineitems/customers counted via LEFT ANTI joins (each a
+    broadcast of the distinct key side where small, else a shuffled
+    anti) — the data-quality gate a warehouse runs after every load.
+    Three tiny count rows union driver-free."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+
+    def orphans(child, child_key, parent, parent_key, name):
+        cnt = (
+            child.select(F.col(child_key))
+            .join(
+                F.broadcast(parent.select(F.col(parent_key).alias(child_key)).distinct()),
+                on=child_key,
+                how="left_anti",
+            )
+            .agg(F.count("*").alias("n_violations"))
+        )
+        return cnt.select(F.lit(name).alias("check_name"), "n_violations")
+
+    return (
+        orphans(o, "o_custkey", c, "c_custkey", "orders_without_customer")
+        .unionByName(orphans(li, "l_orderkey", o, "o_orderkey", "lineitems_without_order"))
+        .unionByName(orphans(c, "c_nationkey", n, "n_nationkey", "customers_without_nation"))
+    )

@@ -1202,3 +1202,41 @@ def test_frame_sample_manifest_schedule(spark):
     assert sorted(t for _, t, _ in by[1]) == [0.0, 2.0, 4.0, 6.0, 8.0]
     assert len(by[2]) == 16 and sorted(t for _, t, _ in by[2])[1] == 6.25
     assert by[3] == [(0, 0.0, 1)]
+
+
+def test_referential_audit_counts_planted_orphans(spark, sf_dir):
+    from mistocksync_spark.plans.queries import QUERIES
+
+    got = {r.check_name: r.n_violations for r in QUERIES["orders_referential_audit"](spark, sf_dir).collect()}
+    # the synthetic star is referentially clean — every audit row exists and reads 0
+    assert set(got) == {
+        "orders_without_customer",
+        "lineitems_without_order",
+        "customers_without_nation",
+    }
+    assert all(v == 0 for v in got.values())
+
+
+def test_pivot_daily_matrix_counts(spark, sf_dir):
+    from mistocksync_spark.plans.queries import QUERIES
+    from mistocksync_spark.sources.testdata import load_events
+
+    rows = QUERIES["events_pivot_daily"](spark, sf_dir).collect()
+    total = sum(r.click + r.error + r.purchase + r.signup + r.view for r in rows)
+    assert total == load_events(spark, sf_dir).count()
+
+
+def test_rollup_grand_total_and_subtotals(spark, sf_dir):
+    from mistocksync_spark.plans.queries import QUERIES
+    from mistocksync_spark.sources.testdata import load_events
+
+    rows = QUERIES["events_rollup"](spark, sf_dir).collect()
+    n = load_events(spark, sf_dir).count()
+    grand = [r for r in rows if r.event_type is None and r.day is None]
+    assert len(grand) == 1 and grand[0].cnt == n
+    subtotals = {r.event_type: r.cnt for r in rows if r.event_type is not None and r.day is None}
+    cells = {}
+    for r in rows:
+        if r.event_type is not None and r.day is not None:
+            cells[r.event_type] = cells.get(r.event_type, 0) + r.cnt
+    assert subtotals == cells and sum(subtotals.values()) == n
