@@ -144,6 +144,8 @@ def main():
             "events_pivot_daily",
             "events_rollup",
             "orders_referential_audit",
+            "q5_local_supplier_volume",
+            "corpus_prepare",
         ]
         if q in QUERIES
     ]

@@ -725,3 +725,50 @@ def domain_histogram(
     return ex.groupBy("domain").agg(
         F.countDistinct("doc_id").alias("n_docs"), F.count("*").alias("n_mentions")
     )
+
+
+def corpus_prepare(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    oov_threshold: float = 0.5,
+    rel_threshold: float = 1e-4,
+) -> DataFrame:
+    """End-to-end corpus-preparation decision: exact dedup → Gopher rules
+    → corpus-relative OOV gate, composed into ONE decision row per input
+    document with the first failing gate as the reason — the pipeline a
+    training-data run actually executes, here as a single declarative
+    plan Catalyst can optimize across stages (the documents scan is
+    shared; nothing materializes between gates).
+
+    Gate order mirrors cost: the md5 digest dedup (one shuffle on the
+    digest) disqualifies copies before quality matters; the Gopher rules
+    are scan-only expressions; the OOV score reuses its two-shuffle
+    token plan.  Docs with zero tokens have no OOV row (left join → null
+    → gate passes vacuously) and are caught by the word-count rule.
+    """
+    digest = df.select(
+        F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("__dig")
+    )
+    keep_ids = digest.groupBy("__dig").agg(F.min("doc_id").alias("__keep_id"))
+    dup = digest.join(keep_ids, on="__dig").select(
+        "doc_id", (F.col("doc_id") != F.col("__keep_id")).alias("__is_dup")
+    )
+    g = gopher_rules(df, text_col=text_col, id_col=id_col)
+    oov = rare_token_score(
+        df, text_col=text_col, id_col=id_col, rel_threshold=rel_threshold
+    ).select("doc_id", "oov_fraction")
+    joined = g.join(dup, on="doc_id").join(oov, on="doc_id", how="left")
+    reason = (
+        F.when(F.col("__is_dup"), F.lit("duplicate"))
+        .when(F.col("pass_gopher") == 0, F.lit("gopher"))
+        .when(F.col("oov_fraction") > oov_threshold, F.lit("rare_tokens"))
+        .otherwise(F.lit("ok"))
+    )
+    return joined.select(
+        "doc_id",
+        "n_words",
+        F.coalesce(F.col("oov_fraction"), F.lit(0.0)).alias("oov_r"),
+        reason.alias("reason"),
+        (reason == "ok").cast("int").alias("keep"),
+    )

@@ -3647,3 +3647,95 @@ def orders_referential_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(orphans(li, "l_orderkey", o, "o_orderkey", "lineitems_without_order"))
         .unionByName(orphans(c, "c_nationkey", n, "n_nationkey", "customers_without_nation"))
     )
+
+
+@query(
+    "q5_local_supplier_volume",
+    """
+    SELECT n.n_name AS nation,
+           round(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey AND s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '2000-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def q5_local_supplier_volume_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: six-table join graph where customer AND supplier
+    must share a nation inside one region — local-supplier revenue per
+    nation.  The 100 TB plan: region/nation/supplier/customer dims all
+    BROADCAST (explicitly marked; supplier/customer carry only their
+    keys + nationkey after pruning), so the only shuffles are the
+    orders↔lineitem fact join and the final #nations-row aggregate —
+    the fact table is never repartitioned twice."""
+    r = spark.read.parquet(f"{sf_dir}/region.parquet").filter(F.col("r_name") == "ASIA")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_custkey", "c_nationkey")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet").select("s_suppkey", "s_nationkey")
+    o = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("2000-01-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(
+            F.broadcast(n),
+            (F.col("c_nationkey") == F.col("n_nationkey"))
+            & (F.col("s_nationkey") == F.col("n_nationkey")),
+        )
+    )
+    return j.groupBy(F.col("n_name").alias("nation")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+def _sql_corpus_prepare() -> str:
+    return f"""
+    WITH g AS ({_sql_gopher()}),
+    o AS ({ORACLES["rare_token_score"]}),
+    d AS (
+        SELECT doc_id, doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+        FROM documents
+    ), r AS (
+        SELECT g.doc_id, g.n_words,
+               COALESCE(o.oov_fraction, 0.0) AS oov_r,
+               CASE WHEN d.is_dup THEN 'duplicate'
+                    WHEN g.pass_gopher = 0 THEN 'gopher'
+                    WHEN o.oov_fraction > 0.5 THEN 'rare_tokens'
+                    ELSE 'ok' END AS reason
+        FROM g JOIN d USING (doc_id) LEFT JOIN o ON g.doc_id = o.doc_id
+    )
+    SELECT doc_id, n_words, oov_r, reason,
+           CAST(reason = 'ok' AS INTEGER) AS keep
+    FROM r
+    """
+
+
+@query("corpus_prepare", _sql_corpus_prepare())
+def corpus_prepare_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data decision pipeline (operators/textual.
+    corpus_prepare): exact dedup + Gopher rules + OOV gate composed into
+    one declarative plan — one decision row per document with the first
+    failing gate as the reason."""
+    from mistocksync_spark.operators.textual import corpus_prepare
+
+    return corpus_prepare(spark.read.parquet(f"{sf_dir}/documents.parquet"))

@@ -1240,3 +1240,39 @@ def test_rollup_grand_total_and_subtotals(spark, sf_dir):
         if r.event_type is not None and r.day is not None:
             cells[r.event_type] = cells.get(r.event_type, 0) + r.cnt
     assert subtotals == cells and sum(subtotals.values()) == n
+
+
+def test_corpus_prepare_gate_order_and_reasons(spark):
+    from mistocksync_spark.operators.textual import corpus_prepare
+
+    good = " ".join(f"word{i}" for i in range(60))
+    df = _docs(
+        spark,
+        [
+            (1, good),          # keeper (also dedup representative)
+            (2, good),          # exact duplicate -> 'duplicate' wins over any gate
+            (3, "tiny"),        # fails gopher word count
+            (4, good + " zz"),  # near-identical but distinct digest -> keeper
+        ],
+    )
+    got = {r.doc_id: (r.reason, r.keep) for r in corpus_prepare(df).collect()}
+    assert got[1] == ("ok", 1)
+    assert got[2] == ("duplicate", 0)
+    assert got[3] == ("gopher", 0)
+    assert got[4] == ("ok", 1)
+
+
+def test_corpus_prepare_rare_token_gate(spark):
+    from mistocksync_spark.operators.textual import corpus_prepare
+
+    # 60-word docs passing gopher; doc 9's tokens each appear once, far
+    # below the 2% mass threshold (vocab floor = 12 of 600 tokens)
+    common = " ".join(["alpha beta gamma delta epsilon zeta"] * 10)
+    rare = " ".join(f"xq{i}z" for i in range(60))
+    rows = [(i, common) for i in range(9)]
+    rows.append((9, rare))
+    got = {r.doc_id: r.reason for r in corpus_prepare(
+        _docs(spark, rows), oov_threshold=0.5, rel_threshold=0.02).collect()}
+    assert got[9] == "rare_tokens"
+    # the identical common docs: one representative keeps, the rest are dups
+    assert sorted(got[i] for i in range(9)) == ["duplicate"] * 8 + ["ok"]

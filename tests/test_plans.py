@@ -173,3 +173,12 @@ def test_url_audit_is_scan_only(spark):
     plan = _plan(spark, "url_audit")
     assert "Exchange" not in plan
     assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_q5_fact_table_shuffles_once(spark):
+    # every dim broadcast: no SortMergeJoin anywhere; the only hash
+    # exchanges are the orders/lineitem fact join sides + final agg
+    plan = _plan(spark, "q5_local_supplier_volume")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
