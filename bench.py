@@ -146,6 +146,7 @@ def main():
             "orders_referential_audit",
             "q5_local_supplier_volume",
             "corpus_prepare",
+            "events_value_deciles",
         ]
         if q in QUERIES
     ]

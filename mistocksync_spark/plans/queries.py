@@ -3739,3 +3739,46 @@ def corpus_prepare_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mistocksync_spark.operators.textual import corpus_prepare
 
     return corpus_prepare(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+@query(
+    "events_value_deciles",
+    """
+    WITH r AS (
+        SELECT event_type, value,
+               ntile(10) OVER w AS decile,
+               percent_rank() OVER w AS pr
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY value ASC, event_id ASC)
+    )
+    SELECT event_type, decile, COUNT(*) AS n,
+           round(MIN(value), 4) AS lo, round(MAX(value), 4) AS hi,
+           round(AVG(pr), 6) AS mean_pr
+    FROM r GROUP BY event_type, decile
+    """,
+)
+def events_value_deciles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed rank parity: per-type deciles via ntile(10) + percent_rank
+    over a TOTAL order (value, event_id — ties broken deterministically),
+    collapsed to one row per (type, decile).  ONE raw-data shuffle (the
+    per-type window), then a tiny partial-agg groupBy; both engines
+    follow the SQL-standard ceil-then-floor ntile distribution, so the
+    bucket boundaries are identical."""
+    from pyspark.sql import Window
+
+    from mistocksync_spark.sources.testdata import load_events
+
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy(F.col("value").asc(), F.col("event_id").asc())
+    r = ev.select(
+        "event_type",
+        "value",
+        F.ntile(10).over(w).alias("decile"),
+        F.percent_rank().over(w).alias("pr"),
+    )
+    return r.groupBy("event_type", "decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("value"), 4).alias("lo"),
+        F.round(F.max("value"), 4).alias("hi"),
+        F.round(F.avg("pr"), 6).alias("mean_pr"),
+    )

@@ -1276,3 +1276,24 @@ def test_corpus_prepare_rare_token_gate(spark):
     assert got[9] == "rare_tokens"
     # the identical common docs: one representative keeps, the rest are dups
     assert sorted(got[i] for i in range(9)) == ["duplicate"] * 8 + ["ok"]
+
+
+def test_value_deciles_partition_and_sizes(spark, sf_dir):
+    from mistocksync_spark.plans.queries import QUERIES
+    from mistocksync_spark.sources.testdata import load_events
+
+    rows = QUERIES["events_value_deciles"](spark, sf_dir).collect()
+    per_type = {}
+    for r in rows:
+        per_type.setdefault(r.event_type, []).append(r)
+    counts = load_events(spark, sf_dir).groupBy("event_type").count().collect()
+    for c in counts:
+        ds = sorted(per_type[c.event_type], key=lambda r: r.decile)
+        assert [d.decile for d in ds] == list(range(1, 11))
+        assert sum(d.n for d in ds) == c["count"]
+        # ntile: bucket sizes differ by at most one, larger buckets first
+        sizes = [d.n for d in ds]
+        assert max(sizes) - min(sizes) <= 1 and sizes == sorted(sizes, reverse=True)
+        # deciles partition the value range in order
+        for a, b in zip(ds, ds[1:]):
+            assert a.hi <= b.lo
