@@ -147,6 +147,8 @@ def main():
             "q5_local_supplier_volume",
             "corpus_prepare",
             "events_value_deciles",
+            "events_forecast_snaive",
+            "events_mad_outliers",
         ]
         if q in QUERIES
     ]

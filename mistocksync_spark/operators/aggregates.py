@@ -247,3 +247,45 @@ def winsorized_stats(
         F.min("__plo").alias("p_lo"),
         F.min("__phi").alias("p_hi"),
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    key: str = "event_type",
+    value: str = "value",
+    id_col: str = "event_id",
+    k: float = 5.0,
+) -> DataFrame:
+    """Median-absolute-deviation outlier flags — the robust twin of
+    ``zscore_outliers`` (a z-score's mean/stddev are themselves dragged by
+    the outliers they hunt; median/MAD are not).
+
+    Plan: two #keys-row percentile aggregates (median, then the median of
+    absolute deviations), each broadcast back onto the scan; the flagging
+    pass is shuffle-free.  Median and MAD round to 6 dp before use so
+    both engines threshold at bit-identical cuts; zero-MAD groups emit no
+    outliers.
+    """
+    med = df.groupBy(key).agg(
+        F.round(F.expr(f"percentile({value}, 0.5)"), 6).alias("__med")
+    )
+    j1 = df.join(F.broadcast(med), on=key)
+    mad = (
+        j1.groupBy(key)
+        .agg(
+            F.round(
+                F.expr(f"percentile(abs({value} - __med), 0.5)"), 6
+            ).alias("__mad")
+        )
+    )
+    j2 = j1.join(F.broadcast(mad), on=key)
+    rz = (F.col(value) - F.col("__med")) / F.col("__mad")
+    return (
+        j2.filter((F.col("__mad") > 0) & (F.abs(rz) > k))
+        .select(
+            F.col(id_col),
+            F.col(key),
+            F.round(F.col(value), 4).alias("value_r"),
+            F.round(rz, 3).alias("robust_z"),
+        )
+    )

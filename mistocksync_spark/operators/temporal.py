@@ -385,3 +385,42 @@ def gapfill_locf(
         F.last("avg_value", ignorenulls=True).over(w).alias("value_locf"),
         F.col("avg_value").isNull().cast("int").alias("is_gap"),
     )
+
+
+def seasonal_naive_forecast(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts: str = "ts",
+    value: str = "value",
+    season_hours: int = 24,
+) -> DataFrame:
+    """Seasonal-naive forecast — the baseline every fancier model must
+    beat: the next ``season_hours`` hourly buckets per key predict as the
+    value one season earlier.  Forecast windows anchor at each key's LAST
+    observed bucket, so the operator is pure history → horizon.
+
+    Plan: ONE partial-agg shuffle builds the hourly series (same shape as
+    ``gapfill_locf``); the per-key anchor is an unordered window max over
+    the aggregated frame; the horizon rows are a filter + timestamp shift
+    — no joins, no sequence explosion.  Bucket averages round before
+    shifting so predictions are bit-identical across engines.
+    """
+    bucket = F.date_trunc("hour", F.col(ts))
+    agg_df = events.groupBy(
+        F.col(key_col).alias("key"), bucket.alias("__bucket")
+    ).agg(F.round(F.avg(value), 4).alias("avg_value"))
+    w = Window.partitionBy("key")
+    anchored = agg_df.withColumn("__last", F.max("__bucket").over(w))
+    horizon = anchored.filter(
+        F.col("__bucket")
+        > F.col("__last") - F.expr(f"INTERVAL {season_hours} HOURS")
+    )
+    return horizon.select(
+        "key",
+        F.date_format(
+            F.col("__bucket") + F.expr(f"INTERVAL {season_hours} HOURS"),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("bucket"),
+        F.col("avg_value").alias("pred_value"),
+        F.date_format("__bucket", "yyyy-MM-dd HH:mm:ss").alias("basis_bucket"),
+    )

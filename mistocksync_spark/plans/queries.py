@@ -3782,3 +3782,58 @@ def events_value_deciles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("value"), 4).alias("hi"),
         F.round(F.avg("pr"), 6).alias("mean_pr"),
     )
+
+
+@query(
+    "events_forecast_snaive",
+    """
+    WITH agg AS (
+        SELECT event_type AS key, date_trunc('hour', ts) AS b,
+               round(AVG(value), 4) AS avg_value
+        FROM events GROUP BY 1, 2
+    ), anchored AS (
+        SELECT key, b, avg_value, MAX(b) OVER (PARTITION BY key) AS last_b
+        FROM agg
+    )
+    SELECT key,
+           strftime(b + INTERVAL 24 HOUR, '%Y-%m-%d %H:%M:%S') AS bucket,
+           avg_value AS pred_value,
+           strftime(b, '%Y-%m-%d %H:%M:%S') AS basis_bucket
+    FROM anchored WHERE b > last_b - INTERVAL 24 HOUR
+    """,
+)
+def events_forecast_snaive_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive 24-hour forecast per event type (operators/temporal.
+    seasonal_naive_forecast): one partial-agg shuffle, anchor via window
+    max over the aggregated frame, horizon = filter + timestamp shift."""
+    from mistocksync_spark.operators.temporal import seasonal_naive_forecast
+    from mistocksync_spark.sources.testdata import load_events
+
+    return seasonal_naive_forecast(load_events(spark, sf_dir))
+
+
+@query(
+    "events_mad_outliers",
+    """
+    WITH med AS (
+        SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+        FROM events GROUP BY event_type
+    ), mad AS (
+        SELECT e.event_type, round(quantile_cont(abs(e.value - m.med), 0.5), 6) AS mad
+        FROM events e JOIN med m USING (event_type) GROUP BY e.event_type
+    )
+    SELECT e.event_id, e.event_type, round(e.value, 4) AS value_r,
+           round((e.value - m.med) / d.mad, 3) AS robust_z
+    FROM events e JOIN med m USING (event_type) JOIN mad d USING (event_type)
+    WHERE d.mad > 0 AND abs((e.value - m.med) / d.mad) > 5.0
+    """,
+)
+def events_mad_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier flags (operators/aggregates.mad_outliers):
+    two #keys-row percentile aggregates broadcast back; flagging pass
+    shuffle-free; thresholds rounded to 6 dp so both engines cut at
+    bit-identical bounds."""
+    from mistocksync_spark.operators.aggregates import mad_outliers
+    from mistocksync_spark.sources.testdata import load_events
+
+    return mad_outliers(load_events(spark, sf_dir))

@@ -1297,3 +1297,40 @@ def test_value_deciles_partition_and_sizes(spark, sf_dir):
         # deciles partition the value range in order
         for a, b in zip(ds, ds[1:]):
             assert a.hi <= b.lo
+
+
+def test_seasonal_naive_forecast_shifts_last_day(spark):
+    from datetime import datetime
+
+    from mistocksync_spark.operators.temporal import seasonal_naive_forecast
+
+    rows = [
+        (1, datetime(2026, 1, 1, 10, 0), 1, "a", 5.0),
+        (2, datetime(2026, 1, 2, 9, 0), 1, "a", 7.0),
+        (3, datetime(2026, 1, 2, 10, 0), 1, "a", 9.0),  # anchor bucket
+    ]
+    got = {r.bucket: (r.pred_value, r.basis_bucket) for r in
+           seasonal_naive_forecast(_ev(spark, rows)).collect()}
+    # horizon = buckets within 24h of the anchor, shifted one day forward;
+    # the day-1 10:00 bucket is exactly 24h before the anchor -> excluded
+    assert got == {
+        "2026-01-03 09:00:00": (7.0, "2026-01-02 09:00:00"),
+        "2026-01-03 10:00:00": (9.0, "2026-01-02 10:00:00"),
+    }
+
+
+def test_mad_outliers_resist_mean_drag(spark):
+    from datetime import datetime
+
+    from mistocksync_spark.operators.aggregates import mad_outliers, zscore_outliers
+
+    ts = datetime(2026, 1, 1)
+    # ten huge outliers drag mean/stddev enough that plain z misses some;
+    # median/MAD stays anchored at the bulk and flags all ten
+    rows = [(i, ts, 1, "a", float(100 + (i % 7))) for i in range(200)]
+    rows += [(1000 + i, ts, 1, "a", 50_000.0) for i in range(10)]
+    df = _ev(spark, rows)
+    mad_ids = {r.event_id for r in mad_outliers(df, k=5.0).collect()}
+    assert mad_ids == {1000 + i for i in range(10)}
+    z_ids = {r.event_id for r in zscore_outliers(df, threshold=3.0).collect()}
+    assert z_ids <= mad_ids  # z never flags more than MAD here
