@@ -149,6 +149,8 @@ def main():
             "events_value_deciles",
             "events_forecast_snaive",
             "events_mad_outliers",
+            "events_forecast_backtest",
+            "mixture_apply",
         ]
         if q in QUERIES
     ]

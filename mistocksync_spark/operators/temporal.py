@@ -424,3 +424,47 @@ def seasonal_naive_forecast(
         F.col("avg_value").alias("pred_value"),
         F.date_format("__bucket", "yyyy-MM-dd HH:mm:ss").alias("basis_bucket"),
     )
+
+
+def seasonal_naive_backtest(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts: str = "ts",
+    value: str = "value",
+    season_hours: int = 24,
+) -> DataFrame:
+    """Backtest of the seasonal-naive forecaster on the LAST observed
+    season: predict each key's final ``season_hours`` hourly buckets from
+    one season earlier and score MAE + sMAPE against the actuals — the
+    evaluation half of the forecasting story (a forecast operator without
+    a scored backtest is a demo, not a tool).
+
+    Plan: the hourly series aggregates once (shared lineage with the
+    forecast); actuals and season-shifted predictions are two projections
+    of that SAME aggregated frame joined on (key, bucket) — small frames,
+    broadcast-eligible; per-key scores collapse via one tiny groupBy.
+    Buckets with no basis a season earlier drop out (inner join).
+    """
+    bucket = F.date_trunc("hour", F.col(ts))
+    agg_df = events.groupBy(
+        F.col(key_col).alias("key"), bucket.alias("__b")
+    ).agg(F.round(F.avg(value), 4).alias("__v"))
+    w = Window.partitionBy("key")
+    anchored = agg_df.withColumn("__last", F.max("__b").over(w))
+    actual = anchored.filter(
+        F.col("__b") > F.col("__last") - F.expr(f"INTERVAL {season_hours} HOURS")
+    ).select("key", "__b", F.col("__v").alias("__actual"))
+    pred = agg_df.select(
+        "key",
+        (F.col("__b") + F.expr(f"INTERVAL {season_hours} HOURS")).alias("__b"),
+        F.col("__v").alias("__pred"),
+    )
+    j = actual.join(pred, on=["key", "__b"])
+    err = F.abs(F.col("__pred") - F.col("__actual"))
+    denom = (F.abs(F.col("__pred")) + F.abs(F.col("__actual"))) / 2
+    smape_term = F.when(denom > 0, err / denom).otherwise(F.lit(0.0))
+    return j.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        F.round(F.avg(err), 4).alias("mae"),
+        F.round(F.avg(smape_term), 6).alias("smape"),
+    )

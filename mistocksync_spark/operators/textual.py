@@ -772,3 +772,31 @@ def corpus_prepare(
         reason.alias("reason"),
         (reason == "ok").cast("int").alias("keep"),
     )
+
+
+def mixture_apply(
+    df: DataFrame,
+    plan: DataFrame,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Execute a ``mixture_plan``: keep each document with its stratum's
+    ``sample_rate`` via the same deterministic md5-bucket coin
+    ``stratified_sample`` uses — reproducible across engines and
+    re-partitionings, no RNG state.  Strata at rate ≥ 1.0 keep every row
+    (the 16-bit threshold would otherwise drop bucket 0xffff).
+
+    Plan: the #strata-row plan broadcasts onto the scan; the filter is a
+    pure expression — no shuffle beyond what the plan itself needed.
+    """
+    rates = plan.select(F.col("source").alias(stratum_col), "sample_rate")
+    joined = df.join(F.broadcast(rates), on=stratum_col)
+    bucket = F.substring(F.md5(F.col(id_col).cast("string")), 1, 4)
+    thr = F.format_string(
+        "%04x",
+        F.floor(F.least(F.col("sample_rate") * 65536, F.lit(65535.0))).cast("int"),
+    )
+    keep = (F.col("sample_rate") >= 1.0) | (bucket < thr)
+    return joined.filter(keep).select(
+        F.col(id_col).alias("doc_id"), F.col(stratum_col).alias("source")
+    )

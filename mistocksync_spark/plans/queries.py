@@ -3837,3 +3837,66 @@ def events_mad_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mistocksync_spark.sources.testdata import load_events
 
     return mad_outliers(load_events(spark, sf_dir))
+
+
+@query(
+    "events_forecast_backtest",
+    """
+    WITH agg AS (
+        SELECT event_type AS key, date_trunc('hour', ts) AS b,
+               round(AVG(value), 4) AS v
+        FROM events GROUP BY 1, 2
+    ), anchored AS (
+        SELECT key, b, v, MAX(b) OVER (PARTITION BY key) AS last_b FROM agg
+    ), actual AS (
+        SELECT key, b, v AS a FROM anchored WHERE b > last_b - INTERVAL 24 HOUR
+    ), pred AS (
+        SELECT key, b + INTERVAL 24 HOUR AS b, v AS p FROM agg
+    ), j AS (
+        SELECT actual.key, abs(p - a) AS err,
+               CASE WHEN (abs(p) + abs(a)) / 2 > 0
+                    THEN abs(p - a) / ((abs(p) + abs(a)) / 2) ELSE 0.0 END AS st
+        FROM actual JOIN pred USING (key, b)
+    )
+    SELECT key, COUNT(*) AS n_scored,
+           round(AVG(err), 4) AS mae, round(AVG(st), 6) AS smape
+    FROM j GROUP BY key
+    """,
+)
+def events_forecast_backtest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scored backtest of the seasonal-naive forecaster (operators/
+    temporal.seasonal_naive_backtest): MAE + sMAPE per key over the last
+    observed season, both sides projections of ONE aggregated frame."""
+    from mistocksync_spark.operators.temporal import seasonal_naive_backtest
+    from mistocksync_spark.sources.testdata import load_events
+
+    return seasonal_naive_backtest(load_events(spark, sf_dir))
+
+
+def _sql_mixture_apply() -> str:
+    # a 20k-token budget (vs the planner query's 1M) so the sampling coin
+    # actually drops rows at sf0.01 — a keep-everything oracle would not
+    # discriminate
+    plan_sql = _SQL_MIXTURE_PLAN.replace("CAST(1000000 AS DOUBLE)", "CAST(20000 AS DOUBLE)")
+    return f"""
+    WITH plan AS ({plan_sql})
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN plan p ON d.source = p.source
+    WHERE p.sample_rate >= 1.0
+       OR substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
+          < printf('%04x', CAST(floor(least(p.sample_rate * 65536, 65535)) AS INT))
+    """
+
+
+@query("mixture_apply", _sql_mixture_apply())
+def mixture_apply_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execute the data-mixture plan (operators/textual.mixture_apply):
+    the #strata-row plan broadcasts onto the documents scan and the
+    deterministic md5-bucket coin decides survival — reproducible
+    sampling, no RNG."""
+    from mistocksync_spark.operators.textual import mixture_apply
+
+    from mistocksync_spark.operators.textual import mixture_plan
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return mixture_apply(docs, mixture_plan(docs, token_budget=20_000))

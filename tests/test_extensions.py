@@ -1334,3 +1334,37 @@ def test_mad_outliers_resist_mean_drag(spark):
     assert mad_ids == {1000 + i for i in range(10)}
     z_ids = {r.event_id for r in zscore_outliers(df, threshold=3.0).collect()}
     assert z_ids <= mad_ids  # z never flags more than MAD here
+
+
+def test_mixture_apply_rates_and_determinism(spark):
+    from mistocksync_spark.operators.textual import mixture_apply, mixture_plan
+
+    rows = [(i, "w " * 100, "en", "big") for i in range(200)]
+    rows += [(1000 + i, "w " * 10, "en", "small") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    plan = mixture_plan(df, token_budget=2000)  # 1000/stratum: big downsamples ~5%
+    out1 = {r.doc_id for r in mixture_apply(df, plan).collect()}
+    out2 = {r.doc_id for r in mixture_apply(df, plan).collect()}
+    assert out1 == out2  # deterministic coin
+    small = {d for d in out1 if d >= 1000}
+    big = out1 - small
+    assert small == {1000 + i for i in range(10)}  # rate 1.0 keeps ALL rows
+    assert 0 < len(big) < 200  # the big stratum actually downsampled
+
+
+def test_forecast_backtest_scores_known_series(spark):
+    from datetime import datetime, timedelta
+
+    from mistocksync_spark.operators.temporal import seasonal_naive_backtest
+
+    t0 = datetime(2026, 1, 1)
+    rows = []
+    # 48 hourly points: day 1 = 10.0 constant, day 2 = 12.0 constant
+    for h in range(48):
+        rows.append((h, t0 + timedelta(hours=h), 1, "a", 10.0 if h < 24 else 12.0))
+    got = seasonal_naive_backtest(_ev(spark, rows)).collect()
+    assert len(got) == 1
+    r = got[0]
+    # every day-2 bucket predicted from day 1: |12-10| = 2 everywhere
+    assert r.n_scored == 24 and r.mae == 2.0
+    assert r.smape == round(2 / 11, 6)
