@@ -151,6 +151,8 @@ def main():
             "events_mad_outliers",
             "events_forecast_backtest",
             "mixture_apply",
+            "events_stickiness",
+            "customer_rfm",
         ]
         if q in QUERIES
     ]

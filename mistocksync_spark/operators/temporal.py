@@ -468,3 +468,48 @@ def seasonal_naive_backtest(
         F.round(F.avg(err), 4).alias("mae"),
         F.round(F.avg(smape_term), 6).alias("smape"),
     )
+
+
+def stickiness(
+    events: DataFrame, key: str = "user_id", ts: str = "ts", window_days: int = 7
+) -> DataFrame:
+    """DAU / trailing-WAU engagement ratio per day — the product-metrics
+    staple that needs DISTINCT users over a sliding window, which no
+    window frame computes at scale.
+
+    Plan: the covering-window trick — dedup to (user, active_day) rows
+    (ONE shuffle over raw data), then each active day contributes the
+    user to the ``window_days`` window-end days it covers via a
+    ``sequence`` explode (×7 rows of (user, day) pairs, NOT raw events),
+    and one countDistinct per day yields the rolling distinct count with
+    no self-join and no per-day rescans.  Days are restricted to the
+    observed [min, max] range so the trailing window never invents days.
+    """
+    day = F.to_date(F.col(ts))
+    active = events.select(F.col(key), day.alias("__day")).distinct()
+    bounds = active.agg(
+        F.min("__day").alias("__d0"), F.max("__day").alias("__d1")
+    )
+    covered = (
+        active.crossJoin(F.broadcast(bounds))
+        .select(
+            key,
+            F.explode(
+                F.sequence(
+                    F.col("__day"),
+                    F.least(
+                        F.date_add(F.col("__day"), window_days - 1), F.col("__d1")
+                    ),
+                )
+            ).alias("__wday"),
+        )
+    )
+    wau = covered.groupBy("__wday").agg(F.countDistinct(key).alias("wau"))
+    dau = active.groupBy("__day").agg(F.countDistinct(key).alias("dau"))
+    j = dau.join(wau, dau["__day"] == wau["__wday"])
+    return j.select(
+        F.date_format("__day", "yyyy-MM-dd").alias("day"),
+        "dau",
+        "wau",
+        F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
+    )

@@ -3900,3 +3900,124 @@ def mixture_apply_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return mixture_apply(docs, mixture_plan(docs, token_budget=20_000))
+
+
+@query(
+    "events_stickiness",
+    """
+    WITH active AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), bounds AS (
+        SELECT MIN(day) AS d0, MAX(day) AS d1 FROM active
+    ), covered AS (
+        SELECT user_id,
+               CAST(UNNEST(generate_series(CAST(day AS TIMESTAMP),
+                    least(CAST(day AS TIMESTAMP) + INTERVAL 6 DAY,
+                          CAST((SELECT d1 FROM bounds) AS TIMESTAMP)),
+                    INTERVAL 1 DAY)) AS DATE) AS wday
+        FROM active
+    ), wau AS (
+        SELECT wday, COUNT(DISTINCT user_id) AS wau FROM covered GROUP BY wday
+    ), dau AS (
+        SELECT day, COUNT(DISTINCT user_id) AS dau FROM active GROUP BY day
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, dau, wau,
+           round(dau / wau, 6) AS stickiness
+    FROM dau JOIN wau ON dau.day = wau.wday
+    """,
+)
+def events_stickiness_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness (operators/temporal.stickiness): rolling
+    DISTINCT users via the covering-window explode — no self-join, no
+    per-day rescans; the explode multiplies (user, day) pairs, never raw
+    events."""
+    from mistocksync_spark.operators.temporal import stickiness
+    from mistocksync_spark.sources.testdata import load_events
+
+    return stickiness(load_events(spark, sf_dir))
+
+
+@query(
+    "customer_rfm",
+    """
+    WITH base AS (
+        SELECT o.o_custkey AS c_custkey,
+               date_diff('day', MAX(o.o_orderdate),
+                         (SELECT MAX(o_orderdate) FROM orders)) AS recency_days,
+               COUNT(*) AS frequency,
+               round(SUM(o.o_totalprice), 2) AS monetary
+        FROM orders o GROUP BY o.o_custkey
+    ), q AS (
+        SELECT round(quantile_cont(recency_days, 0.25), 6) AS r1,
+               round(quantile_cont(recency_days, 0.50), 6) AS r2,
+               round(quantile_cont(recency_days, 0.75), 6) AS r3,
+               round(quantile_cont(frequency, 0.25), 6) AS f1,
+               round(quantile_cont(frequency, 0.50), 6) AS f2,
+               round(quantile_cont(frequency, 0.75), 6) AS f3,
+               round(quantile_cont(monetary, 0.25), 6) AS m1,
+               round(quantile_cont(monetary, 0.50), 6) AS m2,
+               round(quantile_cont(monetary, 0.75), 6) AS m3
+        FROM base
+    )
+    SELECT c_custkey, recency_days, frequency, monetary,
+           4 - (CAST(recency_days > r1 AS INT) + CAST(recency_days > r2 AS INT)
+                + CAST(recency_days > r3 AS INT)) AS r_score,
+           1 + CAST(frequency > f1 AS INT) + CAST(frequency > f2 AS INT)
+             + CAST(frequency > f3 AS INT) AS f_score,
+           1 + CAST(monetary > m1 AS INT) + CAST(monetary > m2 AS INT)
+             + CAST(monetary > m3 AS INT) AS m_score
+    FROM base, q
+    """,
+)
+def customer_rfm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation over orders: recency/frequency/monetary per
+    customer scored into quartiles via PERCENTILE THRESHOLDS broadcast
+    back (not a global ntile — a SinglePartition window would bottleneck
+    at 100 TB; threshold comparison is embarrassingly parallel).
+    Thresholds round to 6 dp so both engines cut identically."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    maxd = o.agg(F.max("o_orderdate").alias("__maxd"))
+    base = (
+        o.crossJoin(F.broadcast(maxd))
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.datediff(F.max("__maxd"), F.max("o_orderdate")).alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+    )
+    q = base.agg(
+        *[
+            F.round(F.expr(f"percentile({c}, {p})"), 6).alias(f"{c[0]}{i}")
+            for c in ("recency_days", "frequency", "monetary")
+            for i, p in [(1, 0.25), (2, 0.50), (3, 0.75)]
+        ]
+    )
+    j = base.crossJoin(F.broadcast(q))
+    b = lambda cond: cond.cast("int")
+    return j.select(
+        "c_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        (
+            F.lit(4)
+            - (
+                b(F.col("recency_days") > F.col("r1"))
+                + b(F.col("recency_days") > F.col("r2"))
+                + b(F.col("recency_days") > F.col("r3"))
+            )
+        ).alias("r_score"),
+        (
+            F.lit(1)
+            + b(F.col("frequency") > F.col("f1"))
+            + b(F.col("frequency") > F.col("f2"))
+            + b(F.col("frequency") > F.col("f3"))
+        ).alias("f_score"),
+        (
+            F.lit(1)
+            + b(F.col("monetary") > F.col("m1"))
+            + b(F.col("monetary") > F.col("m2"))
+            + b(F.col("monetary") > F.col("m3"))
+        ).alias("m_score"),
+    )

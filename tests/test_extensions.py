@@ -1368,3 +1368,34 @@ def test_forecast_backtest_scores_known_series(spark):
     # every day-2 bucket predicted from day 1: |12-10| = 2 everywhere
     assert r.n_scored == 24 and r.mae == 2.0
     assert r.smape == round(2 / 11, 6)
+
+
+def test_stickiness_rolling_distinct(spark):
+    from datetime import datetime
+
+    from mistocksync_spark.operators.temporal import stickiness
+
+    d = lambda day, u: (day * 100 + u, datetime(2026, 1, day), u, "view", 0.0)
+    # user 1 active days 1 and 3; user 2 active day 2 only
+    df = _ev(spark, [d(1, 1), d(3, 1), d(2, 2)])
+    got = {r.day: (r.dau, r.wau, r.stickiness) for r in stickiness(df, window_days=7).collect()}
+    # trailing-7d distinct users: day1 {1}, day2 {1,2}, day3 {1,2}
+    assert got == {
+        "2026-01-01": (1, 1, 1.0),
+        "2026-01-02": (1, 2, 0.5),
+        "2026-01-03": (1, 2, 0.5),
+    }
+
+
+def test_rfm_scores_partition_customers(spark, sf_dir):
+    from mistocksync_spark.plans.queries import QUERIES
+
+    rows = QUERIES["customer_rfm"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 1 <= r.r_score <= 4 and 1 <= r.f_score <= 4 and 1 <= r.m_score <= 4
+    # quartile scoring: no single score bucket swallows everything
+    from collections import Counter
+
+    m_counts = Counter(r.m_score for r in rows)
+    assert len(m_counts) >= 3 and max(m_counts.values()) < len(rows)
