@@ -153,6 +153,7 @@ def main():
             "mixture_apply",
             "events_stickiness",
             "customer_rfm",
+            "chunk_dup_rate",
         ]
         if q in QUERIES
     ]

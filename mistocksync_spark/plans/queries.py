@@ -4021,3 +4021,49 @@ def customer_rfm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             + b(F.col("monetary") > F.col("m3"))
         ).alias("m_score"),
     )
+
+
+@query(
+    "chunk_dup_rate",
+    """
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    , ex AS (
+        SELECT doc_id, t, i AS chunk_id
+        FROM tok, UNNEST(generate_series(0, greatest((len(t)-1)//48, 0))) AS u(i)
+    ), chunks AS (
+        SELECT doc_id, chunk_id,
+               md5(array_to_string(list_slice(t, chunk_id*48+1, chunk_id*48+64), ' ')) AS dig
+        FROM ex
+    ), multi AS (
+        SELECT dig, COUNT(DISTINCT doc_id) AS nd FROM chunks GROUP BY dig
+    )
+    SELECT c.doc_id, COUNT(*) AS n_chunks,
+           SUM(CAST(m.nd > 1 AS BIGINT)) AS n_dup_chunks,
+           round(SUM(CAST(m.nd > 1 AS BIGINT)) / COUNT(*), 6) AS dup_chunk_rate
+    FROM chunks c JOIN multi m USING (dig)
+    GROUP BY c.doc_id
+    """,
+)
+def chunk_dup_rate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level cross-document duplication rate: context-window chunks
+    (the doc_chunks operator) digest to md5, digests seen in >1 DISTINCT
+    doc mark their chunks duplicated, per-doc rate follows — the
+    fine-grained dedup signal document-level digests miss (a doc that
+    copies half of another is exact-unique but 50% chunk-duplicated).
+
+    Plan: chunking is scan-only; ONE shuffle on the digest builds the
+    multi-doc counts; the join back is digest-keyed (no broadcast — the
+    digest table scales with the corpus); one per-doc partial agg."""
+    from mistocksync_spark.operators.textual import doc_chunks
+
+    chunks = doc_chunks(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), chunk_size=64, stride=48
+    ).select("doc_id", F.md5(F.col("chunk_text")).alias("dig"))
+    multi = chunks.groupBy("dig").agg(F.countDistinct("doc_id").alias("nd"))
+    j = chunks.join(multi, on="dig")
+    dup = (F.col("nd") > 1).cast("long")
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(dup).alias("n_dup_chunks"),
+        F.round(F.sum(dup) / F.count(F.lit(1)), 6).alias("dup_chunk_rate"),
+    )

@@ -1399,3 +1399,12 @@ def test_rfm_scores_partition_customers(spark, sf_dir):
 
     m_counts = Counter(r.m_score for r in rows)
     assert len(m_counts) >= 3 and max(m_counts.values()) < len(rows)
+
+
+def test_chunk_dup_rate_detects_partial_copy(spark, sf_dir):
+    from mistocksync_spark.plans.queries import QUERIES
+
+    rows = QUERIES["chunk_dup_rate"](spark, sf_dir).collect()
+    assert len(rows) == 500
+    for r in rows:
+        assert 0.0 <= r.dup_chunk_rate <= 1.0 and r.n_dup_chunks <= r.n_chunks
