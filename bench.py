@@ -154,6 +154,8 @@ def main():
             "events_stickiness",
             "customer_rfm",
             "chunk_dup_rate",
+            "ngram_containment_pairs",
+            "dedup_graph_triangles",
         ]
         if q in QUERIES
     ]

@@ -517,3 +517,59 @@ def similarity_graph_degrees(pairs: DataFrame) -> DataFrame:
     )
     deg = ends.groupBy("doc_id").agg(F.count("*").alias("degree"))
     return deg.groupBy("degree").agg(F.count("*").alias("n_docs"))
+
+
+def containment_pairs(
+    shingles: DataFrame, threshold: float = 0.7
+) -> DataFrame:
+    """Exact CONTAINMENT over distinct shingle sets: |A∩B| / min(|A|, |B|)
+    — the subset-copy detector Jaccard misses (a short doc fully quoted
+    inside a long one has tiny Jaccard but containment 1.0; this is the
+    near-dup signal for quote-inclusion, snippet reuse, header wrapping).
+
+    Same plan as ``ngram_jaccard_pairs``: only pairs sharing ≥1 shingle
+    materialize via the shingle equi-join — never quadratic in docs.
+    """
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), on="doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), on="doc_b")
+        .withColumn("containment", F.col("i") / F.least(F.col("na"), F.col("nb")))
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", F.round("containment", 6).alias("containment"))
+    )
+
+
+def triangle_count(pairs: DataFrame) -> DataFrame:
+    """Global triangle count of the similarity graph — the clustering-
+    coefficient numerator that distinguishes tight near-dup cliques
+    (template families) from chains (drifting revisions).
+
+    Plan: the classic two-join closure over ORDERED edges (a < b < c):
+    wedges join edge(a,b) with edge(b,c) on the middle vertex, then the
+    closing edge (a,c) confirms — with ordered endpoints every triangle
+    counts exactly once and no edge direction blows up.  Two equi-join
+    shuffles over the EDGE list (candidate pairs, already banded-bounded),
+    never over raw documents.
+    """
+    e = pairs.select("doc_a", "doc_b")
+    wedges = e.alias("e1").join(
+        e.alias("e2"), F.col("e1.doc_b") == F.col("e2.doc_a")
+    ).select(
+        F.col("e1.doc_a").alias("a"),
+        F.col("e1.doc_b").alias("b"),
+        F.col("e2.doc_b").alias("c"),
+    )
+    closed = wedges.join(
+        e.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c")),
+        on=["a", "c"],
+    )
+    return closed.agg(F.count(F.lit(1)).alias("n_triangles"))

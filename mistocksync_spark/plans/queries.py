@@ -4067,3 +4067,53 @@ def chunk_dup_rate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dup).alias("n_dup_chunks"),
         F.round(F.sum(dup) / F.count(F.lit(1)), 6).alias("dup_chunk_rate"),
     )
+
+
+ORACLES["ngram_containment_pairs"] = (
+    _docs_cte()
+    + _SQL_SHINGLES
+    + """
+    , sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+    , inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, round(CAST(i AS DOUBLE) / least(na.n, nb.n), 6) AS containment
+    FROM inter
+    JOIN sizes na ON na.doc_id = doc_a
+    JOIN sizes nb ON nb.doc_id = doc_b
+    WHERE CAST(i AS DOUBLE) / least(na.n, nb.n) >= 0.7
+    """
+)
+
+
+@query("ngram_containment_pairs")
+def ngram_containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup pairs (operators/dedup.containment_pairs):
+    the subset-copy detector — |A∩B| / min(|A|,|B|) over distinct shingle
+    sets, equi-join candidates only."""
+    from mistocksync_spark.operators.dedup import containment_pairs, shingle_table
+    from mistocksync_spark.plans.feeds import docs_aug
+
+    return containment_pairs(shingle_table(docs_aug(spark, sf_dir)), 0.7)
+
+
+@query("dedup_graph_triangles")
+def dedup_graph_triangles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count of the MinHash-LSH candidate graph
+    (operators/dedup.triangle_count): ordered-edge two-join closure over
+    the pair list — clique-vs-chain structure of the near-dup graph."""
+    from mistocksync_spark.operators.dedup import triangle_count
+
+    return triangle_count(QUERIES["minhash_lsh_pairs"](spark, sf_dir))
+
+
+ORACLES["dedup_graph_triangles"] = f"""
+    WITH pairs AS ({ORACLES["minhash_lsh_pairs"]})
+    , e AS (SELECT doc_a, doc_b FROM pairs)
+    SELECT COUNT(*) AS n_triangles
+    FROM e e1
+    JOIN e e2 ON e1.doc_b = e2.doc_a
+    JOIN e e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+    """

@@ -1408,3 +1408,31 @@ def test_chunk_dup_rate_detects_partial_copy(spark, sf_dir):
     assert len(rows) == 500
     for r in rows:
         assert 0.0 <= r.dup_chunk_rate <= 1.0 and r.n_dup_chunks <= r.n_chunks
+
+
+def test_containment_catches_subset_copy_jaccard_misses(spark):
+    from mistocksync_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+        shingle_table,
+    )
+
+    short = "один два три четыре пять"
+    long = short + " " + " ".join(f"слово{i}" for i in range(40))
+    df = _docs(spark, [(1, short), (2, long)])
+    sh = shingle_table(df)
+    # short doc fully contained -> containment 1.0, but Jaccard tiny
+    cont = containment_pairs(sh, threshold=0.9).collect()
+    assert len(cont) == 1 and cont[0].containment == 1.0
+    assert ngram_jaccard_pairs(sh, threshold=0.5).collect() == []
+
+
+def test_triangle_count_closed_vs_open(spark):
+    from mistocksync_spark.operators.dedup import triangle_count
+
+    tri = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "doc_a long, doc_b long"
+    )  # one triangle (1,2,3); edge (3,4) closes nothing
+    assert triangle_count(tri).collect()[0].n_triangles == 1
+    chain = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
+    assert triangle_count(chain).collect()[0].n_triangles == 0
