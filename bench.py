@@ -159,6 +159,8 @@ def main():
             "dedup_graph_clustering",
             "event_trigrams",
             "orders_yoy_growth",
+            "source_mix_drift",
+            "events_interarrival",
         ]
         if q in QUERIES
     ]

@@ -4244,3 +4244,95 @@ def orders_yoy_growth_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev.alias("prev_year_orders"),
         F.round((F.col("n_orders") - prev) / prev.cast("double"), 6).alias("yoy_growth"),
     )
+
+
+@query(
+    "source_mix_drift",
+    """
+    WITH b AS (
+        SELECT source,
+               CASE WHEN doc_id % 2 = 0 THEN 'a' ELSE 'b' END AS half
+        FROM documents
+    ), counts AS (
+        SELECT source,
+               COUNT(CASE WHEN half = 'a' THEN 1 END) AS n_a,
+               COUNT(CASE WHEN half = 'b' THEN 1 END) AS n_b
+        FROM b GROUP BY source
+    ), totals AS (
+        SELECT CAST(SUM(n_a) AS BIGINT) AS t_a, CAST(SUM(n_b) AS BIGINT) AS t_b
+        FROM counts
+    )
+    SELECT source, n_a, n_b,
+           round(CASE WHEN t_a > 0 THEN n_a / CAST(t_a AS DOUBLE) ELSE 0.0 END, 6) AS share_a,
+           round(CASE WHEN t_b > 0 THEN n_b / CAST(t_b AS DOUBLE) ELSE 0.0 END, 6) AS share_b,
+           round(abs((CASE WHEN t_a > 0 THEN n_a / CAST(t_a AS DOUBLE) ELSE 0.0 END)
+                   - (CASE WHEN t_b > 0 THEN n_b / CAST(t_b AS DOUBLE) ELSE 0.0 END)), 6) AS drift
+    FROM counts, totals
+    """,
+)
+def source_mix_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: per-source share in two deterministic
+    corpus halves (even/odd ids — swap in a time column in production)
+    with the absolute share delta — the mixture-regression alarm for a
+    pipeline whose upstream composition shifts.  One conditional-count
+    shuffle + a 1-row totals broadcast."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    counts = docs.groupBy("source").agg(
+        F.count(F.when(F.col("doc_id") % 2 == 0, 1)).alias("n_a"),
+        F.count(F.when(F.col("doc_id") % 2 != 0, 1)).alias("n_b"),
+    )
+    totals = counts.agg(
+        F.sum("n_a").alias("t_a"), F.sum("n_b").alias("t_b")
+    )
+    j = counts.crossJoin(F.broadcast(totals))
+    share_a = F.when(F.col("t_a") > 0, F.col("n_a") / F.col("t_a").cast("double")).otherwise(F.lit(0.0))
+    share_b = F.when(F.col("t_b") > 0, F.col("n_b") / F.col("t_b").cast("double")).otherwise(F.lit(0.0))
+    return j.select(
+        "source",
+        "n_a",
+        "n_b",
+        F.round(share_a, 6).alias("share_a"),
+        F.round(share_b, 6).alias("share_b"),
+        F.round(F.abs(share_a - share_b), 6).alias("drift"),
+    )
+
+
+@query(
+    "events_interarrival",
+    """
+    WITH g AS (
+        SELECT event_type,
+               (epoch_us(ts) - epoch_us(lag(ts) OVER (
+                   PARTITION BY user_id, event_type ORDER BY ts ASC, event_id ASC)))
+               / 1000000.0 AS gap_s
+        FROM events
+    )
+    SELECT event_type, COUNT(gap_s) AS n_gaps,
+           round(quantile_cont(gap_s, 0.5), 3) AS median_gap_s,
+           round(MIN(gap_s), 3) AS min_gap_s,
+           round(MAX(gap_s), 3) AS max_gap_s
+    FROM g WHERE gap_s IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def events_interarrival_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type inter-arrival statistics: gaps between consecutive events
+    of the SAME type per user (activity frequency profile) — one hash
+    exchange on (user, type) feeds the lag window, exact-percentile
+    median per type; µs integer arithmetic so gaps are engine-identical."""
+    from pyspark.sql import Window
+
+    from mistocksync_spark.sources.testdata import load_events
+
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    gap = (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))) / F.lit(1_000_000.0)
+    g = ev.select("event_type", gap.alias("gap_s")).filter(F.col("gap_s").isNotNull())
+    return g.groupBy("event_type").agg(
+        F.count("gap_s").alias("n_gaps"),
+        F.round(F.expr("percentile(gap_s, 0.5)"), 3).alias("median_gap_s"),
+        F.round(F.min("gap_s"), 3).alias("min_gap_s"),
+        F.round(F.max("gap_s"), 3).alias("max_gap_s"),
+    )

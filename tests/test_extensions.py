@@ -1486,3 +1486,38 @@ def test_yoy_growth_no_single_partition(spark, sf_dir):
         assert rs[0].prev_year_orders is None  # first year has no YoY
         for a, b in zip(rs, rs[1:]):
             assert b.prev_year_orders == a.n_orders
+
+
+def test_source_mix_drift_planted_shift(spark):
+    from mistocksync_spark.plans.queries import QUERIES  # noqa: F401
+    from pyspark.sql import functions as F2
+
+    # plant a drifted corpus: source 'x' only on even ids, 'y' only on odd
+    rows = [(i, "t", "en", "x" if i % 2 == 0 else "y") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    counts = df.groupBy("source").agg(
+        F2.count(F2.when(F2.col("doc_id") % 2 == 0, 1)).alias("n_a"),
+        F2.count(F2.when(F2.col("doc_id") % 2 != 0, 1)).alias("n_b"),
+    ).collect()
+    got = {r.source: (r.n_a, r.n_b) for r in counts}
+    assert got == {"x": (50, 0), "y": (0, 50)}  # maximal drift fixture holds
+
+
+def test_interarrival_gap_values(spark):
+    from datetime import datetime, timedelta
+
+    from mistocksync_spark.plans.queries import QUERIES
+    import tempfile, os
+
+    t0 = datetime(2026, 1, 1)
+    rows = [(i, t0 + timedelta(seconds=10 * i), 1, "a", 0.0) for i in range(4)]
+    rows += [(10, t0, 2, "a", 0.0), (11, t0 + timedelta(seconds=5), 2, "a", 0.0)]
+    df = _ev(spark, rows)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "events.parquet")
+        df.write.parquet(path)
+        out = {r.event_type: r for r in QUERIES["events_interarrival"](spark, d).collect()}
+    a = out["a"]
+    # gaps: user1 -> 10,10,10; user2 -> 5; median of [5,10,10,10] = 10
+    assert a.n_gaps == 4 and a.median_gap_s == 10.0
+    assert a.min_gap_s == 5.0 and a.max_gap_s == 10.0
