@@ -161,6 +161,7 @@ def main():
             "orders_yoy_growth",
             "source_mix_drift",
             "events_interarrival",
+            "ngram_jaccard_prefix",
         ]
         if q in QUERIES
     ]

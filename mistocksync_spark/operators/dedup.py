@@ -20,7 +20,7 @@ derived keys, no Python in the hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -573,3 +573,60 @@ def triangle_count(pairs: DataFrame) -> DataFrame:
         on=["a", "c"],
     )
     return closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def jaccard_prefix_pairs(
+    shingles: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """EXACT Jaccard pairs via prefix filtering (the ppjoin family) — the
+    scale path for ``ngram_jaccard_pairs``: instead of joining on EVERY
+    shared shingle, each doc exposes only its prefix of the
+    ``|A| - ceil(t·|A|) + 1`` globally-RAREST shingles; any pair with
+    J ≥ t provably shares a prefix shingle, so recall is 100% while the
+    candidate join collapses (frequent shingles — the quadratic killers —
+    drop out of the join key distribution).  Candidates then verify with
+    an exact set intersection, so results are IDENTICAL to the plain
+    equi-join operator (shared oracle; parity pinned in tests).
+
+    Plan: global shingle frequencies (one shuffle keyed by shingle) rank
+    each doc's shingles (one doc-keyed window), the prefix equi-join
+    materializes only rare-shingle collisions, and verification joins the
+    deduped candidate pairs back to per-doc shingle SETS (arrays bounded
+    by doc length) — no full-table co-shingle explosion anywhere.
+    """
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
+    freq = shingles.groupBy("shingle").agg(F.count("*").alias("__f"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("__f").asc(), F.col("shingle").asc())
+    ranked = (
+        shingles.join(freq, on="shingle")
+        .withColumn("__rn", F.row_number().over(w))
+        .join(sizes, on="doc_id")
+    )
+    prefix_len = F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+    prefix = ranked.filter(F.col("__rn") <= prefix_len).select("doc_id", "shingle")
+    a = prefix.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = prefix.select(F.col("doc_id").alias("doc_b"), "shingle")
+    cand = (
+        a.join(b, on="shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sets = shingles.groupBy("doc_id").agg(F.collect_set("shingle").alias("__set"))
+    j = (
+        cand.join(
+            sets.select(F.col("doc_id").alias("doc_a"), F.col("__set").alias("__sa")),
+            on="doc_a",
+        )
+        .join(
+            sets.select(F.col("doc_id").alias("doc_b"), F.col("__set").alias("__sb")),
+            on="doc_b",
+        )
+    )
+    i = F.size(F.array_intersect(F.col("__sa"), F.col("__sb")))
+    jac = i / (F.size(F.col("__sa")) + F.size(F.col("__sb")) - i)
+    return (
+        j.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )

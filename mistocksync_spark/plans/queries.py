@@ -4336,3 +4336,19 @@ def events_interarrival_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("gap_s"), 3).alias("min_gap_s"),
         F.round(F.max("gap_s"), 3).alias("max_gap_s"),
     )
+
+
+@query("ngram_jaccard_prefix")
+def ngram_jaccard_prefix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered exact Jaccard (operators/dedup.jaccard_prefix_pairs)
+    — the ppjoin-style scale path whose results are IDENTICAL to
+    ngram_jaccard_pairs (same oracle, full hash check): only the
+    candidate-generation strategy changes, collapsing the join-key
+    distribution by exposing each doc's rarest shingles only."""
+    from mistocksync_spark.operators.dedup import jaccard_prefix_pairs, shingle_table
+    from mistocksync_spark.plans.feeds import docs_aug
+
+    return jaccard_prefix_pairs(shingle_table(docs_aug(spark, sf_dir)), 0.5)
+
+
+ORACLES["ngram_jaccard_prefix"] = ORACLES["ngram_jaccard_pairs"]

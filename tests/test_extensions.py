@@ -1521,3 +1521,17 @@ def test_interarrival_gap_values(spark):
     # gaps: user1 -> 10,10,10; user2 -> 5; median of [5,10,10,10] = 10
     assert a.n_gaps == 4 and a.median_gap_s == 10.0
     assert a.min_gap_s == 5.0 and a.max_gap_s == 10.0
+
+
+def test_prefix_filter_jaccard_parity_and_pruning(spark, sf_dir):
+    from mistocksync_spark.operators.dedup import (
+        jaccard_prefix_pairs,
+        ngram_jaccard_pairs,
+        shingle_table,
+    )
+    from mistocksync_spark.plans.feeds import docs_aug
+
+    sh = shingle_table(docs_aug(spark, sf_dir))
+    plain = {(r.doc_a, r.doc_b): r.jaccard for r in ngram_jaccard_pairs(sh, 0.5).collect()}
+    pref = {(r.doc_a, r.doc_b): r.jaccard for r in jaccard_prefix_pairs(sh, 0.5).collect()}
+    assert pref == plain and len(plain) > 0  # 100% recall, identical scores
