@@ -603,12 +603,20 @@ def jaccard_prefix_pairs(
         .join(sizes, on="doc_id")
     )
     prefix_len = F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
-    prefix = ranked.filter(F.col("__rn") <= prefix_len).select("doc_id", "shingle")
-    a = prefix.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = prefix.select(F.col("doc_id").alias("doc_b"), "shingle")
+    prefix = ranked.filter(F.col("__rn") <= prefix_len).select("doc_id", "shingle", "n")
+    a = prefix.select(F.col("doc_id").alias("doc_a"), "shingle", F.col("n").alias("__na"))
+    b = prefix.select(F.col("doc_id").alias("doc_b"), "shingle", F.col("n").alias("__nb"))
+    # ppjoin length filter: J >= t forces min(|A|,|B|) >= t * max(|A|,|B|),
+    # pruning size-mismatched collisions before the set-verify join
     cand = (
         a.join(b, on="shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (
+                F.least(F.col("__na"), F.col("__nb"))
+                >= F.lit(threshold) * F.greatest(F.col("__na"), F.col("__nb"))
+            )
+        )
         .select("doc_a", "doc_b")
         .distinct()
     )
