@@ -162,6 +162,7 @@ def main():
             "source_mix_drift",
             "events_interarrival",
             "ngram_jaccard_prefix",
+            "events_gapfill_interp",
         ]
         if q in QUERIES
     ]

@@ -341,6 +341,29 @@ def retention_cohorts(
     )
 
 
+def _hourly_filled_grid(
+    events: DataFrame, key_col: str, ts: str, value: str
+) -> DataFrame:
+    """Shared gap-fill scaffold: per-(key, hour) rounded averages joined
+    onto the dense hour grid between each key's first and last bucket.
+    The grid derives from the ALREADY-AGGREGATED frame, so the sequence
+    explode never touches raw events."""
+    bucket = F.date_trunc("hour", F.col(ts))
+    agg_df = events.groupBy(
+        F.col(key_col).alias("key"), bucket.alias("__bucket")
+    ).agg(F.round(F.avg(value), 4).alias("avg_value"))
+    spans = agg_df.groupBy("key").agg(
+        F.min("__bucket").alias("__b0"), F.max("__bucket").alias("__b1")
+    )
+    grid = spans.select(
+        "key",
+        F.explode(
+            F.sequence(F.col("__b0"), F.col("__b1"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("__bucket"),
+    )
+    return grid.join(agg_df, on=["key", "__bucket"], how="left")
+
+
 def gapfill_locf(
     events: DataFrame,
     key_col: str = "event_type",
@@ -359,20 +382,7 @@ def gapfill_locf(
     The bucket average is rounded BEFORE the fill so carried values are
     bit-identical across engines.
     """
-    bucket = F.date_trunc("hour", F.col(ts))
-    agg_df = events.groupBy(
-        F.col(key_col).alias("key"), bucket.alias("__bucket")
-    ).agg(F.round(F.avg(value), 4).alias("avg_value"))
-    spans = agg_df.groupBy("key").agg(
-        F.min("__bucket").alias("__b0"), F.max("__bucket").alias("__b1")
-    )
-    grid = spans.select(
-        "key",
-        F.explode(
-            F.sequence(F.col("__b0"), F.col("__b1"), F.expr("INTERVAL 1 HOUR"))
-        ).alias("__bucket"),
-    )
-    filled = grid.join(agg_df, on=["key", "__bucket"], how="left")
+    filled = _hourly_filled_grid(events, key_col, ts, value)
     w = (
         Window.partitionBy("key")
         .orderBy("__bucket")
@@ -512,4 +522,59 @@ def stickiness(
         "dau",
         "wau",
         F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
+    )
+
+
+def gapfill_interp(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts: str = "ts",
+    value: str = "value",
+) -> DataFrame:
+    """Gap-filled hourly series with LINEAR INTERPOLATION — the
+    ``interpolate`` sibling of ``gapfill_locf``: a missing bucket takes
+    the value on the line between its nearest observed neighbours
+    (weighted by hour distance); leading/trailing gaps (one-sided) stay
+    NULL, which is the standard contract.
+
+    Same scaffold as LOCF (one partial-agg shuffle + grid from the
+    aggregated frame); the neighbour lookups are four ignore-nulls
+    window functions over ONE per-key ordering — no self-joins.  Bucket
+    averages round to 4 dp BEFORE interpolation and hour indices are
+    exact integers, so the interpolated doubles are engine-identical.
+    """
+    filled = _hourly_filled_grid(events, key_col, ts, value)
+    idx = F.floor(F.unix_micros(F.col("__bucket")) / F.lit(3_600_000_000))
+    filled = filled.withColumn("__idx", idx)
+    obs_idx = F.when(F.col("avg_value").isNotNull(), F.col("__idx"))
+    w_prev = (
+        Window.partitionBy("key")
+        .orderBy("__idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_next = (
+        Window.partitionBy("key")
+        .orderBy("__idx")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    prev_v = F.last("avg_value", ignorenulls=True).over(w_prev)
+    prev_i = F.last(obs_idx, ignorenulls=True).over(w_prev)
+    next_v = F.first("avg_value", ignorenulls=True).over(w_next)
+    next_i = F.first(obs_idx, ignorenulls=True).over(w_next)
+    # deliberately UNROUNDED interpolation: the operands (4-dp bucket
+    # averages + exact integer hour indices) are bit-identical across
+    # engines, so the quotient is too — rounding it would REINTRODUCE
+    # divergence on half-case decimal representations (the OHLC mean
+    # lesson: Spark rounds the shortest decimal repr, DuckDB the exact
+    # binary value)
+    interp = F.when(F.col("avg_value").isNotNull(), F.col("avg_value")).otherwise(
+        prev_v
+        + (next_v - prev_v) * (F.col("__idx") - prev_i) / (next_i - prev_i)
+    )
+    return filled.select(
+        "key",
+        F.date_format("__bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "avg_value",
+        interp.alias("value_interp"),
+        F.col("avg_value").isNull().cast("int").alias("is_gap"),
     )

@@ -4365,3 +4365,46 @@ def ngram_jaccard_prefix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["ngram_jaccard_prefix"] = ORACLES["ngram_jaccard_pairs"]
+
+
+@query(
+    "events_gapfill_interp",
+    """
+    WITH agg AS (
+        SELECT event_type AS key, date_trunc('hour', ts) AS b,
+               round(AVG(value), 4) AS avg_value
+        FROM events GROUP BY 1, 2
+    ), spans AS (
+        SELECT key, MIN(b) AS b0, MAX(b) AS b1 FROM agg GROUP BY key
+    ), grid AS (
+        SELECT key, UNNEST(generate_series(b0, b1, INTERVAL 1 HOUR)) AS b FROM spans
+    ), filled AS (
+        SELECT g.key, g.b, a.avg_value,
+               epoch_us(g.b) // 3600000000 AS idx
+        FROM grid g LEFT JOIN agg a USING (key, b)
+    ), n AS (
+        SELECT key, b, avg_value, idx,
+               last_value(avg_value IGNORE NULLS) OVER wp AS prev_v,
+               last_value(CASE WHEN avg_value IS NOT NULL THEN idx END IGNORE NULLS) OVER wp AS prev_i,
+               first_value(avg_value IGNORE NULLS) OVER wn AS next_v,
+               first_value(CASE WHEN avg_value IS NOT NULL THEN idx END IGNORE NULLS) OVER wn AS next_i
+        FROM filled
+        WINDOW wp AS (PARTITION BY key ORDER BY idx ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               wn AS (PARTITION BY key ORDER BY idx ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    )
+    SELECT key, strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket, avg_value,
+           CASE WHEN avg_value IS NOT NULL THEN avg_value
+                ELSE prev_v + (next_v - prev_v) * (idx - prev_i)
+                     / (next_i - prev_i) END AS value_interp,
+           CAST(avg_value IS NULL AS INTEGER) AS is_gap
+    FROM n
+    """,
+)
+def events_gapfill_interp_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation gap fill (operators/temporal.gapfill_interp):
+    the ``interpolate`` sibling of LOCF — four ignore-nulls window
+    functions over ONE per-key ordering, exact integer hour indices."""
+    from mistocksync_spark.operators.temporal import gapfill_interp
+    from mistocksync_spark.sources.testdata import load_events
+
+    return gapfill_interp(load_events(spark, sf_dir))

@@ -1535,3 +1535,23 @@ def test_prefix_filter_jaccard_parity_and_pruning(spark, sf_dir):
     plain = {(r.doc_a, r.doc_b): r.jaccard for r in ngram_jaccard_pairs(sh, 0.5).collect()}
     pref = {(r.doc_a, r.doc_b): r.jaccard for r in jaccard_prefix_pairs(sh, 0.5).collect()}
     assert pref == plain and len(plain) > 0  # 100% recall, identical scores
+
+
+def test_gapfill_interp_linear_values_and_edges(spark):
+    from datetime import datetime
+
+    from mistocksync_spark.operators.temporal import gapfill_interp
+
+    df = _ev(
+        spark,
+        [
+            (1, datetime(2026, 1, 1, 0, 30), 1, "a", 10.0),
+            # hours 1, 2 missing -> interpolate toward 16 at hour 3
+            (2, datetime(2026, 1, 1, 3, 0), 1, "a", 16.0),
+        ],
+    )
+    rows = {r.bucket: r for r in gapfill_interp(df).collect()}
+    assert rows["2026-01-01 01:00:00"].value_interp == 12.0
+    assert rows["2026-01-01 02:00:00"].value_interp == 14.0
+    assert rows["2026-01-01 00:00:00"].value_interp == 10.0  # observed passthrough
+    assert rows["2026-01-01 03:00:00"].is_gap == 0
