@@ -163,6 +163,8 @@ def main():
             "events_interarrival",
             "ngram_jaccard_prefix",
             "events_gapfill_interp",
+            "session_purchases",
+            "events_stickiness_approx",
         ]
         if q in QUERIES
     ]

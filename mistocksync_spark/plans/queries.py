@@ -4408,3 +4408,98 @@ def events_gapfill_interp_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mistocksync_spark.sources.testdata import load_events
 
     return gapfill_interp(load_events(spark, sf_dir))
+
+
+@query(
+    "session_purchases",
+    """
+    WITH l AS (
+        SELECT *, epoch_us(ts) AS us,
+               lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        FROM events
+    ), s AS (
+        SELECT *, SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_idx
+        FROM l
+    ), sess AS (
+        SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+               strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+        FROM s GROUP BY user_id, session_idx
+    )
+    SELECT sess.user_id, sess.session_idx, sess.session_start,
+           COUNT(p.event_id) AS n_purchases,
+           round(COALESCE(SUM(p.value), 0.0), 4) AS purchase_revenue
+    FROM sess LEFT JOIN events p
+      ON p.user_id = sess.user_id AND p.event_type = 'purchase'
+     AND strftime(p.ts, '%Y-%m-%d %H:%M:%S') BETWEEN sess.session_start AND sess.session_end
+    GROUP BY sess.user_id, sess.session_idx, sess.session_start
+    """,
+)
+def session_purchases_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session revenue attribution — the sessionizer composed with a
+    per-user range join: each purchase lands in its containing session,
+    purchase-less sessions keep zero.  The range predicate rides ON TOP
+    of the user_id equi key (per-user session/event cardinality is
+    bounded), so the join stays hash/sort-merge on user_id with the
+    BETWEEN as a residual filter — no nested loop; formatted-timestamp
+    strings compare lexicographically = chronologically."""
+    from mistocksync_spark.sources.testdata import load_events
+    from mistocksync_spark.streaming.sessions import sessionize_batch
+
+    ev = load_events(spark, sf_dir)
+    sess = sessionize_batch(ev).select("user_id", "session_idx", "session_start", "session_end")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("p_ts"),
+        F.col("value").alias("p_value"),
+        F.col("event_id").alias("p_id"),
+    )
+    j = sess.join(
+        p,
+        (sess.user_id == p.p_user)
+        & (p.p_ts >= sess.session_start)
+        & (p.p_ts <= sess.session_end),
+        how="left",
+    )
+    return j.groupBy("user_id", "session_idx", "session_start").agg(
+        F.count("p_id").alias("n_purchases"),
+        F.round(F.coalesce(F.sum("p_value"), F.lit(0.0)), 4).alias("purchase_revenue"),
+    )
+
+
+@query("events_stickiness_approx")
+def events_stickiness_approx_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of ``events_stickiness``: ``approx_count_distinct``
+    (HyperLogLog++, fixed sketch per group, merged map-side) replaces the
+    exact distinct — same covering-window plan, bounded memory.  Rows-only
+    (sketch estimates are rank-bounded, not exact; the relative-error
+    bound vs the exact twin is asserted in tests)."""
+    from mistocksync_spark.sources.testdata import load_events
+
+    ev = load_events(spark, sf_dir)
+    day = F.to_date(F.col("ts"))
+    active = ev.select(F.col("user_id"), day.alias("__day")).distinct()
+    bounds = active.agg(F.min("__day").alias("__d0"), F.max("__day").alias("__d1"))
+    covered = active.crossJoin(F.broadcast(bounds)).select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("__day"),
+                F.least(F.date_add(F.col("__day"), 6), F.col("__d1")),
+            )
+        ).alias("__wday"),
+    )
+    wau = covered.groupBy("__wday").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("wau_est")
+    )
+    dau = active.groupBy("__day").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("dau_est")
+    )
+    j = dau.join(wau, dau["__day"] == wau["__wday"])
+    return j.select(
+        F.date_format("__day", "yyyy-MM-dd").alias("day"),
+        "dau_est",
+        "wau_est",
+        F.round(F.col("dau_est") / F.col("wau_est"), 6).alias("stickiness_est"),
+    )

@@ -1555,3 +1555,28 @@ def test_gapfill_interp_linear_values_and_edges(spark):
     assert rows["2026-01-01 02:00:00"].value_interp == 14.0
     assert rows["2026-01-01 00:00:00"].value_interp == 10.0  # observed passthrough
     assert rows["2026-01-01 03:00:00"].is_gap == 0
+
+
+def test_session_purchases_attribution(spark, sf_dir):
+    from mistocksync_spark.plans.queries import QUERIES
+    from mistocksync_spark.sources.testdata import load_events
+
+    rows = QUERIES["session_purchases"](spark, sf_dir).collect()
+    ev = load_events(spark, sf_dir)
+    total_purchases = ev.filter(F.col("event_type") == "purchase").count()
+    # every session appears once; every purchase attributed exactly once
+    assert len({(r.user_id, r.session_idx) for r in rows}) == len(rows)
+    assert sum(r.n_purchases for r in rows) == total_purchases
+    assert any(r.n_purchases == 0 for r in rows)  # purchase-less sessions kept
+
+
+def test_stickiness_approx_within_sketch_error(spark, sf_dir):
+    from mistocksync_spark.plans.queries import QUERIES
+
+    exact = {r.day: (r.dau, r.wau) for r in QUERIES["events_stickiness"](spark, sf_dir).collect()}
+    est = {r.day: (r.dau_est, r.wau_est) for r in QUERIES["events_stickiness_approx"](spark, sf_dir).collect()}
+    assert set(exact) == set(est)
+    for day, (dau, wau) in exact.items():
+        de, we = est[day]
+        assert abs(de - dau) <= max(3, 0.1 * dau)  # HLL++ rsd=2%, slack 10%
+        assert abs(we - wau) <= max(3, 0.1 * wau)
