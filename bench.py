@@ -165,6 +165,8 @@ def main():
             "events_gapfill_interp",
             "session_purchases",
             "events_stickiness_approx",
+            "brand_capacity_inventory",
+            "events_dow_hour_heatmap",
         ]
         if q in QUERIES
     ]

@@ -4503,3 +4503,71 @@ def events_stickiness_approx_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wau_est",
         F.round(F.col("dau_est") / F.col("wau_est"), 6).alias("stickiness_est"),
     )
+
+
+def _sql_brand() -> str:
+    from mistocksync_spark.functions.codes import BRANDS
+
+    return (
+        "COALESCE("
+        + ", ".join(
+            f"CASE WHEN upper({{col}}) LIKE '%{b}%' THEN '{b}' END" for b in BRANDS
+        )
+        + ", 'UNBRANDED')"
+    )
+
+
+@query(
+    "brand_capacity_inventory",
+    _CTES
+    + f"""
+    SELECT {_sql_brand().format(col='name')} AS brand,
+           COALESCE({_SQL_CAPACITY.format(col='name')}, 'n/a') AS capacity,
+           COUNT(*) AS n_items,
+           round(AVG(price_usd), 4) AS avg_price
+    FROM supplier_feed
+    WHERE price_usd >= 0.01
+    GROUP BY 1, 2
+    """,
+)
+def brand_capacity_inventory_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand × battery-capacity inventory matrix over the supplier feed —
+    the market-structure report the reference's cleaners (brand substring
+    + C6 capacity extraction) make possible: one scan, the brand/capacity
+    expressions are pure JVM regex, one partial-agg shuffle of a tiny
+    matrix.  First-brand-wins COALESCE mirrors the reference's ordered
+    brand list."""
+    from mistocksync_spark.functions.codes import BRANDS
+
+    feed = supplier_feed(spark, sf_dir).filter(F.col("price_usd") >= 0.01)
+    up = F.upper(F.col("name"))
+    brand = F.coalesce(
+        *[F.when(up.contains(b), F.lit(b)) for b in BRANDS], F.lit("UNBRANDED")
+    )
+    return feed.groupBy(
+        brand.alias("brand"),
+        F.coalesce(battery_capacity(F.col("name")), F.lit("n/a")).alias("capacity"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.avg("price_usd"), 4).alias("avg_price"),
+    )
+
+
+@query(
+    "events_dow_hour_heatmap",
+    """
+    SELECT dayofweek(ts) + 1 AS dow, CAST(strftime(ts, '%H') AS INT) AS hour,
+           COUNT(*) AS cnt, round(AVG(value), 4) AS avg_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_dow_hour_heatmap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour activity heatmap (the ops-dashboard staple):
+    one partial-agg shuffle of a ≤168-cell matrix.  Spark dayofweek is
+    1=Sunday; the oracle aligns DuckDB's 0=Sunday by +1."""
+    from mistocksync_spark.sources.testdata import load_events
+
+    ev = load_events(spark, sf_dir)
+    return ev.groupBy(
+        F.dayofweek("ts").alias("dow"), F.hour("ts").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("cnt"), F.round(F.avg("value"), 4).alias("avg_value"))

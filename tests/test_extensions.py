@@ -1580,3 +1580,22 @@ def test_stickiness_approx_within_sketch_error(spark, sf_dir):
         de, we = est[day]
         assert abs(de - dau) <= max(3, 0.1 * dau)  # HLL++ rsd=2%, slack 10%
         assert abs(we - wau) <= max(3, 0.1 * wau)
+
+
+def test_brand_inventory_first_brand_wins(spark, sf_dir):
+    from mistocksync_spark.plans.queries import QUERIES
+
+    rows = QUERIES["brand_capacity_inventory"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    brands = {r.brand for r in rows}
+    assert "UNBRANDED" in brands or len(brands) > 1
+    assert all(r.n_items > 0 for r in rows)
+
+
+def test_dow_hour_heatmap_covers_and_conserves(spark, sf_dir):
+    from mistocksync_spark.plans.queries import QUERIES
+    from mistocksync_spark.sources.testdata import load_events
+
+    rows = QUERIES["events_dow_hour_heatmap"](spark, sf_dir).collect()
+    assert all(1 <= r.dow <= 7 and 0 <= r.hour <= 23 for r in rows)
+    assert sum(r.cnt for r in rows) == load_events(spark, sf_dir).count()
