@@ -341,6 +341,28 @@ def retention_cohorts(
     )
 
 
+def _hourly_avg(
+    events: DataFrame, key_col: str, ts: str, value: str
+) -> DataFrame:
+    """Per-(key, hour) bucket mean with the OHLC determinism trick: a
+    DECIMAL(18,6) sum is exact and order-independent, so both engines
+    divide bit-identical operands and the UNROUNDED double quotient is
+    bit-identical too.  ``round(avg, 4)`` here was wrong twice over: avg
+    accumulates in engine-specific order, and rounding the result splits
+    on half-case decimal representations (3 of 3600 cells flipped at
+    sf0.1 — caught by the full-registry sf0.1 sweep, invisible at
+    sf0.01)."""
+    bucket = F.date_trunc("hour", F.col(ts))
+    return events.groupBy(
+        F.col(key_col).alias("key"), bucket.alias("__bucket")
+    ).agg(
+        (
+            F.sum(F.col(value).cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_value")
+    )
+
+
 def _hourly_filled_grid(
     events: DataFrame, key_col: str, ts: str, value: str
 ) -> DataFrame:
@@ -348,10 +370,7 @@ def _hourly_filled_grid(
     onto the dense hour grid between each key's first and last bucket.
     The grid derives from the ALREADY-AGGREGATED frame, so the sequence
     explode never touches raw events."""
-    bucket = F.date_trunc("hour", F.col(ts))
-    agg_df = events.groupBy(
-        F.col(key_col).alias("key"), bucket.alias("__bucket")
-    ).agg(F.round(F.avg(value), 4).alias("avg_value"))
+    agg_df = _hourly_avg(events, key_col, ts, value)
     spans = agg_df.groupBy("key").agg(
         F.min("__bucket").alias("__b0"), F.max("__bucket").alias("__b1")
     )
@@ -415,10 +434,7 @@ def seasonal_naive_forecast(
     — no joins, no sequence explosion.  Bucket averages round before
     shifting so predictions are bit-identical across engines.
     """
-    bucket = F.date_trunc("hour", F.col(ts))
-    agg_df = events.groupBy(
-        F.col(key_col).alias("key"), bucket.alias("__bucket")
-    ).agg(F.round(F.avg(value), 4).alias("avg_value"))
+    agg_df = _hourly_avg(events, key_col, ts, value)
     w = Window.partitionBy("key")
     anchored = agg_df.withColumn("__last", F.max("__bucket").over(w))
     horizon = anchored.filter(
@@ -455,10 +471,9 @@ def seasonal_naive_backtest(
     broadcast-eligible; per-key scores collapse via one tiny groupBy.
     Buckets with no basis a season earlier drop out (inner join).
     """
-    bucket = F.date_trunc("hour", F.col(ts))
-    agg_df = events.groupBy(
-        F.col(key_col).alias("key"), bucket.alias("__b")
-    ).agg(F.round(F.avg(value), 4).alias("__v"))
+    agg_df = _hourly_avg(events, key_col, ts, value).select(
+        "key", F.col("__bucket").alias("__b"), F.col("avg_value").alias("__v")
+    )
     w = Window.partitionBy("key")
     anchored = agg_df.withColumn("__last", F.max("__b").over(w))
     actual = anchored.filter(
@@ -540,8 +555,8 @@ def gapfill_interp(
     Same scaffold as LOCF (one partial-agg shuffle + grid from the
     aggregated frame); the neighbour lookups are four ignore-nulls
     window functions over ONE per-key ordering — no self-joins.  Bucket
-    averages round to 4 dp BEFORE interpolation and hour indices are
-    exact integers, so the interpolated doubles are engine-identical.
+    averages are exact decimal-sum means and hour indices are exact
+    integers, so the interpolated doubles are engine-identical.
     """
     filled = _hourly_filled_grid(events, key_col, ts, value)
     idx = F.floor(F.unix_micros(F.col("__bucket")) / F.lit(3_600_000_000))
@@ -561,8 +576,8 @@ def gapfill_interp(
     prev_i = F.last(obs_idx, ignorenulls=True).over(w_prev)
     next_v = F.first("avg_value", ignorenulls=True).over(w_next)
     next_i = F.first(obs_idx, ignorenulls=True).over(w_next)
-    # deliberately UNROUNDED interpolation: the operands (4-dp bucket
-    # averages + exact integer hour indices) are bit-identical across
+    # deliberately UNROUNDED interpolation: the operands (decimal-mean
+    # bucket averages + exact integer hour indices) are bit-identical across
     # engines, so the quotient is too — rounding it would REINTRODUCE
     # divergence on half-case decimal representations (the OHLC mean
     # lesson: Spark rounds the shortest decimal repr, DuckDB the exact

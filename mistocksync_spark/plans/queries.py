@@ -3087,7 +3087,7 @@ def user_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH agg AS (
         SELECT event_type AS key, date_trunc('hour', ts) AS b,
-               round(AVG(value), 4) AS avg_value
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_value
         FROM events GROUP BY 1, 2
     ), spans AS (
         SELECT key, MIN(b) AS b0, MAX(b) AS b1 FROM agg GROUP BY key
@@ -3802,7 +3802,7 @@ def events_value_deciles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH agg AS (
         SELECT event_type AS key, date_trunc('hour', ts) AS b,
-               round(AVG(value), 4) AS avg_value
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_value
         FROM events GROUP BY 1, 2
     ), anchored AS (
         SELECT key, b, avg_value, MAX(b) OVER (PARTITION BY key) AS last_b
@@ -3857,7 +3857,7 @@ def events_mad_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH agg AS (
         SELECT event_type AS key, date_trunc('hour', ts) AS b,
-               round(AVG(value), 4) AS v
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS v
         FROM events GROUP BY 1, 2
     ), anchored AS (
         SELECT key, b, v, MAX(b) OVER (PARTITION BY key) AS last_b FROM agg
@@ -4372,7 +4372,7 @@ ORACLES["ngram_jaccard_prefix"] = ORACLES["ngram_jaccard_pairs"]
     """
     WITH agg AS (
         SELECT event_type AS key, date_trunc('hour', ts) AS b,
-               round(AVG(value), 4) AS avg_value
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_value
         FROM events GROUP BY 1, 2
     ), spans AS (
         SELECT key, MIN(b) AS b0, MAX(b) AS b1 FROM agg GROUP BY key
@@ -4557,7 +4557,7 @@ def brand_capacity_inventory_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_dow_hour_heatmap",
     """
     SELECT dayofweek(ts) + 1 AS dow, CAST(strftime(ts, '%H') AS INT) AS hour,
-           COUNT(*) AS cnt, round(AVG(value), 4) AS avg_value
+           COUNT(*) AS cnt, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_value
     FROM events GROUP BY 1, 2
     """,
 )
@@ -4570,4 +4570,9 @@ def events_dow_hour_heatmap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_events(spark, sf_dir)
     return ev.groupBy(
         F.dayofweek("ts").alias("dow"), F.hour("ts").alias("hour")
-    ).agg(F.count(F.lit(1)).alias("cnt"), F.round(F.avg("value"), 4).alias("avg_value"))
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        # OHLC decimal-mean trick: exact order-independent sum, unrounded
+        # bit-identical quotient (a rounded double avg splits on half cases)
+        (F.sum(F.col("value").cast("decimal(18,6)")).cast("double") / F.count(F.lit(1))).alias("avg_value"),
+    )
