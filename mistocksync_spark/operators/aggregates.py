@@ -9,6 +9,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from mistocksync_spark.functions.numeric import dec_avg, dec_sum
+
 
 def duplicate_audit(df: DataFrame, column: str, order_col: str = "row_id") -> DataFrame:
     """A1: values occurring more than once in ``column``, with occurrence
@@ -171,8 +173,8 @@ def value_histogram(df: DataFrame, value: str = "value", nbins: int = 20) -> Dat
 
 def numeric_profile(df: DataFrame, columns: list[str]) -> DataFrame:
     """Table profiler (``describe`` parity) for a set of numeric columns:
-    non-null count, null count, min, max, rounded mean and sum — one row
-    per column.
+    non-null count, null count, min, max, decimal-exact mean (unrounded)
+    and 2-dp rounded sum — one row per column.
 
     Plan: ONE full-scan aggregate computes every statistic for every
     column simultaneously (map-side partials, a single 1-row result);
@@ -187,8 +189,12 @@ def numeric_profile(df: DataFrame, columns: list[str]) -> DataFrame:
             F.sum(F.col(c).isNull().cast("long")).alias(f"__nn_{c}"),
             F.min(c).alias(f"__min_{c}"),
             F.max(c).alias(f"__max_{c}"),
-            F.round(F.avg(c), 4).alias(f"__avg_{c}"),
-            F.round(F.sum(c), 2).alias(f"__sum_{c}"),
+            # DECIMAL(18,6)-sum mean/sum (functions/numeric.py): raw
+            # double accumulation is partition-order dependent, so
+            # round(avg(double)) flips on half-cases between machines —
+            # the CORRECTNESS_r05 lineitem_profile hash-FAIL.
+            dec_avg(c).alias(f"__avg_{c}"),
+            dec_sum(c, 2).alias(f"__sum_{c}"),
         ]
     row = df.agg(*aggs)
     structs = F.array(
@@ -243,7 +249,10 @@ def winsorized_stats(
         F.count("*").alias("n"),
         F.sum((v < F.col("__plo")).cast("long")).alias("n_clipped_low"),
         F.sum((v > F.col("__phi")).cast("long")).alias("n_clipped_high"),
-        F.round(F.avg(clipped), 4).alias("mean_winsorized"),
+        # dec_avg, not round(avg): the clipped doubles sum in
+        # partition-dependent order — the CORRECTNESS_r05
+        # events_winsorized hash-FAIL class (see functions/numeric.py).
+        dec_avg(clipped).alias("mean_winsorized"),
         F.min("__plo").alias("p_lo"),
         F.min("__phi").alias("p_hi"),
     )

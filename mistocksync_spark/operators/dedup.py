@@ -340,6 +340,10 @@ def minhash_estimate(sigs: DataFrame, pairs: DataFrame) -> DataFrame:
     )
     joined = pairs.join(a, on="doc_a").join(b, on=["doc_b", "seed"])
     return joined.groupBy("doc_a", "doc_b").agg(
+        # safe rounding: an avg of 0/1 indicators over the fixed
+        # permutation count sums exactly (small integers in double), and
+        # k/n_perms with n_perms a power of two is dyadic — the rounded
+        # value is order-independent and bit-identical cross-engine
         F.round(F.avg((F.col("__mh_a") == F.col("__mh_b")).cast("double")), 6).alias(
             "est_jaccard"
         )

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from mistocksync_spark.functions.numeric import dec_avg
+
 
 def interval_join(
     points: DataFrame,
@@ -97,7 +99,13 @@ def rolling_window_agg(
     return events.select(
         "*",
         F.count("*").over(w).alias("cnt_win"),
-        F.round(F.sum(value).over(w), 4).alias("sum_win"),
+        # decimal accumulation inside the frame: exact and independent of
+        # tie order within a same-second RANGE bucket (raw double frame
+        # sums accumulate in engine-specific order — the half-case
+        # divergence class; see functions/numeric.py)
+        F.round(F.sum(F.col(value).cast("decimal(18,6)")).over(w), 4)
+        .cast("double")
+        .alias("sum_win"),
     )
 
 
@@ -490,8 +498,10 @@ def seasonal_naive_backtest(
     smape_term = F.when(denom > 0, err / denom).otherwise(F.lit(0.0))
     return j.groupBy("key").agg(
         F.count(F.lit(1)).alias("n_scored"),
-        F.round(F.avg(err), 4).alias("mae"),
-        F.round(F.avg(smape_term), 6).alias("smape"),
+        # decimal-sum means (functions/numeric.py): the error terms are
+        # raw doubles, so round(avg) would be partition-order dependent
+        dec_avg(err).alias("mae"),
+        dec_avg(smape_term).alias("smape"),
     )
 
 

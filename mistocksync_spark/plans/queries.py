@@ -26,6 +26,7 @@ from mistocksync_spark.functions import (
     product_code_unified,
     safe_color,
 )
+from mistocksync_spark.functions.numeric import dec_avg, dec_sum, sql_dec_avg, sql_dec_sum
 from mistocksync_spark.operators import aggregates as agg
 from mistocksync_spark.operators import filters as flt
 from mistocksync_spark.operators import matching
@@ -138,14 +139,14 @@ _SQL_PREP_VITYA = f"""
 # --------------------------------------------------------------------------
 @query(
     "q1_pricing_summary",
-    """
+    f"""
     SELECT l_returnflag, l_linestatus,
-           round(SUM(l_quantity), 2) AS sum_qty,
-           round(SUM(l_extendedprice), 2) AS sum_base_price,
-           round(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           round(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           round(AVG(l_quantity), 4) AS avg_qty,
-           round(AVG(l_discount), 4) AS avg_disc,
+           {sql_dec_sum("l_quantity", 2)} AS sum_qty,
+           {sql_dec_sum("l_extendedprice", 2)} AS sum_base_price,
+           {sql_dec_sum("l_extendedprice * (1 - l_discount)", 2)} AS sum_disc_price,
+           {sql_dec_sum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 2)} AS sum_charge,
+           {sql_dec_avg("l_quantity")} AS avg_qty,
+           {sql_dec_avg("l_discount")} AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -153,18 +154,21 @@ _SQL_PREP_VITYA = f"""
     """,
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Decimal-exact sums/means throughout (functions/numeric.py): raw
+    # double accumulation is partition-order dependent and the rounded
+    # result can flip on half-cases — the r5 lineitem_profile FAIL class.
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            dec_sum("l_quantity", 2).alias("sum_qty"),
+            dec_sum("l_extendedprice", 2).alias("sum_base_price"),
+            dec_sum(disc_price, 2).alias("sum_disc_price"),
+            dec_sum(disc_price * (1 + F.col("l_tax")), 2).alias("sum_charge"),
+            dec_avg("l_quantity").alias("avg_qty"),
+            dec_avg("l_discount").alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -1041,8 +1045,8 @@ def doc_length_quantiles_approx_q(spark: SparkSession, sf_dir: str) -> DataFrame
     SELECT d.source, COUNT(*) AS n_docs,
            COUNT(DISTINCT d.lang) AS n_langs,
            CAST(SUM(q.n_tokens) AS BIGINT) AS total_tokens,
-           round(AVG(q.punct_ratio), 6) AS avg_punct_ratio,
-           round(AVG(q.stopword_ratio), 6) AS avg_stopword_ratio
+           {sql_dec_avg("q.punct_ratio")} AS avg_punct_ratio,
+           {sql_dec_avg("q.stopword_ratio")} AS avg_stopword_ratio
     FROM documents d JOIN q ON d.doc_id = q.doc_id
     GROUP BY d.source
     """,
@@ -1059,8 +1063,9 @@ def source_quality_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.count_distinct("lang").alias("n_langs"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
-        F.round(F.avg("punct_ratio"), 6).alias("avg_punct_ratio"),
-        F.round(F.avg("stopword_ratio"), 6).alias("avg_stopword_ratio"),
+        # dec_avg: order-independent decimal-sum means (functions/numeric.py)
+        dec_avg("punct_ratio").alias("avg_punct_ratio"),
+        dec_avg("stopword_ratio").alias("avg_stopword_ratio"),
     )
 
 
@@ -1105,7 +1110,7 @@ def event_props_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT w.window_type,
            strftime(w.w_start, '%Y-%m-%d %H:%M:%S') AS window_start,
-           COUNT(*) AS cnt, round(SUM(e.value), 4) AS sum_value
+           COUNT(*) AS cnt, floor(CAST(SUM(CAST(floor((e.value) * 1000000 + 0.5) AS HUGEINT)) AS DOUBLE) / 100.0 + 0.5) / 10000.0 AS sum_value
     FROM events e JOIN w ON e.ts >= w.w_start AND e.ts < w.w_end
     GROUP BY 1, 2
     """,
@@ -1128,7 +1133,7 @@ def events_in_incident_windows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy(
         "window_type",
         F.date_format("w_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
-    ).agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 4).alias("sum_value"))
+    ).agg(F.count("*").alias("cnt"), dec_sum("value", 4).alias("sum_value"))
 
 
 @query(
@@ -1176,6 +1181,8 @@ def doc_packing_summary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.groupBy("stratum").agg(
         F.count_distinct("pack_id").alias("n_packs"),
         F.sum("n_tokens").alias("total_tokens"),
+        # safe rounding: integer token sums are exact/order-independent, so
+        # the quotient double is bit-identical on every machine
         F.round(F.sum("n_tokens") / (F.count_distinct("pack_id") * 512), 4).alias("fill_ratio"),
     )
 
@@ -1619,7 +1626,7 @@ ORACLES["ngram_jaccard_pairs"] = (
     "events_hourly",
     """
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
-           event_type, COUNT(*) AS cnt, round(SUM(value), 4) AS sum_value
+           event_type, COUNT(*) AS cnt, floor(CAST(SUM(CAST(floor((value) * 1000000 + 0.5) AS HUGEINT)) AS DOUBLE) / 100.0 + 0.5) / 10000.0 AS sum_value
     FROM events GROUP BY 1, 2
     """,
 )
@@ -1632,7 +1639,7 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias("hour"),
             "event_type",
         )
-        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .agg(F.count("*").alias("cnt"), dec_sum("value", 4).alias("sum_value"))
     )
 
 
@@ -1796,7 +1803,7 @@ _SQL_SLIDING = """
                event_type, value
         FROM k
     )
-    SELECT win_start, event_type, COUNT(*) AS cnt, round(SUM(value), 4) AS sum_value
+    SELECT win_start, event_type, COUNT(*) AS cnt, floor(CAST(SUM(CAST(floor((value) * 1000000 + 0.5) AS HUGEINT)) AS DOUBLE) / 100.0 + 0.5) / 10000.0 AS sum_value
     FROM w GROUP BY 1, 2
     """
 
@@ -2418,7 +2425,7 @@ def new_items_dimi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
            strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
            strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
-           COUNT(*) AS n_events, round(SUM(value), 4) AS sum_value
+           COUNT(*) AS n_events, floor(CAST(SUM(CAST(floor((value) * 1000000 + 0.5) AS HUGEINT)) AS DOUBLE) / 100.0 + 0.5) / 10000.0 AS sum_value
     FROM s GROUP BY user_id, session_idx
     """,
 )
@@ -2828,7 +2835,7 @@ def events_asof_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_id, user_id, ts, event_type,
            COUNT(*) OVER w AS cnt_win,
-           round(SUM(round(value, 6)) OVER w, 4) AS sum_win
+           CAST(round(SUM(CAST(round(value, 6) AS DECIMAL(18,6))) OVER w, 4) AS DOUBLE) AS sum_win
     FROM events
     WINDOW w AS (
         PARTITION BY user_id
@@ -3336,7 +3343,7 @@ def _sql_numeric_profile() -> str:
         SELECT '{c}' AS column_name, COUNT({c}) AS n_values,
                SUM(CAST({c} IS NULL AS BIGINT)) AS n_nulls,
                CAST(MIN({c}) AS DOUBLE) AS min_v, CAST(MAX({c}) AS DOUBLE) AS max_v,
-               round(AVG({c}), 4) AS avg_r, round(SUM({c}), 2) AS sum_r
+               {sql_dec_avg(c)} AS avg_r, {sql_dec_sum(c, 2)} AS sum_r
         FROM lineitem
         """
         for c in cols
@@ -3376,7 +3383,7 @@ def embedding_topk_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     """
     SELECT l.l_orderkey,
-           round(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           floor(CAST(SUM(CAST(floor((l.l_extendedprice * (1 - l.l_discount)) * 1000000 + 0.5) AS HUGEINT)) AS DOUBLE) / 10000.0 + 0.5) / 100.0 AS revenue,
            strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -3417,7 +3424,7 @@ def q3_shipping_priority_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         joined.groupBy("l_orderkey", "o_orderdate")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("revenue"))
         .select(
             "l_orderkey",
             "revenue",
@@ -3531,7 +3538,7 @@ ORACLES["dedup_graph_degrees"] = f"""
     SELECT e.event_type, COUNT(*) AS n,
            SUM(CAST(e.value < t.plo AS BIGINT)) AS n_clipped_low,
            SUM(CAST(e.value > t.phi AS BIGINT)) AS n_clipped_high,
-           round(AVG(least(greatest(e.value, t.plo), t.phi)), 4) AS mean_winsorized,
+           CAST(SUM(CAST(floor((least(greatest(e.value, t.plo), t.phi)) * 1000000 + 0.5) AS HUGEINT)) AS DOUBLE) / 1000000.0 / COUNT(least(greatest(e.value, t.plo), t.phi)) AS mean_winsorized,
            MIN(t.plo) AS p_lo, MIN(t.phi) AS p_hi
     FROM events e JOIN t USING (event_type)
     GROUP BY e.event_type
@@ -3599,7 +3606,7 @@ def events_pivot_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_rollup",
     """
     SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
-           COUNT(*) AS cnt, round(SUM(value), 4) AS sum_value
+           COUNT(*) AS cnt, floor(CAST(SUM(CAST(floor((value) * 1000000 + 0.5) AS HUGEINT)) AS DOUBLE) / 100.0 + 0.5) / 10000.0 AS sum_value
     FROM events GROUP BY ROLLUP (event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d'))
     """,
 )
@@ -3613,7 +3620,7 @@ def events_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_events(spark, sf_dir)
     return ev.rollup(
         "event_type", F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")
-    ).agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 4).alias("sum_value"))
+    ).agg(F.count("*").alias("cnt"), dec_sum("value", 4).alias("sum_value"))
 
 
 @query(
@@ -3666,7 +3673,7 @@ def orders_referential_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_local_supplier_volume",
     """
     SELECT n.n_name AS nation,
-           round(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           floor(CAST(SUM(CAST(floor((l.l_extendedprice * (1 - l.l_discount)) * 1000000 + 0.5) AS HUGEINT)) AS DOUBLE) / 10000.0 + 0.5) / 100.0 AS revenue,
            COUNT(*) AS n_lineitems
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -3716,7 +3723,7 @@ def q5_local_supplier_volume_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return j.groupBy(F.col("n_name").alias("nation")).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("revenue"),
         F.count(F.lit(1)).alias("n_lineitems"),
     )
 
@@ -3766,7 +3773,7 @@ def corpus_prepare_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type, decile, COUNT(*) AS n,
            round(MIN(value), 4) AS lo, round(MAX(value), 4) AS hi,
-           round(AVG(pr), 6) AS mean_pr
+           CAST(SUM(CAST(floor((pr) * 1000000 + 0.5) AS HUGEINT)) AS DOUBLE) / 1000000.0 / COUNT(pr) AS mean_pr
     FROM r GROUP BY event_type, decile
     """,
 )
@@ -3793,7 +3800,7 @@ def events_value_deciles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.min("value"), 4).alias("lo"),
         F.round(F.max("value"), 4).alias("hi"),
-        F.round(F.avg("pr"), 6).alias("mean_pr"),
+        dec_avg("pr").alias("mean_pr"),
     )
 
 
@@ -3872,7 +3879,8 @@ def events_mad_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM actual JOIN pred USING (key, b)
     )
     SELECT key, COUNT(*) AS n_scored,
-           round(AVG(err), 4) AS mae, round(AVG(st), 6) AS smape
+           CAST(SUM(CAST(floor((err) * 1000000 + 0.5) AS HUGEINT)) AS DOUBLE) / 1000000.0 / COUNT(err) AS mae,
+           CAST(SUM(CAST(floor((st) * 1000000 + 0.5) AS HUGEINT)) AS DOUBLE) / 1000000.0 / COUNT(st) AS smape
     FROM j GROUP BY key
     """,
 )
@@ -3958,7 +3966,7 @@ def events_stickiness_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                date_diff('day', MAX(o.o_orderdate),
                          (SELECT MAX(o_orderdate) FROM orders)) AS recency_days,
                COUNT(*) AS frequency,
-               round(SUM(o.o_totalprice), 2) AS monetary
+               floor(CAST(SUM(CAST(floor((o.o_totalprice) * 1000000 + 0.5) AS HUGEINT)) AS DOUBLE) / 10000.0 + 0.5) / 100.0 AS monetary
         FROM orders o GROUP BY o.o_custkey
     ), q AS (
         SELECT round(quantile_cont(recency_days, 0.25), 6) AS r1,
@@ -3996,7 +4004,7 @@ def customer_rfm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.datediff(F.max("__maxd"), F.max("o_orderdate")).alias("recency_days"),
             F.count(F.lit(1)).alias("frequency"),
-            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+            dec_sum("o_totalprice", 2).alias("monetary"),
         )
     )
     q = base.agg(
@@ -4078,6 +4086,7 @@ def chunk_dup_rate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_chunks"),
         F.sum(dup).alias("n_dup_chunks"),
+        # safe rounding: 0/1 integer sums are exact/order-independent
         F.round(F.sum(dup) / F.count(F.lit(1)), 6).alias("dup_chunk_rate"),
     )
 
@@ -4222,7 +4231,7 @@ def event_trigrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(strftime(o_orderdate, '%m') AS INT) AS month_num,
                CAST(strftime(o_orderdate, '%Y') AS INT) AS year,
                COUNT(*) AS n_orders,
-               round(SUM(o_totalprice), 2) AS revenue
+               floor(CAST(SUM(CAST(floor((o_totalprice) * 1000000 + 0.5) AS HUGEINT)) AS DOUBLE) / 10000.0 + 0.5) / 100.0 AS revenue
         FROM orders GROUP BY 1, 2
     )
     SELECT year, month_num, n_orders, revenue,
@@ -4245,7 +4254,7 @@ def orders_yoy_growth_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year("o_orderdate").alias("year"),
     ).agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        dec_sum("o_totalprice", 2).alias("revenue"),
     )
     w = Window.partitionBy("month_num").orderBy(F.col("year").asc())
     prev = F.lag("n_orders").over(w)
@@ -4429,7 +4438,7 @@ def events_gapfill_interp_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT sess.user_id, sess.session_idx, sess.session_start,
            COUNT(p.event_id) AS n_purchases,
-           round(COALESCE(SUM(p.value), 0.0), 4) AS purchase_revenue
+           COALESCE(floor(CAST(SUM(CAST(floor((p.value) * 1000000 + 0.5) AS HUGEINT)) AS DOUBLE) / 100.0 + 0.5) / 10000.0, 0.0) AS purchase_revenue
     FROM sess LEFT JOIN events p
       ON p.user_id = sess.user_id AND p.event_type = 'purchase'
      AND strftime(p.ts, '%Y-%m-%d %H:%M:%S') BETWEEN sess.session_start AND sess.session_end
@@ -4464,7 +4473,7 @@ def session_purchases_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return j.groupBy("user_id", "session_idx", "session_start").agg(
         F.count("p_id").alias("n_purchases"),
-        F.round(F.coalesce(F.sum("p_value"), F.lit(0.0)), 4).alias("purchase_revenue"),
+        F.coalesce(dec_sum("p_value", 4), F.lit(0.0)).alias("purchase_revenue"),
     )
 
 
@@ -4524,7 +4533,7 @@ def _sql_brand() -> str:
     SELECT {_sql_brand().format(col='name')} AS brand,
            COALESCE({_SQL_CAPACITY.format(col='name')}, 'n/a') AS capacity,
            COUNT(*) AS n_items,
-           round(AVG(price_usd), 4) AS avg_price
+           CAST(SUM(CAST(floor((price_usd) * 1000000 + 0.5) AS HUGEINT)) AS DOUBLE) / 1000000.0 / COUNT(price_usd) AS avg_price
     FROM supplier_feed
     WHERE price_usd >= 0.01
     GROUP BY 1, 2
@@ -4549,7 +4558,7 @@ def brand_capacity_inventory_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(battery_capacity(F.col("name")), F.lit("n/a")).alias("capacity"),
     ).agg(
         F.count(F.lit(1)).alias("n_items"),
-        F.round(F.avg("price_usd"), 4).alias("avg_price"),
+        dec_avg("price_usd").alias("avg_price"),
     )
 
 

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mistocksync_spark.functions.numeric import dec_sum
+
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-based streaming source over the events parquet, with ``ts``
@@ -42,7 +44,7 @@ def hourly_aggregate(events: DataFrame, watermark: str = "2 hours") -> DataFrame
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .agg(F.count("*").alias("cnt"), dec_sum("value", 4).alias("sum_value"))
         .select(
             F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
             "event_type",
@@ -65,7 +67,7 @@ def sliding_aggregate(
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
-        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .agg(F.count("*").alias("cnt"), dec_sum("value", 4).alias("sum_value"))
         .select(
             F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
             "event_type",

@@ -21,11 +21,14 @@ the gap).
 
 from __future__ import annotations
 
+import math
 from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from mistocksync_spark.functions.numeric import dec_sum
 from pyspark.sql.types import (
     DoubleType,
     LongType,
@@ -53,9 +56,27 @@ _STATE_SCHEMA = StructType(
         StructField("start_us", LongType()),
         StructField("end_us", LongType()),
         StructField("n_events", LongType()),
-        StructField("sum_value", DoubleType()),
+        # sum carried as exact integer micro-units (value quantized to
+        # 6 dp, HALF_UP — the same per-value quantization Spark's
+        # cast(double -> decimal(18,6)) applies in the batch plan), so
+        # the stream total is order-independent and bit-equal to the
+        # batch dec_sum regardless of micro-batch boundaries.
+        StructField("sum_micros", LongType()),
     ]
 )
+
+def _micros(val: float) -> int:
+    """Per-value micro-unit quantization, bit-matching the batch plan's
+    ``dec_sum`` (functions/numeric.py): floor(x * 1e6 + 0.5) — Python
+    floats are the same IEEE doubles Spark and DuckDB compute with, so
+    all three paths quantize identically."""
+    return int(math.floor(float(val) * 1_000_000.0 + 0.5))
+
+
+def _sum_value_of(micros: int) -> float:
+    """Finalize a micro-unit total the way ``dec_sum(col, 4)`` does:
+    the identical IEEE op sequence (cast, divide, +0.5, floor, divide)."""
+    return math.floor(float(micros) / 100.0 + 0.5) / 10000.0
 
 
 def sessionize_batch(events: DataFrame, gap_minutes: int = GAP_MINUTES) -> DataFrame:
@@ -74,7 +95,8 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = GAP_MINUTES) -> DataF
             F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
             F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            # decimal-exact order-independent sum (functions/numeric.py)
+            dec_sum("value", 4).alias("sum_value"),
         )
     )
 
@@ -86,12 +108,12 @@ def _sessions_of(pdf: pd.DataFrame, gap_us: int) -> list[dict]:
     for ts, val in zip(pdf["ts"], pdf["value"]):
         us = int(ts.value // 1000)  # pandas ns → µs
         if cur is None or us - cur["end_us"] > gap_us:
-            cur = {"start_us": us, "end_us": us, "n": 1, "sum": float(val)}
+            cur = {"start_us": us, "end_us": us, "n": 1, "sum_u": _micros(val)}
             out.append(cur)
         else:
             cur["end_us"] = us
             cur["n"] += 1
-            cur["sum"] += float(val)
+            cur["sum_u"] += _micros(val)
     return out
 
 
@@ -117,20 +139,20 @@ def sessionize_stateful(
         sessions = _sessions_of(pdf, gap_us)
         # merge with carried open session from a previous batch
         if state.exists:
-            (sidx0, start_us, end_us, n0, sum0) = state.get
+            (sidx0, start_us, end_us, n0, sum_u0) = state.get
             if sessions and sessions[0]["start_us"] - end_us <= gap_us:
                 s = sessions[0]
-                s["start_us"], s["n"], s["sum"] = start_us, s["n"] + n0, s["sum"] + sum0
+                s["start_us"], s["n"], s["sum_u"] = start_us, s["n"] + n0, s["sum_u"] + sum_u0
                 base_idx = sidx0
             else:
-                sessions.insert(0, {"start_us": start_us, "end_us": end_us, "n": n0, "sum": sum0})
+                sessions.insert(0, {"start_us": start_us, "end_us": end_us, "n": n0, "sum_u": sum_u0})
                 base_idx = sidx0
         else:
             base_idx = 1
         closed = sessions if flush_open else sessions[:-1]
         if not flush_open and sessions:
             tail = sessions[-1]
-            state.update((base_idx + len(sessions) - 1, tail["start_us"], tail["end_us"], tail["n"], tail["sum"]))
+            state.update((base_idx + len(sessions) - 1, tail["start_us"], tail["end_us"], tail["n"], tail["sum_u"]))
         rows = [
             {
                 "user_id": user_id,
@@ -138,9 +160,9 @@ def sessionize_stateful(
                 "session_start": pd.Timestamp(s["start_us"], unit="us").strftime("%Y-%m-%d %H:%M:%S"),
                 "session_end": pd.Timestamp(s["end_us"], unit="us").strftime("%Y-%m-%d %H:%M:%S"),
                 "n_events": s["n"],
-                # raw sum — rounded by the caller with F.round so the
-                # half-case behavior matches the batch plan exactly
-                "sum_value": s["sum"],
+                # finalized from exact micro-units: bit-equal to the
+                # batch plan's dec_sum("value", 4) by construction
+                "sum_value": _sum_value_of(s["sum_u"]),
             }
             for i, s in enumerate(closed)
         ]
@@ -153,4 +175,4 @@ def sessionize_stateful(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return out.withColumn("sum_value", F.round("sum_value", 4))
+    return out
