@@ -152,8 +152,13 @@ def frame_sample_manifest(
     dur = F.coalesce(F.col("duration_sec"), F.lit(0.0))
     n_raw = F.greatest((dur / F.lit(stride_sec)).cast("long"), F.lit(1))
     n = F.least(n_raw, F.lit(max_frames))
-    # stride stretches when the cap bites, keeping samples evenly spread
-    eff = F.when(n > 1, dur / n.cast("double")).otherwise(F.lit(0.0))
+    # exact stride while uncapped; only when the cap bites does the
+    # stride stretch to keep the n samples evenly spread over the item
+    eff = (
+        F.when(n_raw > F.lit(max_frames), dur / n.cast("double"))
+        .when(n > 1, F.lit(stride_sec))
+        .otherwise(F.lit(0.0))
+    )
     idx = F.explode(F.sequence(F.lit(0), (n - 1).cast("int")))
     return (
         media.select(

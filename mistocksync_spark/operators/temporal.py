@@ -400,14 +400,15 @@ def gapfill_locf(
     """Hypertable-style gap-filled hourly series with last-observation-
     carried-forward — ``time_bucket_gapfill + locf`` parity: every hour
     between a key's first and last observation gets a row; hours with no
-    events carry the previous bucket's (rounded) average and are flagged.
+    events carry the previous bucket's average and are flagged.
 
     Plan: one partial-agg shuffle builds the per-(key, hour) averages; the
     dense hour grid derives from a per-key min/max + ``sequence`` explode
     over the ALREADY-AGGREGATED frame (tiny — keys × hours, never raw
     events); the LOCF is a running ``last(ignorenulls)`` window per key.
-    The bucket average is rounded BEFORE the fill so carried values are
-    bit-identical across engines.
+    The bucket average is ``_hourly_avg``'s UNROUNDED decimal-sum mean —
+    exact order-independent operands make the carried double bit-identical
+    across engines, where a rounded double mean would split on half-cases.
     """
     filled = _hourly_filled_grid(events, key_col, ts, value)
     w = (

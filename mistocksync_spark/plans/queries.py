@@ -551,6 +551,23 @@ def _simhash_cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _CC_MEMO[key]
 
 
+def _shingles_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_id, shingle) table, lazily materialized once per
+    (session, sf_dir) for the n-gram family (prefix-filter join,
+    containment pairs) — siblings pay only their own joins instead of
+    re-running docs_aug + shingling (round-5 verdict ask #5, the same
+    memo pattern as ``_minhash_pairs_shared``).  The headline
+    ``ngram_jaccard_pairs`` entry stays unmemoized so its cold bench
+    reading measures the full pipeline."""
+    key = (id(spark), sf_dir, "shingles")
+    if key not in _CC_MEMO:
+        from mistocksync_spark.operators.dedup import shingle_table
+        from mistocksync_spark.plans.feeds import docs_aug
+
+        _CC_MEMO[key] = shingle_table(docs_aug(spark, sf_dir)).localCheckpoint(eager=False)
+    return _CC_MEMO[key]
+
+
 def _minhash_pairs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs, lazily materialized once per
     (session, sf_dir) for the graph-analytics family (degrees, triangles,
@@ -2488,6 +2505,89 @@ def embedding_topk_ivf_trained_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, _query_vec(spark, sf_dir), k=20, centroids=cents)
 
 
+def _sql_cos(a: str, b: str) -> str:
+    """Guarded cosine fragment matching operators/vectors.cosine — the
+    strict left-fold dot/norm pair proven bit-identical cross-engine by
+    the embedding_topk family."""
+    na = _SQL_NORM.format(a=a)
+    nb = _SQL_NORM.format(a=b)
+    return (
+        f"CASE WHEN {na} * {nb} > 0 "
+        f"THEN {_SQL_DOT.format(a=a, b=b)} / ({na} * {nb}) ELSE 0.0 END"
+    )
+
+
+@query(
+    "embedding_topk_ivf_recall",
+    f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    cents AS (
+        SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cidx, embedding AS cv
+        FROM embeddings ORDER BY vec_id ASC LIMIT 16
+    ),
+    probes AS (
+        SELECT cidx FROM (
+            SELECT c.cidx, {_sql_cos('c.cv', 'q.qv')} AS cs FROM cents c, q
+        ) ORDER BY cs DESC, cidx ASC LIMIT 4
+    ),
+    assign AS (
+        SELECT vec_id, cidx FROM (
+            SELECT e.vec_id, c.cidx,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_sql_cos('e.embedding', 'c.cv')} DESC, c.cidx ASC
+                   ) AS rnk
+            FROM embeddings e, cents c
+        ) WHERE rnk = 1
+    ),
+    ivf AS (
+        SELECT e.vec_id FROM embeddings e
+        JOIN assign a USING (vec_id) JOIN probes p ON a.cidx = p.cidx, q
+        ORDER BY {_sql_cos('e.embedding', 'q.qv')} DESC, e.vec_id ASC LIMIT 20
+    ),
+    brute AS (
+        SELECT vec_id FROM (
+            SELECT e.vec_id, {_sql_cos('e.embedding', 'q.qv')} AS cs FROM embeddings e, q
+        ) ORDER BY cs DESC, vec_id ASC LIMIT 20
+    )
+    SELECT (SELECT COUNT(*) FROM brute) AS n_exact,
+           (SELECT COUNT(*) FROM ivf) AS n_ann,
+           (SELECT COUNT(*) FROM brute JOIN ivf USING (vec_id)) AS n_hits,
+           CAST((SELECT COUNT(*) FROM brute JOIN ivf USING (vec_id)) AS DOUBLE)
+               / (SELECT COUNT(*) FROM brute) AS recall_at_k
+    """,
+)
+def embedding_topk_ivf_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-graded recall@20 of the seed-centroid IVF tier vs the exact
+    brute-force baseline (round-5 verdict ask #7): the oracle replicates
+    the ENTIRE inverted-file path in SQL — the 16 lowest-id seed
+    centroids, nearest-centroid assignment (ties break to the lowest
+    centroid index, matching numpy argmax-first), the 4-probe selection,
+    and the probed candidate top-k — so any recall loss OR numpy-vs-fold
+    assignment divergence is a graded hash failure, not a silent drift.
+    The recall quotient is an int/int IEEE division — deterministic."""
+    from mistocksync_spark.operators.vectors import brute_force_topk, ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = _query_vec(spark, sf_dir)
+    ivf = ivf_topk(emb, qv, k=20).select("vec_id")
+    brute = brute_force_topk(emb, qv, k=20).select("vec_id")
+    # 1-row scalar aggregates; the cross joins are trivial 1x1 combines
+    return (
+        brute.agg(F.count("*").cast("long").alias("n_exact"))
+        .crossJoin(ivf.agg(F.count("*").cast("long").alias("n_ann")))
+        .crossJoin(
+            brute.join(ivf, "vec_id").agg(F.count("*").cast("long").alias("n_hits"))
+        )
+        .select(
+            "n_exact",
+            "n_ann",
+            "n_hits",
+            (F.col("n_hits").cast("double") / F.col("n_exact")).alias("recall_at_k"),
+        )
+    )
+
+
 def _cascade_dimi(spark: SparkSession, sf_dir: str):
     from mistocksync_spark.operators.cascade import perform_comparison
 
@@ -3114,7 +3214,8 @@ def user_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_gapfill_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable gap-fill + LOCF parity (operators/temporal.gapfill_locf):
     dense hourly grid per event_type between first and last observation,
-    missing buckets carry the previous rounded average and are flagged."""
+    missing buckets carry the previous bucket's unrounded decimal-sum
+    average (bit-identical across engines) and are flagged."""
     from mistocksync_spark.operators.temporal import gapfill_locf
     from mistocksync_spark.sources.testdata import load_events
 
@@ -4115,10 +4216,9 @@ def ngram_containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Containment near-dup pairs (operators/dedup.containment_pairs):
     the subset-copy detector — |A∩B| / min(|A|,|B|) over distinct shingle
     sets, equi-join candidates only."""
-    from mistocksync_spark.operators.dedup import containment_pairs, shingle_table
-    from mistocksync_spark.plans.feeds import docs_aug
+    from mistocksync_spark.operators.dedup import containment_pairs
 
-    return containment_pairs(shingle_table(docs_aug(spark, sf_dir)), 0.7)
+    return containment_pairs(_shingles_shared(spark, sf_dir), 0.7)
 
 
 @query("dedup_graph_triangles")
@@ -4367,10 +4467,9 @@ def ngram_jaccard_prefix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ngram_jaccard_pairs (same oracle, full hash check): only the
     candidate-generation strategy changes, collapsing the join-key
     distribution by exposing each doc's rarest shingles only."""
-    from mistocksync_spark.operators.dedup import jaccard_prefix_pairs, shingle_table
-    from mistocksync_spark.plans.feeds import docs_aug
+    from mistocksync_spark.operators.dedup import jaccard_prefix_pairs
 
-    return jaccard_prefix_pairs(shingle_table(docs_aug(spark, sf_dir)), 0.5)
+    return jaccard_prefix_pairs(_shingles_shared(spark, sf_dir), 0.5)
 
 
 ORACLES["ngram_jaccard_prefix"] = ORACLES["ngram_jaccard_pairs"]

@@ -1476,7 +1476,7 @@ def test_yoy_growth_no_single_partition(spark, sf_dir):
 
     df = QUERIES["orders_yoy_growth"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange SinglePartition" not in plan.split("AdaptiveSparkPlan")[0] or True
+    assert "Exchange SinglePartition" not in plan
     rows = df.collect()
     by_month = {}
     for r in rows:
