@@ -549,6 +549,14 @@ def ivf_train(
     driver combine handles k×partitions rows — the textbook distributed
     k-means shape.  Seeds come from ``deterministic_centroids``; empty
     clusters keep their previous centroid.
+
+    Determinism: partial sums accumulate the micro-unit quantization
+    ``floor(x * 1e6 + 0.5)`` of each element as EXACT int64 — associative
+    and partition-order independent — and each refined centroid element is
+    ``(sum / 1e6) / count`` in pure IEEE ops, so the trained quantizer is
+    bit-identical across runs, partitionings, AND an engine that replays
+    the same arithmetic (the ``embedding_topk_ivf_trained_recall`` oracle
+    re-derives the full training loop in SQL from this contract).
     """
     import numpy as np
     import pandas as pd
@@ -560,7 +568,7 @@ def ivf_train(
         C = np.asarray(cents, dtype="float64")
         Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
         k = len(cents)
-        schema = "centroid long, n long, vsum array<double>"
+        schema = "centroid long, n long, usum array<long>"
 
         def partial(batches, Cn=Cn, k=k, dim=dim):
             for pdf in batches:
@@ -569,26 +577,30 @@ def ivf_train(
                 V = np.stack([np.asarray(v, dtype="float64") for v in pdf["__vec"]])
                 Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
                 a = (Vn @ Cn.T).argmax(axis=1)
-                acc = np.zeros((k, dim), dtype="float64")
-                np.add.at(acc, a, V)
+                U = np.floor(V * 1_000_000.0 + 0.5).astype("int64")
+                acc = np.zeros((k, dim), dtype="int64")
+                np.add.at(acc, a, U)
                 counts = np.bincount(a, minlength=k)
                 nz = np.nonzero(counts)[0]
                 yield pd.DataFrame(
                     {
                         "centroid": nz.astype("int64"),
                         "n": counts[nz].astype("int64"),
-                        "vsum": [acc[i].tolist() for i in nz],
+                        "usum": [acc[i].tolist() for i in nz],
                     }
                 )
 
         parts = base.mapInPandas(partial, schema=schema).collect()
-        sums = np.zeros((k, dim), dtype="float64")
+        sums = np.zeros((k, dim), dtype="int64")
         counts = np.zeros(k, dtype="int64")
         for r in parts:
-            sums[r["centroid"]] += np.asarray(r["vsum"])
+            sums[r["centroid"]] += np.asarray(r["usum"], dtype="int64")
             counts[r["centroid"]] += r["n"]
         cents = [
-            (sums[i] / counts[i]).tolist() if counts[i] > 0 else cents[i] for i in range(k)
+            ((sums[i].astype("float64") / 1_000_000.0) / counts[i]).tolist()
+            if counts[i] > 0
+            else cents[i]
+            for i in range(k)
         ]
     return cents
 
@@ -696,9 +708,14 @@ def pq_train(
     books = np.stack([S[:, s * dsub : (s + 1) * dsub] for s in range(m)])  # (m, k, dsub)
     base = df.select(F.col(vec_col).alias("__vec"))
 
+    # Determinism (same contract as ivf_train): partials accumulate the
+    # micro-unit quantization floor(x*1e6+0.5) of each NORMALIZED element
+    # as exact int64, and each codeword element updates as (sum/1e6)/count
+    # in pure IEEE ops — partition-order independent, and replayable by
+    # the embedding_topk_pq_recall SQL oracle.
     for _ in range(iterations):
         B = books.copy()
-        schema = "sub long, code long, n long, vsum array<double>"
+        schema = "sub long, code long, n long, usum array<long>"
 
         def partial(batches, B=B, m=m, k=k, dsub=dsub):
             for pdf in batches:
@@ -706,32 +723,33 @@ def pq_train(
                     continue
                 V = np.stack([np.asarray(v, dtype="float64") for v in pdf["__vec"]])
                 V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
-                subs, codes, ns, vsums = [], [], [], []
+                subs, codes, ns, usums = [], [], [], []
                 for s in range(m):
                     Vs = V[:, s * dsub : (s + 1) * dsub]
                     # L2 assignment: argmin ||v - c||² = argmax (v·c - ½||c||²)
                     d = Vs @ B[s].T - 0.5 * (B[s] ** 2).sum(axis=1)
                     a = d.argmax(axis=1)
-                    acc = np.zeros((k, dsub), dtype="float64")
-                    np.add.at(acc, a, Vs)
+                    U = np.floor(Vs * 1_000_000.0 + 0.5).astype("int64")
+                    acc = np.zeros((k, dsub), dtype="int64")
+                    np.add.at(acc, a, U)
                     counts = np.bincount(a, minlength=k)
                     nz = np.nonzero(counts)[0]
                     subs += [s] * len(nz)
                     codes += nz.tolist()
                     ns += counts[nz].tolist()
-                    vsums += [acc[i].tolist() for i in nz]
-                yield pd.DataFrame({"sub": subs, "code": codes, "n": ns, "vsum": vsums})
+                    usums += [acc[i].tolist() for i in nz]
+                yield pd.DataFrame({"sub": subs, "code": codes, "n": ns, "usum": usums})
 
         parts = base.mapInPandas(partial, schema=schema).collect()
-        sums = np.zeros((m, k, dsub), dtype="float64")
+        sums = np.zeros((m, k, dsub), dtype="int64")
         counts = np.zeros((m, k), dtype="int64")
         for r in parts:
-            sums[r["sub"], r["code"]] += np.asarray(r["vsum"])
+            sums[r["sub"], r["code"]] += np.asarray(r["usum"], dtype="int64")
             counts[r["sub"], r["code"]] += r["n"]
         for s in range(m):
             for c in range(k):
                 if counts[s, c] > 0:
-                    books[s, c] = sums[s, c] / counts[s, c]
+                    books[s, c] = (sums[s, c].astype("float64") / 1_000_000.0) / counts[s, c]
     return books.tolist()
 
 

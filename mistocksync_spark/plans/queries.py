@@ -2588,6 +2588,255 @@ def embedding_topk_ivf_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_ivf_trained_recall(iterations: int = 2, n_probe: int = 4, topk: int = 20) -> str:
+    """Oracle for the TRAINED IVF tier: replays the full Lloyd refinement
+    in SQL from ``ivf_train``'s determinism contract — micro-unit int
+    accumulation (exact, order-free) and ``(sum/1e6)/count`` IEEE centroid
+    updates — so the trained quantizer, the probe set, and the candidate
+    top-k are all re-derived independently.  The CTE chain is generated
+    per iteration: assign_i (argmax cosine, ties to the lowest centroid
+    index, matching numpy argmax-first) then cents_i (per-dim micro-sum
+    means, empty clusters keeping the previous centroid)."""
+    dot_ec = _SQL_DOT.format(a="e.embedding", b="c.cv")
+    score = f"CASE WHEN c.nrm > 0 THEN {dot_ec} / c.nrm ELSE 0.0 END"
+    blocks = [
+        (
+            "cents0 AS (SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cidx, "
+            f"embedding AS cv, {_SQL_NORM.format(a='embedding')} AS nrm "
+            "FROM embeddings ORDER BY vec_id ASC LIMIT 16)"
+        ),
+        (
+            "u AS (SELECT vec_id, unnest(embedding) AS val, "
+            "unnest(generate_series(1, len(embedding))) AS dim FROM embeddings)"
+        ),
+    ]
+    prev = "cents0"
+    for i in range(1, iterations + 1):
+        blocks.append(
+            f"""assign{i} AS (
+        SELECT vec_id, cidx FROM (
+            SELECT e.vec_id, c.cidx,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id ORDER BY {score} DESC, c.cidx ASC
+                   ) AS rnk
+            FROM embeddings e, {prev} c
+        ) WHERE rnk = 1)"""
+        )
+        blocks.append(
+            f"""cm{i} AS (
+        SELECT a.cidx, u.dim,
+               CAST(SUM(CAST(floor(CAST(u.val AS DOUBLE) * 1000000 + 0.5) AS HUGEINT)) AS DOUBLE)
+                   / 1000000.0 / COUNT(*) AS mval
+        FROM assign{i} a JOIN u USING (vec_id)
+        GROUP BY a.cidx, u.dim)"""
+        )
+        blocks.append(
+            f"""cents{i} AS (
+        SELECT cidx, cv, {_SQL_NORM.format(a='cv')} AS nrm FROM (
+            SELECT p.cidx, COALESCE(l.cv, CAST(p.cv AS DOUBLE[])) AS cv
+            FROM {prev} p LEFT JOIN (
+                SELECT cidx, list(mval ORDER BY dim) AS cv FROM cm{i} GROUP BY cidx
+            ) l USING (cidx)))"""
+        )
+        prev = f"cents{i}"
+    dot_qc = _SQL_DOT.format(a="q.qv", b="c.cv")
+    qscore = f"CASE WHEN c.nrm > 0 THEN {dot_qc} / c.nrm ELSE 0.0 END"
+    blocks += [
+        "q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)",
+        f"""probes AS (
+        SELECT cidx FROM (
+            SELECT c.cidx, {qscore} AS cs FROM {prev} c, q
+        ) ORDER BY cs DESC, cidx ASC LIMIT {n_probe})""",
+        f"""assignF AS (
+        SELECT vec_id, cidx FROM (
+            SELECT e.vec_id, c.cidx,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id ORDER BY {score} DESC, c.cidx ASC
+                   ) AS rnk
+            FROM embeddings e, {prev} c
+        ) WHERE rnk = 1)""",
+        f"""ivf AS (
+        SELECT e.vec_id FROM embeddings e
+        JOIN assignF a USING (vec_id) JOIN probes p ON a.cidx = p.cidx, q
+        ORDER BY {_sql_cos('e.embedding', 'q.qv')} DESC, e.vec_id ASC LIMIT {topk})""",
+        f"""brute AS (
+        SELECT vec_id FROM (
+            SELECT e.vec_id, {_sql_cos('e.embedding', 'q.qv')} AS cs FROM embeddings e, q
+        ) ORDER BY cs DESC, vec_id ASC LIMIT {topk})""",
+    ]
+    return (
+        "WITH "
+        + ",\n    ".join(blocks)
+        + """
+    SELECT (SELECT COUNT(*) FROM brute) AS n_exact,
+           (SELECT COUNT(*) FROM ivf) AS n_ann,
+           (SELECT COUNT(*) FROM brute JOIN ivf USING (vec_id)) AS n_hits,
+           CAST((SELECT COUNT(*) FROM brute JOIN ivf USING (vec_id)) AS DOUBLE)
+               / (SELECT COUNT(*) FROM brute) AS recall_at_k
+    """
+    )
+
+
+@query("embedding_topk_ivf_trained_recall", _sql_ivf_trained_recall())
+def embedding_topk_ivf_trained_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-graded recall@20 of the Lloyd-TRAINED IVF tier vs brute force
+    (round-5 verdict ask #7): the oracle independently re-runs the whole
+    2-iteration k-means (possible because ivf_train's micro-int partial
+    sums make the trained centroids bit-deterministic), so training drift,
+    probe selection, and recall are all graded — converting a rows-only
+    entry into a full hash row."""
+    from mistocksync_spark.operators.vectors import brute_force_topk, ivf_topk, ivf_train
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = _query_vec(spark, sf_dir)
+    cents = ivf_train(emb, iterations=2)
+    ivf = ivf_topk(emb, qv, k=20, centroids=cents).select("vec_id")
+    brute = brute_force_topk(emb, qv, k=20).select("vec_id")
+    return (
+        brute.agg(F.count("*").cast("long").alias("n_exact"))
+        .crossJoin(ivf.agg(F.count("*").cast("long").alias("n_ann")))
+        .crossJoin(
+            brute.join(ivf, "vec_id").agg(F.count("*").cast("long").alias("n_hits"))
+        )
+        .select(
+            "n_exact",
+            "n_ann",
+            "n_hits",
+            (F.col("n_hits").cast("double") / F.col("n_exact")).alias("recall_at_k"),
+        )
+    )
+
+
+def _sql_pq_recall(m: int = 8, kc: int = 16, iterations: int = 2, topk: int = 20) -> str:
+    """Oracle for the PQ tier: replays codebook training (per-subspace
+    L2 k-means over NORMALIZED vectors with micro-int accumulation — the
+    pq_train determinism contract), encoding, and ADC scoring in SQL.
+    The ADC score folds the m table entries in subspace order via an
+    ordered-list reduce, matching numpy's sequential accumulation."""
+    dsub = 64 // m
+
+    def dot_d(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_transform(generate_series(1, {dsub}), "
+            f"i -> ({a})[i] * ({b})[i]), (acc, x) -> acc + x)"
+        )
+
+    vslice = f"n.v[b.sub*{dsub}+1 : b.sub*{dsub}+{dsub}]"
+    qslice = f"q.qv[b.sub*{dsub}+1 : b.sub*{dsub}+{dsub}]"
+    score = f"({dot_d(vslice, 'b.bv')} - 0.5 * {dot_d('b.bv', 'b.bv')})"
+    blocks = [
+        (
+            "nv AS (SELECT vec_id, list_transform(embedding, "
+            f"x -> CAST(x AS DOUBLE) / greatest({_SQL_NORM.format(a='embedding')}, 1e-12)) AS v "
+            "FROM embeddings)"
+        ),
+        (
+            "un AS (SELECT vec_id, unnest(v) AS val, "
+            "unnest(generate_series(1, len(v))) AS dim FROM nv)"
+        ),
+        f"subs AS (SELECT unnest(generate_series(0, {m - 1})) AS sub)",
+        (
+            "seeds AS (SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS code, v "
+            f"FROM (SELECT vec_id, v FROM nv ORDER BY vec_id ASC LIMIT {kc}))"
+        ),
+        (
+            f"books0 AS (SELECT s.sub, d.code, d.v[s.sub*{dsub}+1 : s.sub*{dsub}+{dsub}] AS bv "
+            "FROM seeds d, subs s)"
+        ),
+    ]
+    prev = "books0"
+    passes = [(i, f"passign{i}") for i in range(1, iterations + 1)] + [(None, "passignF")]
+    for i, aname in passes:
+        blocks.append(
+            f"""{aname} AS (
+        SELECT vec_id, sub, code FROM (
+            SELECT n.vec_id, b.sub, b.code,
+                   row_number() OVER (
+                       PARTITION BY n.vec_id, b.sub ORDER BY {score} DESC, b.code ASC
+                   ) AS rnk
+            FROM nv n, {prev} b
+        ) WHERE rnk = 1)"""
+        )
+        if i is None:
+            break
+        blocks.append(
+            f"""pm{i} AS (
+        SELECT a.sub, a.code, (u.dim - 1) % {dsub} + 1 AS sdim,
+               CAST(SUM(CAST(floor(u.val * 1000000 + 0.5) AS HUGEINT)) AS DOUBLE)
+                   / 1000000.0 / COUNT(*) AS mval
+        FROM {aname} a JOIN un u
+          ON a.vec_id = u.vec_id AND a.sub = (u.dim - 1) // {dsub}
+        GROUP BY 1, 2, 3)"""
+        )
+        blocks.append(
+            f"""books{i} AS (
+        SELECT p.sub, p.code, COALESCE(l.bv, p.bv) AS bv
+        FROM {prev} p LEFT JOIN (
+            SELECT sub, code, list(mval ORDER BY sdim) AS bv FROM pm{i} GROUP BY sub, code
+        ) l USING (sub, code))"""
+        )
+        prev = f"books{i}"
+    blocks += [
+        "qn AS (SELECT v AS qv FROM nv WHERE vec_id = 0)",
+        (
+            f"qtab AS (SELECT b.sub, b.code, {dot_d('b.bv', qslice)} AS tval "
+            f"FROM {prev} b, qn q)"
+        ),
+        """adc AS (
+        SELECT vec_id, round(list_reduce(list(tval ORDER BY sub), (a, b) -> a + b), 6) AS adc_score
+        FROM (SELECT a.vec_id, a.sub, t.tval FROM passignF a JOIN qtab t USING (sub, code))
+        GROUP BY vec_id)""",
+        f"""pq AS (SELECT vec_id FROM adc ORDER BY adc_score DESC, vec_id ASC LIMIT {topk})""",
+        "qraw AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)",
+        f"""brute AS (
+        SELECT vec_id FROM (
+            SELECT e.vec_id, {_sql_cos('e.embedding', 'q.qv')} AS cs FROM embeddings e, qraw q
+        ) ORDER BY cs DESC, vec_id ASC LIMIT {topk})""",
+    ]
+    return (
+        "WITH "
+        + ",\n    ".join(blocks)
+        + """
+    SELECT (SELECT COUNT(*) FROM brute) AS n_exact,
+           (SELECT COUNT(*) FROM pq) AS n_ann,
+           (SELECT COUNT(*) FROM brute JOIN pq USING (vec_id)) AS n_hits,
+           CAST((SELECT COUNT(*) FROM brute JOIN pq USING (vec_id)) AS DOUBLE)
+               / (SELECT COUNT(*) FROM brute) AS recall_at_k
+    """
+    )
+
+
+@query("embedding_topk_pq_recall", _sql_pq_recall())
+def embedding_topk_pq_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-graded recall@20 of the PQ/ADC tier vs brute force (round-5
+    verdict ask #7): the oracle independently re-trains the per-subspace
+    codebooks (possible because pq_train's micro-int partial sums make
+    them bit-deterministic), re-encodes the corpus, and re-scores with
+    the same ordered ADC fold — so codebook drift, encoding, and recall
+    are all graded.  Uses the m=8/16-code configuration; the showcase
+    embedding_topk_pq keeps its m=32/32 compression setting."""
+    from mistocksync_spark.operators.vectors import brute_force_topk, pq_topk, pq_train
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = _query_vec(spark, sf_dir)
+    books = pq_train(emb, m=8, k=16, iterations=2)
+    pq = pq_topk(emb, qv, books, k=20).select("vec_id")
+    brute = brute_force_topk(emb, qv, k=20).select("vec_id")
+    return (
+        brute.agg(F.count("*").cast("long").alias("n_exact"))
+        .crossJoin(pq.agg(F.count("*").cast("long").alias("n_ann")))
+        .crossJoin(
+            brute.join(pq, "vec_id").agg(F.count("*").cast("long").alias("n_hits"))
+        )
+        .select(
+            "n_exact",
+            "n_ann",
+            "n_hits",
+            (F.col("n_hits").cast("double") / F.col("n_exact")).alias("recall_at_k"),
+        )
+    )
+
+
 def _cascade_dimi(spark: SparkSession, sf_dir: str):
     from mistocksync_spark.operators.cascade import perform_comparison
 
