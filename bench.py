@@ -167,6 +167,9 @@ def main():
             "events_stickiness_approx",
             "brand_capacity_inventory",
             "events_dow_hour_heatmap",
+            "embedding_topk_ivf_recall",
+            "embedding_topk_ivf_trained_recall",
+            "embedding_topk_pq_recall",
         ]
         if q in QUERIES
     ]

@@ -1599,3 +1599,41 @@ def test_dow_hour_heatmap_covers_and_conserves(spark, sf_dir):
     rows = QUERIES["events_dow_hour_heatmap"](spark, sf_dir).collect()
     assert all(1 <= r.dow <= 7 and 0 <= r.hour <= 23 for r in rows)
     assert sum(r.cnt for r in rows) == load_events(spark, sf_dir).count()
+
+
+def test_ivf_train_partition_order_independent(spark, sf_dir):
+    """The micro-int accumulation contract: trained centroids must be
+    bit-identical under any partitioning (the property the
+    embedding_topk_ivf_trained_recall oracle relies on)."""
+    from mistocksync_spark.operators.vectors import ivf_train
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = ivf_train(emb.repartition(1), n_centroids=8, iterations=2)
+    b = ivf_train(emb.repartition(7), n_centroids=8, iterations=2)
+    assert a == b  # exact float equality, not approx
+
+
+def test_pq_train_partition_order_independent(spark, sf_dir):
+    from mistocksync_spark.operators.vectors import pq_train
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = pq_train(emb.repartition(1), m=8, k=8, iterations=2)
+    b = pq_train(emb.repartition(5), m=8, k=8, iterations=2)
+    assert a == b
+
+
+def test_ann_recall_queries_scalar_shape(spark, sf_dir):
+    """The three graded ANN recall scalars: full-k result sets on both
+    sides and a recall quotient in [0, 1]; brute self-recall is exactly 1
+    so any tier reporting > 1 or short sets is broken plumbing."""
+    from mistocksync_spark.plans.queries import QUERIES
+
+    for name in (
+        "embedding_topk_ivf_recall",
+        "embedding_topk_ivf_trained_recall",
+        "embedding_topk_pq_recall",
+    ):
+        (r,) = QUERIES[name](spark, sf_dir).collect()
+        assert r.n_exact == 20 and r.n_ann == 20, name
+        assert 0 <= r.n_hits <= 20, name
+        assert abs(r.recall_at_k - r.n_hits / 20.0) < 1e-12, name
