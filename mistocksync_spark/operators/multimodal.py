@@ -180,6 +180,14 @@ def frame_sample_manifest(
             "modality",
             "n_samples",
             "sample_idx",
-            F.round(F.col("sample_idx") * F.col("__eff"), 3).alias("sample_t_sec"),
+            # floor(x*1000+0.5)/1000, not round(x, 3): the stretched
+            # stride is dur/16 whose multiples land on exact 3-dp half
+            # cases (k/160 rationals), where round(double) diverges
+            # cross-engine (see functions/numeric.py); the floor form is
+            # pure IEEE and bit-identical everywhere.
+            (
+                F.floor(F.col("sample_idx") * F.col("__eff") * F.lit(1000.0) + F.lit(0.5))
+                / F.lit(1000.0)
+            ).alias("sample_t_sec"),
         )
     )

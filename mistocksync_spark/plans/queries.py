@@ -1863,11 +1863,22 @@ def events_sliding_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["events_sliding_stream"] = _SQL_SLIDING
 
 
-@query("events_throttle_stream")
+@query(
+    "events_throttle_stream",
+    """
+    SELECT user_id, event_type,
+           strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS minute
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
 def events_throttle_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming burst suppression via dropDuplicatesWithinWatermark —
-    rows-only check (the surviving representative is arrival-order
-    dependent; key-set parity with batch distinct is asserted in tests)."""
+    """Streaming burst suppression via dropDuplicatesWithinWatermark.
+    WHICH event of a duplicate burst survives is arrival-order dependent
+    (real streaming semantics — deliberately kept), but the KEY SET is
+    deterministic: exactly one row per (user, type, minute).  The graded
+    surface therefore projects to the keys, turning the former rows-only
+    row into a full hash check of the throttle's at-most-once guarantee;
+    payload-level batch/stream key parity stays pytest-asserted."""
     from mistocksync_spark.streaming.events import read_events_stream, throttle_stream
 
     qname = _stream_sink_name("events_throttle_stream_sink")
@@ -1886,7 +1897,11 @@ def events_throttle_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "return a partial memory table (it would fail the oracle with a "
             "confusing value diff instead of a clear timeout)"
         )
-    return spark.table(qname)
+    return spark.table(qname).select(
+        "user_id",
+        "event_type",
+        F.date_format("minute", "yyyy-MM-dd HH:mm:ss").alias("minute"),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -3904,11 +3919,43 @@ def events_winsorized_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winsorized_stats(load_events(spark, sf_dir))
 
 
-@query("media_frame_manifest")
+def _sql_frame_manifest() -> str:
+    seed = _SQL_HEX8.format(sha="sha256(text)")
+    return f"""
+    WITH d AS (
+        SELECT doc_id AS media_id,
+               CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+               round(({seed} % 36000) / 10.0, 1) AS duration_sec
+        FROM documents
+    ), p AS (
+        SELECT media_id, modality, COALESCE(duration_sec, 0.0) AS dur
+        FROM d WHERE modality <> 'image'
+    ), n_ AS (
+        -- CAST(floor(...) AS BIGINT): Spark's cast(double -> long)
+        -- truncates while DuckDB's rounds, so floor first
+        SELECT *, greatest(CAST(floor(dur / 2.0) AS BIGINT), 1) AS n_raw,
+               least(greatest(CAST(floor(dur / 2.0) AS BIGINT), 1), 16) AS n
+        FROM p
+    ), e_ AS (
+        SELECT *, CASE WHEN n_raw > 16 THEN dur / CAST(n AS DOUBLE)
+                       WHEN n > 1 THEN 2.0 ELSE 0.0 END AS eff
+        FROM n_
+    )
+    SELECT media_id, modality, n AS n_samples, idx AS sample_idx,
+           floor(idx * eff * 1000.0 + 0.5) / 1000.0 AS sample_t_sec
+    FROM e_, unnest(generate_series(0, n - 1)) AS t(idx)
+    """
+
+
+@query("media_frame_manifest", _sql_frame_manifest())
 def media_frame_manifest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sampling schedule over the media table (rows-only: durations
-    come from the mapInPandas feature extractor's deterministic fake, not
-    SQL; the schedule arithmetic itself is pinned by unit tests)."""
+    """Frame-sampling schedule over the media table, fully hash-graded:
+    the sha-seeded deterministic-fake durations are SQL-expressible (the
+    ``media_features`` oracle already replicates them), so the oracle
+    re-derives duration → stride/cap schedule → explode independently.
+    The sample timestamp uses the IEEE floor-round (bit-identical
+    cross-engine; plain round(x, 3) splits on the k/160 half cases a
+    stretched stride produces)."""
     from mistocksync_spark.operators.multimodal import (
         extract_features,
         frame_sample_manifest,
@@ -3917,7 +3964,8 @@ def media_frame_manifest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     feats = extract_features(media_from_documents(docs))
-    return frame_sample_manifest(feats.filter(F.col("modality") != "image"))
+    out = frame_sample_manifest(feats.filter(F.col("modality") != "image"))
+    return out.withColumn("sample_idx", F.col("sample_idx").cast("long"))
 
 
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]

@@ -552,7 +552,11 @@ def test_throttle_stream_key_set_equals_batch_distinct(spark, sf_dir):
     want = {
         (r.user_id, r.event_type, r.minute)
         for r in ev.select(
-            "user_id", "event_type", F.date_trunc("minute", F.col("ts")).alias("minute")
+            "user_id",
+            "event_type",
+            F.date_format(F.date_trunc("minute", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias(
+                "minute"
+            ),
         )
         .distinct()
         .collect()
