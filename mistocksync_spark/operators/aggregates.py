@@ -116,24 +116,30 @@ def zscore_outliers(
     a #keys-row frame — which broadcasts back onto the scan; the second
     pass is shuffle-free.  Groups with zero variance emit no outliers.
 
-    Determinism margin: mean/stddev accumulate in engine-specific order,
-    so the rounded z-score (3 dp) and the ``|z| > threshold`` membership
-    are exact only while no point sits within float-noise of the cut —
-    true by construction for the synthetic corpus (same margin argument
-    as ``cosine_contamination``).
+    Determinism by construction (no margin argument needed): mean and
+    E[x²] come from exact micro-unit integer sums (functions/numeric.py),
+    σ = sqrt(max(E[x²] − μ², 0)) in pure IEEE ops — NOT the engine's
+    streaming stddev aggregate, whose accumulation order varies — and the
+    z-score rounds via floor(z·1000+0.5)/1000, so both the rounded value
+    and the ``|z| > threshold`` membership are bit-identical across
+    partitionings and engines.
     """
+    vsq = F.col(value) * F.col(value)
     stats = df.groupBy(key).agg(
-        F.avg(value).alias("__mu"), F.stddev_pop(value).alias("__sigma")
+        dec_avg(value).alias("__mu"), dec_avg(vsq).alias("__ex2")
     )
-    z = (F.col(value) - F.col("__mu")) / F.col("__sigma")
+    sigma = F.sqrt(
+        F.greatest(F.col("__ex2") - F.col("__mu") * F.col("__mu"), F.lit(0.0))
+    )
+    z = (F.col(value) - F.col("__mu")) / sigma
     return (
         df.join(F.broadcast(stats), on=key)
-        .filter((F.col("__sigma") > 0) & (F.abs(z) > threshold))
+        .filter((sigma > 0) & (F.abs(z) > threshold))
         .select(
             F.col(id_col),
             F.col(key),
             F.round(F.col(value), 4).alias("value_r"),
-            F.round(z, 3).alias("zscore"),
+            (F.floor(z * F.lit(1000.0) + F.lit(0.5)) / F.lit(1000.0)).alias("zscore"),
         )
     )
 

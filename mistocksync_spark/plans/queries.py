@@ -3488,21 +3488,26 @@ def events_gapfill_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_anomaly",
-    """
+    f"""
     WITH stats AS (
-        SELECT event_type, AVG(value) AS mu, stddev_pop(value) AS sigma
+        SELECT event_type,
+               {sql_dec_avg("value")} AS mu,
+               {sql_dec_avg("value * value")} AS ex2
         FROM events GROUP BY event_type
+    ), s AS (
+        SELECT event_type, mu, sqrt(greatest(ex2 - mu * mu, 0.0)) AS sigma FROM stats
     )
     SELECT e.event_id, e.event_type, round(e.value, 4) AS value_r,
-           round((e.value - s.mu) / s.sigma, 3) AS zscore
-    FROM events e JOIN stats s USING (event_type)
+           floor((e.value - s.mu) / s.sigma * 1000.0 + 0.5) / 1000.0 AS zscore
+    FROM events e JOIN s USING (event_type)
     WHERE s.sigma > 0 AND abs((e.value - s.mu) / s.sigma) > 3.0
     """,
 )
 def events_anomaly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type z-score outliers (operators/aggregates.zscore_outliers):
     #keys-row stat frame broadcast back onto the scan, second pass
-    shuffle-free; rounding/threshold margin documented in the operator."""
+    shuffle-free; mean/σ from exact micro-int sums so the flags and the
+    rounded z are bit-deterministic (no float-margin caveat)."""
     from mistocksync_spark.operators.aggregates import zscore_outliers
     from mistocksync_spark.sources.testdata import load_events
 
