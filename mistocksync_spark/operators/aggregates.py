@@ -301,6 +301,8 @@ def mad_outliers(
             F.col(id_col),
             F.col(key),
             F.round(F.col(value), 4).alias("value_r"),
-            F.round(rz, 3).alias("robust_z"),
+            # IEEE floor-round: rz is a full-precision quotient, where
+            # round(double) can split cross-engine on half-case reprs
+            (F.floor(rz * F.lit(1000.0) + F.lit(0.5)) / F.lit(1000.0)).alias("robust_z"),
         )
     )

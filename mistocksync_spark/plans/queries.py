@@ -4246,7 +4246,7 @@ def events_forecast_snaive_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events e JOIN med m USING (event_type) GROUP BY e.event_type
     )
     SELECT e.event_id, e.event_type, round(e.value, 4) AS value_r,
-           round((e.value - m.med) / d.mad, 3) AS robust_z
+           floor((e.value - m.med) / d.mad * 1000.0 + 0.5) / 1000.0 AS robust_z
     FROM events e JOIN med m USING (event_type) JOIN mad d USING (event_type)
     WHERE d.mad > 0 AND abs((e.value - m.med) / d.mad) > 5.0
     """,
