@@ -170,6 +170,14 @@ def main():
             "embedding_topk_ivf_recall",
             "embedding_topk_ivf_trained_recall",
             "embedding_topk_pq_recall",
+            "q4_order_priority",
+            "q6_revenue_forecast",
+            "q10_returned_items",
+            "q13_order_count_histogram",
+            "q14_promo_revenue_share",
+            "q18_large_volume_customers",
+            "q19_bracketed_revenue",
+            "q22_dormant_high_balance",
         ]
         if q in QUERIES
     ]

@@ -4986,3 +4986,367 @@ def events_dow_hour_heatmap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         # bit-identical quotient (a rounded double avg splits on half cases)
         (F.sum(F.col("value").cast("decimal(18,6)")).cast("double") / F.count(F.lit(1))).alias("avg_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 6 — TPC-H-shaped analytics breadth (Q4/Q6/Q10/Q13/Q14/Q18/Q19/Q22
+# plan shapes over the driver tables; the columns this testdata lacks —
+# commitdate/receiptdate/partsupp/phone — are substituted with equivalent
+# predicates so the PLAN SHAPE under test is the canonical one)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q4_order_priority",
+    """
+    SELECT o.o_orderpriority AS orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY 1
+    """,
+)
+def q4_order_priority_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: order-priority counts over orders that have at
+    least one LATE lineitem (shipped >60 days after the order date — the
+    commitdate/receiptdate substitute).  The 100 TB plan: the EXISTS is a
+    LEFT-SEMI join — equi on the order key with the lateness predicate as
+    a residual, so it stays hash/sort-merge (never a nested loop), the
+    date filter is pushed into the orders scan, lineitem is pruned to two
+    columns, and the semi join emits each order AT MOST ONCE (no
+    distinct-after-inner-join blowup).  Final agg is a 5-row matrix."""
+    o = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        how="left_semi",
+    )
+    return late.groupBy(F.col("o_orderpriority").alias("orderpriority")).agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@query(
+    "q6_revenue_forecast",
+    f"""
+    SELECT {sql_dec_sum("l_extendedprice * l_discount", 2)} AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_revenue_forecast_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the pure scan-side query — every predicate is a
+    min/max-prunable range on a scanned column, so at 100 TB this is the
+    query where pushdown IS the plan: date + discount + quantity filters
+    all reach the parquet reader (PushedFilters, row-group skipping), only
+    3 columns are read, no join, no wide shuffle — a single partial-agg to
+    one row.  Revenue uses the exact micro-int sum (order-independent)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        dec_sum(F.col("l_extendedprice") * F.col("l_discount"), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "q10_returned_items",
+    f"""
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+           {sql_dec_sum("l.l_extendedprice * (1 - l.l_discount)", 2)} AS revenue,
+           c.c_acctbal
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-04-01'
+    GROUP BY 1, 2, 3, 5
+    ORDER BY revenue DESC, c.c_custkey ASC
+    LIMIT 20
+    """,
+)
+def q10_returned_items_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: lost-revenue ranking of customers whose items came
+    back.  100 TB plan: quarter filter pushed into the orders scan,
+    returnflag filter pushed into lineitem, the fact↔fact join shuffles
+    on the order key ONCE, customer and nation BROADCAST onto the
+    aggregate's output side (joining dims after the heavy join keeps the
+    shuffled rows narrow), and the top-20 is a TakeOrdered — no global
+    sort materialization."""
+    o = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    per_cust = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("revenue"))
+    )
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet").select("n_nationkey", "n_name")
+    return (
+        per_cust.join(F.broadcast(c), per_cust.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("n_name").alias("nation"),
+            "revenue",
+            "c_acctbal",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "q13_order_count_histogram",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY 1
+    )
+    GROUP BY 1
+    """,
+)
+def q13_order_count_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by how many orders they
+    placed, INCLUDING the zero-order customers (the left join the naive
+    groupBy misses).  100 TB plan: orders pre-aggregates to per-custkey
+    counts FIRST (map-side partial combine — the fact table never carries
+    customer attributes through a shuffle), then the count frame joins the
+    customer key list; the final histogram is a second tiny partial agg.
+    Two narrow shuffles total, both on custkey-sized rows."""
+    counts = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_custkey")
+    per_cust = c.join(counts, c.c_custkey == counts.o_custkey, how="left").select(
+        F.coalesce(F.col("__n"), F.lit(0)).alias("c_count")
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "q14_promo_revenue_share",
+    f"""
+    SELECT
+      (100.0 * ({sql_dec_sum("CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END", 2)}))
+        / ({sql_dec_sum("l.l_extendedprice * (1 - l.l_discount)", 2)}) AS promo_share_pct,
+      {sql_dec_sum("CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END", 2)} AS promo_revenue,
+      {sql_dec_sum("l.l_extendedprice * (1 - l.l_discount)", 2)} AS total_revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-03-01'
+      AND l.l_shipdate < TIMESTAMP '1997-04-01'
+    """,
+)
+def q14_promo_revenue_share_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: share of one month's revenue that came from PROMO
+    parts.  100 TB plan: the month filter prunes the lineitem scan to
+    ~1/84 of the table, part is the BROADCAST dim (two columns after
+    pruning), and both the conditional and total sums come out of ONE
+    partial aggregate — the ratio is computed from the two exact
+    micro-int sums, so it is bit-identical cross-engine."""
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .select("l_partkey", "l_extendedprice", "l_discount")
+    )
+    p = spark.read.parquet(f"{sf_dir}/part.parquet").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    agg_df = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).agg(
+        dec_sum(promo, 2).alias("promo_revenue"),
+        dec_sum(rev, 2).alias("total_revenue"),
+    )
+    return agg_df.select(
+        ((F.lit(100.0) * F.col("promo_revenue")) / F.col("total_revenue")).alias(
+            "promo_share_pct"
+        ),
+        "promo_revenue",
+        "total_revenue",
+    )
+
+
+@query(
+    "q18_large_volume_customers",
+    f"""
+    WITH big AS (
+        SELECT l_orderkey, {sql_dec_sum("l_quantity", 2)} AS sum_qty
+        FROM lineitem GROUP BY 1
+        HAVING {sql_dec_sum("l_quantity", 2)} > 210.0
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           o.o_totalprice, big.sum_qty
+    FROM big
+    JOIN orders o ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+    LIMIT 100
+    """,
+)
+def q18_large_volume_customers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers behind the largest-volume orders
+    (sum of quantities over an order > 210).  100 TB plan: the HAVING
+    pre-aggregate reduces lineitem to the ~1% qualifying order keys
+    BEFORE any join (partial combine map-side), the orders join shuffles
+    only that reduced frame, customer BROADCASTs, and the top-100 is a
+    TakeOrdered.  The quantity sum is the exact micro-int sum so the
+    threshold cut is deterministic."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dec_sum("l_quantity", 2).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 210.0)
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_custkey", "c_name")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+@query(
+    "q19_bracketed_revenue",
+    f"""
+    SELECT {sql_dec_sum("l.l_extendedprice * (1 - l.l_discount)", 2)} AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25 AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35 AND l.l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def q19_bracketed_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive brand/size/quantity brackets — the
+    classic test that an OR-of-ANDs stays an EQUI join.  100 TB plan: the
+    join key (partkey) is extracted from the disjunction so the plan is a
+    broadcast-hash join with the OR as a post-join filter — never a
+    nested-loop over the disjunction; the brand-side disjuncts
+    (brand IN (...)) and the quantity envelope (1..40) are pushed into
+    the part and lineitem scans respectively as a derived prefilter."""
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter((F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 40))
+        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    )
+    p = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .filter(F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#34"))
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15) & q.between(1, 20))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25) & q.between(10, 30))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35) & q.between(20, 40))
+    )
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).filter(cond)
+    return j.agg(
+        dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "q22_dormant_high_balance",
+    f"""
+    WITH thr AS (
+        SELECT {sql_dec_avg("c_acctbal")} AS avg_bal
+        FROM customer WHERE c_acctbal > 0.0
+    ),
+    recent AS (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '2000-06-01'
+    )
+    SELECT c.c_nationkey AS nationkey, COUNT(*) AS numcust,
+           {sql_dec_sum("c.c_acctbal", 2)} AS totacctbal
+    FROM customer c, thr
+    WHERE c.c_acctbal > thr.avg_bal
+      AND c.c_custkey NOT IN (SELECT o_custkey FROM recent)
+    GROUP BY 1
+    """,
+)
+def q22_dormant_high_balance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: high-balance customers gone dormant (no order in
+    the trailing period), counted per nation.  100 TB plan: the positive
+    average balance is ONE scalar broadcast back (never a per-row
+    subquery), the dormancy test is a LEFT-ANTI join against the
+    DISTINCT recent-orderer key set (pre-aggregated map-side before its
+    shuffle), and the final per-nation rollup is a ≤#nations-row agg."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    thr = c.filter(F.col("c_acctbal") > 0.0).agg(dec_avg("c_acctbal").alias("__avg_bal"))
+    recent = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_orderdate") >= F.lit("2000-06-01").cast("timestamp"))
+        .select("o_custkey")
+        .distinct()
+    )
+    rich = c.crossJoin(F.broadcast(thr)).filter(F.col("c_acctbal") > F.col("__avg_bal"))
+    dormant = rich.join(recent, rich.c_custkey == recent.o_custkey, how="left_anti")
+    return dormant.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("numcust"),
+        dec_sum("c_acctbal", 2).alias("totacctbal"),
+    )

@@ -1641,3 +1641,104 @@ def test_ann_recall_queries_scalar_shape(spark, sf_dir):
         assert r.n_exact == 20 and r.n_ann == 20, name
         assert 0 <= r.n_hits <= 20, name
         assert abs(r.recall_at_k - r.n_hits / 20.0) < 1e-12, name
+
+
+# ---------------------------------------------------------------------------
+# Round 6: TPC-H breadth (Q4/Q6/Q10/Q13/Q14/Q18/Q19/Q22 shapes)
+# ---------------------------------------------------------------------------
+
+
+def test_q4_semi_join_no_duplicate_orders(spark, sf_dir):
+    """The EXISTS must be a semi join: priority counts can never exceed
+    the raw filtered order counts (an inner join would double-count
+    orders with several late lineitems)."""
+    from pyspark.sql import functions as F2
+
+    from mistocksync_spark.plans.queries import QUERIES
+
+    df = QUERIES["q4_order_priority"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    got = {r.orderpriority: r.order_count for r in df.collect()}
+    raw = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(
+            (F2.col("o_orderdate") >= F2.lit("1997-01-01").cast("timestamp"))
+            & (F2.col("o_orderdate") < F2.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy("o_orderpriority")
+        .count()
+    )
+    raw_counts = {r.o_orderpriority: r["count"] for r in raw.collect()}
+    assert got and all(got[k] <= raw_counts[k] for k in got)
+
+
+def test_q6_filters_pushed_to_scan(spark, sf_dir):
+    from mistocksync_spark.plans.queries import QUERIES
+
+    df = QUERIES["q6_revenue_forecast"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:300]
+    (r,) = df.collect()
+    assert r.n_rows > 0 and r.revenue > 0
+
+
+def test_q10_top20_ordered_and_bounded(spark, sf_dir):
+    from mistocksync_spark.plans.queries import QUERIES
+
+    rows = QUERIES["q10_returned_items"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    revs = [r.revenue for r in rows]
+    assert revs == sorted(revs, reverse=True)
+
+
+def test_q13_histogram_accounts_every_customer(spark, sf_dir):
+    from mistocksync_spark.plans.queries import QUERIES
+
+    rows = QUERIES["q13_order_count_histogram"](spark, sf_dir).collect()
+    n_cust = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+    assert sum(r.custdist for r in rows) == n_cust  # zero-order bucket included
+
+
+def test_q14_share_consistent_with_sums(spark, sf_dir):
+    from mistocksync_spark.plans.queries import QUERIES
+
+    (r,) = QUERIES["q14_promo_revenue_share"](spark, sf_dir).collect()
+    assert 0.0 < r.promo_share_pct < 100.0
+    assert abs(r.promo_share_pct - 100.0 * r.promo_revenue / r.total_revenue) < 1e-9
+
+
+def test_q18_threshold_and_order(spark, sf_dir):
+    from mistocksync_spark.plans.queries import QUERIES
+
+    rows = QUERIES["q18_large_volume_customers"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 100
+    assert all(r.sum_qty > 210.0 for r in rows)
+    prices = [r.o_totalprice for r in rows]
+    assert prices == sorted(prices, reverse=True)
+
+
+def test_q19_disjunction_stays_equi_join(spark, sf_dir):
+    """The OR-of-ANDs must not degrade the plan to a nested loop."""
+    from mistocksync_spark.plans.queries import QUERIES
+
+    df = QUERIES["q19_bracketed_revenue"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    (r,) = df.collect()
+    assert r.n_rows > 0 and r.revenue > 0
+
+
+def test_q22_dormant_excludes_recent_orderers(spark, sf_dir):
+    from pyspark.sql import functions as F2
+
+    from mistocksync_spark.plans.queries import QUERIES
+
+    df = QUERIES["q22_dormant_high_balance"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+    rows = df.collect()
+    assert rows and all(r.numcust > 0 for r in rows)
+    # nation count bounded by the dim size
+    n_nations = spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+    assert len(rows) <= n_nations
