@@ -650,3 +650,95 @@ def jaccard_prefix_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+def bloom_bits(df: DataFrame, text_col: str = "text", m: int = 65536, k: int = 3) -> DataFrame:
+    """Build a Bloom filter over a document set as a DataFrame of set bit
+    positions: each text contributes ``k`` md5-derived positions in
+    ``[0, m)``.  The distinct-position frame IS the filter (≤ m rows
+    regardless of input size), built with one partial-agg shuffle."""
+    pos = F.array(
+        *[
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{i}|"), F.col(text_col))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % F.lit(m)
+            for i in range(k)
+        ]
+    )
+    return df.select(F.explode(pos).alias("bit")).distinct()
+
+
+def bloom_contamination(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    m: int = 65536,
+    k: int = 3,
+) -> DataFrame:
+    """Benchmark-contamination screen via a Bloom filter — the membership
+    primitive that makes eval-overlap checks affordable at 100 TB: the
+    eval set compresses to ≤ m set-bit rows (built once, broadcast), each
+    corpus document probes its k bit positions with a broadcast-hash join
+    and is flagged only when ALL k bits are set, and the exact md5
+    membership join runs alongside to grade the filter (false positives
+    are the price of the compression; false negatives are impossible —
+    asserted by construction here).  Returns ONE summary row:
+    probed/bloom-hit/exact-hit/false-positive counts and the exact
+    integer-quotient FP rate.  All hashes are md5-derived, so the filter
+    contents are deterministic cross-engine, unlike a murmur-seeded
+    ``BloomFilter`` sketch."""
+    bits = bloom_bits(eval_set, text_col=text_col, m=m, k=k)
+    pos = F.array(
+        *[
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{i}|"), F.col(text_col))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % F.lit(m)
+            for i in range(k)
+        ]
+    )
+    probes = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.col(text_col)).alias("__dig"),
+        F.array_distinct(pos).alias("__pos"),
+    )
+    # a doc is bloom-positive iff ALL its (distinct — self-collisions
+    # shrink the requirement, never create a false negative) positions
+    # are set
+    hits = (
+        probes.select("doc_id", F.size("__pos").alias("__need"), F.explode("__pos").alias("bit"))
+        .join(F.broadcast(bits), on="bit")
+        .groupBy("doc_id", "__need")
+        .agg(F.count(F.lit(1)).alias("__nbits"))
+        .filter(F.col("__nbits") == F.col("__need"))
+    )
+    # exact membership: corpus digest ∈ eval digest set
+    eval_digs = eval_set.select(F.md5(F.col(text_col)).alias("__dig")).distinct()
+    exact = probes.join(F.broadcast(eval_digs), on="__dig", how="left_semi").select("doc_id")
+    flagged = probes.select("doc_id").join(
+        hits.select("doc_id", F.lit(1).alias("__bloom")), on="doc_id", how="left"
+    ).join(exact.withColumn("__exact", F.lit(1)), on="doc_id", how="left")
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_probed"),
+        F.sum(F.coalesce(F.col("__bloom"), F.lit(0))).alias("n_bloom_hits"),
+        F.sum(F.coalesce(F.col("__exact"), F.lit(0))).alias("n_exact_hits"),
+        F.sum(
+            F.when(F.col("__bloom").isNotNull() & F.col("__exact").isNull(), 1).otherwise(0)
+        ).alias("n_false_pos"),
+        F.sum(
+            F.when(F.col("__exact").isNotNull() & F.col("__bloom").isNull(), 1).otherwise(0)
+        ).alias("n_false_neg"),
+    ).select(
+        "n_probed",
+        "n_bloom_hits",
+        "n_exact_hits",
+        "n_false_pos",
+        "n_false_neg",
+        (F.col("n_false_pos").cast("double") / F.col("n_probed")).alias("fp_rate"),
+    )

@@ -800,3 +800,159 @@ def mixture_apply(
     return joined.filter(keep).select(
         F.col(id_col).alias("doc_id"), F.col(stratum_col).alias("source")
     )
+
+
+def charlm_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                 lang_col: str = "lang") -> DataFrame:
+    """CCNet-style language-model quality score, deterministic variant:
+    train a per-language character-TRIGRAM model on the corpus itself
+    (P(c3 | c1c2) = trigram count / bigram-prefix count) and score each
+    document by its mean trigram probability.  Gibberish and OCR noise
+    score low against the in-language trigram statistics — the same
+    signal CCNet's KenLM perplexity gate uses, in a log-free form whose
+    arithmetic is bit-identical cross-engine (count ratios are exact
+    IEEE quotients of integers; each is micro-quantized with
+    ``floor(p*1e6+0.5)`` and accumulated exactly, never a float sum).
+
+    100 TB plan: the trigram stream (one row per character position)
+    aggregates to the (lang, trigram) count table with map-side partial
+    combine — the table is bounded by charset³ per language, NOT by
+    corpus size, so it BROADCASTS back onto the stream for scoring; the
+    prefix totals derive from the already-aggregated count table (no
+    second pass over the corpus).  Two shuffles total (count table +
+    per-doc re-aggregation), zero Python.  Documents shorter than 3
+    chars have no trigram and no output row.
+    """
+    low = F.lower(F.col(text_col))
+    n_tri = F.length(low) - 2
+    # Spark's sequence(1, 0) DESCENDS instead of emitting empty, so the
+    # <3-char guard must be a filter, not a greatest() clamp
+    tri_stream = df.filter(F.length(F.lower(F.col(text_col))) >= 3).select(
+        F.col(id_col).alias("doc_id"),
+        F.col(lang_col).alias("lang"),
+        F.explode(
+            F.transform(F.sequence(F.lit(1), n_tri), lambda i: F.substring(low, i, 3))
+        ).alias("tri"),
+    )
+    tc = tri_stream.groupBy("lang", "tri").agg(F.count(F.lit(1)).alias("__tn"))
+    pc = tc.groupBy("lang", F.substring("tri", 1, 2).alias("__pre")).agg(
+        F.sum("__tn").alias("__pn")
+    )
+    prob = (
+        tc.join(pc, (tc.lang == pc.lang) & (F.substring(tc.tri, 1, 2) == pc["__pre"]))
+        .select(
+            tc.lang.alias("__plang"),
+            tc.tri.alias("__ptri"),
+            F.floor(
+                F.col("__tn").cast("double") / F.col("__pn").cast("double") * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            .cast("decimal(38,0)")
+            .alias("__qp"),
+        )
+    )
+    scored = tri_stream.join(
+        F.broadcast(prob),
+        (tri_stream.lang == F.col("__plang")) & (tri_stream.tri == F.col("__ptri")),
+    )
+    return scored.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("n_trigrams"),
+        (
+            F.sum("__qp").cast("double") / F.lit(1e6) / F.count(F.lit(1))
+        ).alias("lm_score"),
+    )
+
+
+def hashed_quality_logit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 262144,
+    modulus: int = 1000003,
+    mult: int = 2654435761,
+) -> DataFrame:
+    """fastText-style linear text classifier via the hashing trick: each
+    token hashes straight to a weight index (md5 → bucket in ``dim``),
+    the "trained" weight is a fixed pseudo-random projection of the
+    bucket (Knuth multiplicative hash mod a prime), and the document
+    logit is the mean token weight.  The point under test is the SHAPE
+    every production quality classifier shares at 100 TB: featurization
+    is stateless hashing (no vocabulary table to build, ship, or skew —
+    the model is a deterministic function, so scoring needs ZERO joins),
+    one explode + ONE per-doc partial-agg shuffle, all JVM expressions.
+
+    Weights live in integer space until the final division (exact
+    integer sums are order-independent; ``b*mult`` peaks ≈ 7e14 « 2^63),
+    so the logit is bit-identical cross-engine: logit =
+    (sum(w)/n)/modulus - 0.5, centered so ≈half the mass is positive.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"[a-zа-я0-9]+"), 0)
+        ).alias("tok"),
+    )
+    bucket = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long") % F.lit(dim)
+    w = (bucket * F.lit(mult)) % F.lit(modulus)
+    per_doc = toks.select("doc_id", w.alias("__w")).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("__w").alias("__sw"),
+    )
+    logit = (
+        F.col("__sw").cast("double") / F.col("n_tokens") / F.lit(float(modulus))
+        - F.lit(0.5)
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        logit.alias("quality_logit"),
+        (logit > 0).cast("int").alias("keep"),
+    )
+
+
+def source_length_ks(df: DataFrame, len_col: str = "n_chars",
+                     stratum_col: str = "source") -> DataFrame:
+    """Distribution-drift monitor: exact two-sample Kolmogorov–Smirnov
+    statistic of each source's document-length distribution against the
+    whole corpus — the alarm that one ingest source started shipping
+    truncated or concatenated documents.
+
+    100 TB plan: lengths aggregate FIRST to (source, length) counts —
+    the only pass over the corpus, with map-side combine — and every
+    window below runs on that aggregated frame, whose size is bounded
+    by #sources × #distinct-lengths, not by row count.  The CDF grid is
+    the cross of the (tiny) source list with the (tiny) distinct-length
+    list so each source's step-function CDF is evaluated at EVERY global
+    jump point (the sup of |F_s - F| lives there).  All CDFs are exact
+    integer-count quotients — deterministic cross-engine.
+    """
+    counts = df.groupBy(
+        F.col(stratum_col).alias("source"), F.col(len_col).cast("long").alias("len")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    values = counts.select("len").distinct()
+    sources = counts.groupBy("source").agg(F.sum("cnt").alias("n_docs"))
+    grid = sources.crossJoin(F.broadcast(values))
+    from pyspark.sql import Window
+
+    filled = grid.join(counts, on=["source", "len"], how="left").select(
+        "source", "len", "n_docs", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
+    )
+    w_s = Window.partitionBy("source").orderBy("len")
+    total = sources.agg(F.sum("n_docs").alias("__total"))  # 1-row broadcast, no collect
+    g_counts = counts.groupBy("len").agg(F.sum("cnt").alias("gcnt"))
+    w_g = Window.orderBy("len")  # runs on the ≤#distinct-lengths aggregated frame
+    g_cdf = (
+        g_counts.select("len", F.sum("gcnt").over(w_g).alias("__gcum"))
+        .crossJoin(F.broadcast(total))
+        .select("len", (F.col("__gcum").cast("double") / F.col("__total")).alias("gcdf"))
+    )
+    s_cdf = filled.select(
+        "source",
+        "len",
+        "n_docs",
+        (F.sum("cnt").over(w_s).cast("double") / F.col("n_docs")).alias("scdf"),
+    )
+    j = s_cdf.join(F.broadcast(g_cdf), on="len")
+    return j.groupBy("source", "n_docs").agg(
+        F.max(F.abs(F.col("scdf") - F.col("gcdf"))).alias("ks_stat")
+    )
