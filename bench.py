@@ -178,6 +178,14 @@ def main():
             "q18_large_volume_customers",
             "q19_bracketed_revenue",
             "q22_dormant_high_balance",
+            "bloom_bits",
+            "bloom_contamination",
+            "charlm_score",
+            "hashed_quality_logit",
+            "source_length_ks",
+            "q2_min_cost_supplier",
+            "q15_top_supplier",
+            "q21_waiting_supplier",
         ]
         if q in QUERIES
     ]
@@ -204,8 +212,15 @@ def main():
     # code-match-backed entries; the unified-code regex class alone kept
     # product_code_match's first samples at ~2× its steady cost) before
     # sample 1 — state is reset afterwards, so timed runs still rebuild
-    # their own caches/memos from scratch
-    for wq in ("top_event_types", "new_items", "product_code_extract", "bracket_code_extract"):
+    # their own caches/memos from scratch.  minhash_lsh_pairs joined the
+    # list in round 7: the shingle→minhash→band pipeline's first-touch
+    # codegen landed on whichever entry ran it first (triangles sample 1
+    # measured 7.96 s vs 2.9 s steady locally), which is exactly the r6
+    # 3.2× sample spread on the minhash_lsh_pairs headline and the
+    # dedup_graph_clustering cold scatter — warm the classes once,
+    # untimed, so every timed sample measures the same steady-state cost.
+    for wq in ("top_event_types", "new_items", "product_code_extract",
+               "bracket_code_extract", "minhash_lsh_pairs"):
         if wq in QUERIES:
             _reset(spark)
             run_once(wq)

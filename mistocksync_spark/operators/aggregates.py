@@ -112,25 +112,42 @@ def zscore_outliers(
     """Per-group z-score anomaly flags: rows whose value sits more than
     ``threshold`` population standard deviations from their group mean.
 
-    Plan: one partial-agg shuffle computes per-key (mean, stddev_pop) —
-    a #keys-row frame — which broadcasts back onto the scan; the second
-    pass is shuffle-free.  Groups with zero variance emit no outliers.
+    Plan: a first partial-agg shuffle finds the per-key MIN pivot (exact,
+    comparison-only — identical in every engine), which broadcasts back;
+    a second partial-agg shuffle accumulates the PIVOT-CENTERED micro-int
+    sums; the resulting #keys-row stat frame broadcasts onto the scan and
+    the flagging pass is shuffle-free.  Groups with zero variance emit no
+    outliers.
 
-    Determinism by construction (no margin argument needed): mean and
-    E[x²] come from exact micro-unit integer sums (functions/numeric.py),
-    σ = sqrt(max(E[x²] − μ², 0)) in pure IEEE ops — NOT the engine's
+    Determinism by construction: mean and E[x²] come from exact
+    micro-unit integer sums (functions/numeric.py) of ``x − min``, σ =
+    sqrt(max(E[c²] − μc², 0)) in pure IEEE ops — NOT the engine's
     streaming stddev aggregate, whose accumulation order varies — and the
     z-score rounds via floor(z·1000+0.5)/1000, so both the rounded value
     and the ``|z| > threshold`` membership are bit-identical across
-    partitionings and engines.
+    partitionings and engines.  Centering on the group min before
+    quantizing keeps the one-pass variance formula cancellation-safe for
+    large-mean/small-variance groups (E[c²] and μc² are O(spread²), so
+    the ~5e-7 quantization error is relative to the SPREAD, never
+    amplified by μ² ≈ 2μ·ε as it was on raw values).
     """
-    vsq = F.col(value) * F.col(value)
-    stats = df.groupBy(key).agg(
-        dec_avg(value).alias("__mu"), dec_avg(vsq).alias("__ex2")
+    piv = df.groupBy(key).agg(F.min(value).alias("__p"))
+    c = F.col(value) - F.col("__p")
+    stats = (
+        df.join(F.broadcast(piv), on=key)
+        .groupBy(key, "__p")
+        .agg(dec_avg(c).alias("__muc"), dec_avg(c * c).alias("__ex2c"))
+        .select(
+            key,
+            (F.col("__p") + F.col("__muc")).alias("__mu"),
+            F.sqrt(
+                F.greatest(
+                    F.col("__ex2c") - F.col("__muc") * F.col("__muc"), F.lit(0.0)
+                )
+            ).alias("__sigma"),
+        )
     )
-    sigma = F.sqrt(
-        F.greatest(F.col("__ex2") - F.col("__mu") * F.col("__mu"), F.lit(0.0))
-    )
+    sigma = F.col("__sigma")
     z = (F.col(value) - F.col("__mu")) / sigma
     return (
         df.join(F.broadcast(stats), on=key)

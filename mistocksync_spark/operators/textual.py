@@ -835,14 +835,20 @@ def charlm_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         ).alias("tri"),
     )
     tc = tri_stream.groupBy("lang", "tri").agg(F.count(F.lit(1)).alias("__tn"))
-    pc = tc.groupBy("lang", F.substring("tri", 1, 2).alias("__pre")).agg(
-        F.sum("__tn").alias("__pn")
-    )
+    # pc derives from tc (a self-join by lineage): rename its keys so the
+    # prefix-total attach resolves unambiguously
+    pc = tc.groupBy(
+        F.col("lang").alias("__pl"), F.substring("tri", 1, 2).alias("__pre")
+    ).agg(F.sum("__tn").alias("__pn"))
     prob = (
-        tc.join(pc, (tc.lang == pc.lang) & (F.substring(tc.tri, 1, 2) == pc["__pre"]))
+        tc.join(
+            pc,
+            (F.col("lang") == F.col("__pl"))
+            & (F.substring(F.col("tri"), 1, 2) == F.col("__pre")),
+        )
         .select(
-            tc.lang.alias("__plang"),
-            tc.tri.alias("__ptri"),
+            F.col("lang").alias("__plang"),
+            F.col("tri").alias("__ptri"),
             F.floor(
                 F.col("__tn").cast("double") / F.col("__pn").cast("double") * F.lit(1e6)
                 + F.lit(0.5)
@@ -851,14 +857,18 @@ def charlm_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             .alias("__qp"),
         )
     )
-    scored = tri_stream.join(
-        F.broadcast(prob),
-        (tri_stream.lang == F.col("__plang")) & (tri_stream.tri == F.col("__ptri")),
+    # prob derives from tri_stream, so the probe join is a self-join by
+    # lineage — qualify both sides with dataset aliases
+    scored = tri_stream.alias("s").join(
+        F.broadcast(prob.alias("p")),
+        (F.col("s.lang") == F.col("p.__plang")) & (F.col("s.tri") == F.col("p.__ptri")),
     )
-    return scored.groupBy("doc_id", "lang").agg(
+    return scored.groupBy(
+        F.col("s.doc_id").alias("doc_id"), F.col("s.lang").alias("lang")
+    ).agg(
         F.count(F.lit(1)).alias("n_trigrams"),
         (
-            F.sum("__qp").cast("double") / F.lit(1e6) / F.count(F.lit(1))
+            F.sum("p.__qp").cast("double") / F.lit(1e6) / F.count(F.lit(1))
         ).alias("lm_score"),
     )
 

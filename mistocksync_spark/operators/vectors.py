@@ -553,10 +553,16 @@ def ivf_train(
     Determinism: partial sums accumulate the micro-unit quantization
     ``floor(x * 1e6 + 0.5)`` of each element as EXACT int64 — associative
     and partition-order independent — and each refined centroid element is
-    ``(sum / 1e6) / count`` in pure IEEE ops, so the trained quantizer is
-    bit-identical across runs, partitionings, AND an engine that replays
-    the same arithmetic (the ``embedding_topk_ivf_trained_recall`` oracle
-    re-derives the full training loop in SQL from this contract).
+    ``(sum / 1e6) / count`` in pure IEEE ops.  The ACCUMULATION is exact;
+    the cluster ASSIGNMENT is not a construction guarantee: numpy's BLAS
+    matmul / ``np.linalg.norm`` accumulate pairwise/FMA while the
+    ``embedding_topk_ivf_trained_recall`` oracle replays assignment with
+    a strict left-fold in SQL, so agreement rests on a MARGIN argument —
+    assignment scores on real data sit far from argmax ties relative to
+    the ~1e-13 accumulation-order error.  A knife-edge near-tie could
+    flip an assignment (and the graded hash); if that ever happens,
+    quantize the assignment scores before argmax on both sides rather
+    than hunting a nonexistent arithmetic bug.
     """
     import numpy as np
     import pandas as pd
@@ -711,8 +717,13 @@ def pq_train(
     # Determinism (same contract as ivf_train): partials accumulate the
     # micro-unit quantization floor(x*1e6+0.5) of each NORMALIZED element
     # as exact int64, and each codeword element updates as (sum/1e6)/count
-    # in pure IEEE ops — partition-order independent, and replayable by
-    # the embedding_topk_pq_recall SQL oracle.
+    # in pure IEEE ops — partition-order independent.  As with ivf_train,
+    # cross-engine agreement with the embedding_topk_pq_recall SQL oracle
+    # is a MARGIN argument, not a construction guarantee: the assignment
+    # argmax uses BLAS matmul (pairwise/FMA) vs the oracle's strict
+    # left-fold, and micro-quantizing numpy-normalized elements can sit
+    # on a knife edge; a future hash flip here means quantize assignment
+    # scores before argmax on both sides, not an arithmetic bug.
     for _ in range(iterations):
         B = books.copy()
         schema = "sub long, code long, n long, usum array<long>"

@@ -1742,3 +1742,138 @@ def test_q22_dormant_excludes_recent_orderers(spark, sf_dir):
     # nation count bounded by the dim size
     n_nations = spark.read.parquet(f"{sf_dir}/nation.parquet").count()
     assert len(rows) <= n_nations
+
+
+# ------------------------------------------- round-7: formerly-dark operators
+def test_bloom_bits_no_false_negatives(spark):
+    """Every document's own k probe positions must be set in the filter
+    built over it — false negatives are impossible by construction."""
+    from mistocksync_spark.operators.dedup import bloom_bits
+
+    df = _docs(spark, [(1, "alpha beta"), (2, "gamma delta"), (3, "alpha beta")])
+    bits = {r.bit for r in bloom_bits(df, m=1024, k=3).collect()}
+    assert bits and len(bits) <= 6  # ≤ docs×k, duplicates collapse
+    assert all(0 <= b < 1024 for b in bits)
+
+
+def test_bloom_contamination_exact_subset_of_bloom(spark):
+    from mistocksync_spark.operators.dedup import bloom_contamination
+
+    eval_set = _docs(spark, [(100, "the quick brown fox"), (101, "lorem ipsum")])
+    corpus = _docs(
+        spark,
+        [(1, "the quick brown fox"), (2, "clean unrelated text"), (3, "lorem ipsum")],
+    )
+    (r,) = bloom_contamination(corpus, eval_set, m=4096, k=3).collect()
+    assert r.n_probed == 3
+    assert r.n_exact_hits == 2
+    assert r.n_false_neg == 0  # bloom can never miss a true member
+    assert r.n_bloom_hits >= r.n_exact_hits
+    assert r.fp_rate == r.n_false_pos / r.n_probed
+
+
+def test_bloom_contamination_probe_join_broadcasts(spark, sf_dir):
+    from mistocksync_spark.plans.queries import QUERIES
+
+    df = QUERIES["bloom_contamination"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # bit frame + digest set broadcast
+
+
+def test_charlm_score_exact_trigram_ratios(spark):
+    """Corpus: 'ababab' (trigrams aba,bab,aba,bab) + 'abax' (aba,bax).
+    Counts: aba:3 bab:2 bax:1; prefixes ab:3 ba:3.  p(aba)=1,
+    p(bab)=2/3→666667µ, p(bax)=1/3→333333µ.  The doc using the minority
+    continuation of a SHARED prefix scores lower — the CCNet signal (a
+    self-trained tiny model can't score unique-prefix gibberish low,
+    since an unseen prefix has conditional probability 1)."""
+    from mistocksync_spark.operators.textual import charlm_score
+
+    rows = [(1, "ababab", "en"), (2, "abax", "en"), (3, "ab", "en")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r.doc_id: r for r in charlm_score(df).collect()}
+    assert 3 not in got  # <3 chars: no trigram, no row
+    assert got[1].n_trigrams == 4 and got[2].n_trigrams == 2
+    assert got[1].lm_score == pytest.approx((1e6 + 666667 + 1e6 + 666667) / 1e6 / 4)
+    assert got[2].lm_score == pytest.approx((1e6 + 333333) / 1e6 / 2)
+    assert got[2].lm_score < got[1].lm_score
+
+
+def test_charlm_score_partition_order_independent(spark):
+    from mistocksync_spark.operators.textual import charlm_score
+
+    rows = [(i, f"some repeated text body number {i % 3}", "en") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    a = {(r.doc_id, r.lm_score) for r in charlm_score(df.repartition(1)).collect()}
+    b = {(r.doc_id, r.lm_score) for r in charlm_score(df.repartition(13)).collect()}
+    assert a == b
+
+
+def test_hashed_quality_logit_shape_and_determinism(spark):
+    from mistocksync_spark.operators.textual import hashed_quality_logit
+
+    rows = [(1, "Alpha beta GAMMA alpha"), (2, ""), (3, "один два три")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in hashed_quality_logit(df).collect()}
+    assert 2 not in got  # zero tokens -> no row
+    assert got[1].n_tokens == 4 and got[3].n_tokens == 3
+    for r in got.values():
+        assert r.keep == int(r.quality_logit > 0)
+    again = {r.doc_id: r.quality_logit
+             for r in hashed_quality_logit(df.repartition(7)).collect()}
+    assert again == {k: v.quality_logit for k, v in got.items()}
+
+
+def test_source_length_ks_zero_for_identical_and_flags_shift(spark):
+    from mistocksync_spark.operators.textual import source_length_ks
+
+    rows = (
+        [(i, None, "a", 100 + (i % 5)) for i in range(50)]
+        + [(100 + i, None, "b", 100 + (i % 5)) for i in range(50)]
+        + [(200 + i, None, "c", 900 + (i % 5)) for i in range(50)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string, n_chars long")
+    got = {r.source: r for r in source_length_ks(df).collect()}
+    assert got["a"].n_docs == 50
+    # a and b match each other; c is shifted far away, so a/b differ from
+    # the GLOBAL cdf by c's third of the mass, and c by the other two thirds
+    assert got["a"].ks_stat == pytest.approx(got["b"].ks_stat)
+    assert got["c"].ks_stat > got["a"].ks_stat
+    for r in got.values():
+        assert 0.0 <= r.ks_stat <= 1.0
+
+
+def test_q2_min_join_decorrelated_and_bounded(spark, sf_dir):
+    """The correlated min must run as aggregate + equality join (no
+    per-part rescan), every row's cost must equal its part's minimum,
+    and the result is capped at 100."""
+    from mistocksync_spark.plans.queries import QUERIES
+
+    df = QUERIES["q2_min_cost_supplier"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # dims + part filter broadcast
+    rows = df.collect()
+    assert 0 < len(rows) <= 100
+    by_part = {}
+    for r in rows:
+        by_part.setdefault(r.p_partkey, set()).add(r.unit_cost)
+    assert all(len(v) == 1 for v in by_part.values())  # one min cost per part
+
+
+def test_q15_all_rows_share_the_max(spark, sf_dir):
+    from mistocksync_spark.plans.queries import QUERIES
+
+    rows = QUERIES["q15_top_supplier"](spark, sf_dir).collect()
+    assert rows
+    revs = {r.total_revenue for r in rows}
+    assert len(revs) == 1  # only max-revenue suppliers (ties all surface)
+
+
+def test_q21_semi_and_anti_joins_in_plan(spark, sf_dir):
+    from mistocksync_spark.plans.queries import QUERIES
+
+    df = QUERIES["q21_waiting_supplier"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    rows = df.collect()
+    assert rows and all(r.numwait > 0 for r in rows)
