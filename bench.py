@@ -186,6 +186,14 @@ def main():
             "q2_min_cost_supplier",
             "q15_top_supplier",
             "q21_waiting_supplier",
+            "q7_nation_volume",
+            "q8_market_share",
+            "q9_product_profit",
+            "q11_important_stock",
+            "q12_priority_by_status",
+            "q16_supplier_breadth",
+            "q17_small_quantity_revenue",
+            "q20_dominant_supplier",
         ]
         if q in QUERIES
     ]

@@ -5780,3 +5780,453 @@ def q21_waiting_supplier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+# --------------------------------------------------------------------------
+# Round-7 TPC-H completion: Q7/Q8/Q9/Q11/Q12/Q16/Q17/Q20 shapes — with the
+# documented schema adaptations (no partsupp: inventory/supply notions
+# derive from lineitem; no shipmode/commitdate: linestatus buckets and the
+# returned flag stand in; supplycost proxied as 60% of p_retailprice).
+# --------------------------------------------------------------------------
+_Q7_BLOC_A = ["NATION_0", "NATION_1", "NATION_2", "NATION_3", "NATION_4"]
+_Q7_BLOC_B = ["NATION_5", "NATION_6", "NATION_7", "NATION_8", "NATION_9"]
+
+
+@query(
+    "q7_nation_volume",
+    f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+           {sql_dec_sum("l.l_extendedprice * (1 - l.l_discount)", 2)} AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name IN ('NATION_0','NATION_1','NATION_2','NATION_3','NATION_4')
+         AND n2.n_name IN ('NATION_5','NATION_6','NATION_7','NATION_8','NATION_9'))
+        OR (n1.n_name IN ('NATION_5','NATION_6','NATION_7','NATION_8','NATION_9')
+         AND n2.n_name IN ('NATION_0','NATION_1','NATION_2','NATION_3','NATION_4')))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY 1, 2, 3
+    """,
+)
+def q7_nation_volume_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nation blocs
+    by ship year (blocs rather than single nations so the result is
+    non-degenerate at every scale factor — sf0.001 has only 10
+    suppliers).  100 TB plan: supplier→nation and customer→nation dims BROADCAST
+    onto their fact sides; the only big shuffle is lineitem⋈orders on
+    orderkey; the nation-pair disjunction filters AFTER the broadcast
+    attaches (tiny), and the final agg is ≤2×2×#years rows with map-side
+    partials.  Revenue is the order-independent micro-int decimal sum."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet").select("s_suppkey", "s_nationkey")
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet").select("n_nationkey", "n_name")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_custkey", "c_nationkey")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_orderkey", "o_custkey")
+    n1 = nat.select(F.col("n_nationkey").alias("__nk1"), F.col("n_name").alias("supp_nation"))
+    n2 = nat.select(F.col("n_nationkey").alias("__nk2"), F.col("n_name").alias("cust_nation"))
+    sn = sup.join(F.broadcast(n1), sup.s_nationkey == F.col("__nk1")).select(
+        "s_suppkey", "supp_nation"
+    )
+    cn = cust.join(F.broadcast(n2), cust.c_nationkey == F.col("__nk2")).select(
+        "c_custkey", "cust_nation"
+    )
+    j = (
+        li.join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cn), orders.o_custkey == cn.c_custkey)
+        .filter(
+            (F.col("supp_nation").isin(*_Q7_BLOC_A) & F.col("cust_nation").isin(*_Q7_BLOC_B))
+            | (F.col("supp_nation").isin(*_Q7_BLOC_B) & F.col("cust_nation").isin(*_Q7_BLOC_A))
+        )
+    )
+    return j.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year")
+    ).agg(
+        dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("revenue")
+    )
+
+
+@query(
+    "q8_market_share",
+    f"""
+    WITH vol AS (
+        SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+               l.l_extendedprice * (1 - l.l_discount) AS volume,
+               n1.n_name AS supp_nation
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        JOIN region r ON n2.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    )
+    SELECT o_year,
+           {sql_dec_sum("CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE 0.0 END", 2)} AS nation_volume,
+           {sql_dec_sum("volume", 2)} AS total_volume,
+           floor(({sql_dec_sum("CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE 0.0 END", 2)})
+                 / ({sql_dec_sum("volume", 2)}) * 1000000 + 0.5) / 1000000.0 AS mkt_share
+    FROM vol GROUP BY o_year
+    """,
+)
+def q8_market_share_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's yearly trade in a
+    part type.  100 TB plan: part / supplier-nation / customer-nation-
+    region dims all BROADCAST; lineitem⋈orders on orderkey is the single
+    big shuffle; the share is a conditional aggregate INSIDE the same
+    per-year agg (one pass, no second join).  Both sums are micro-int
+    decimal sums and the share quotient gets the IEEE floor-round, so
+    the derived double is bit-identical cross-engine."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet").select("s_suppkey", "s_nationkey")
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    sn = sup.join(
+        F.broadcast(nat.select(F.col("n_nationkey").alias("__nk1"), F.col("n_name").alias("supp_nation"))),
+        sup.s_nationkey == F.col("__nk1"),
+    ).select("s_suppkey", "supp_nation")
+    reg = spark.read.parquet(f"{sf_dir}/region.parquet").filter(F.col("r_name") == "ASIA")
+    cn = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select("c_custkey", "c_nationkey")
+        .join(
+            F.broadcast(
+                nat.join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey).select(
+                    F.col("n_nationkey").alias("__nk2")
+                )
+            ),
+            F.col("c_nationkey") == F.col("__nk2"),
+        )
+        .select("c_custkey")
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cn), F.col("o_custkey") == cn.c_custkey)
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nat_vol = F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(F.lit(0.0))
+    g = j.groupBy(F.year("o_orderdate").cast("long").alias("o_year")).agg(
+        dec_sum(nat_vol, 2).alias("nation_volume"),
+        dec_sum(vol, 2).alias("total_volume"),
+    )
+    return g.select(
+        "o_year",
+        "nation_volume",
+        "total_volume",
+        (
+            F.floor(F.col("nation_volume") / F.col("total_volume") * F.lit(1e6) + F.lit(0.5))
+            / F.lit(1e6)
+        ).alias("mkt_share"),
+    )
+
+
+@query(
+    "q9_product_profit",
+    f"""
+    SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           {sql_dec_sum(
+               "l.l_extendedprice * (1 - l.l_discount) - 0.6 * p.p_retailprice * l.l_quantity", 2
+           )} AS sum_profit
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE p.p_name LIKE '%gear%'
+    GROUP BY 1, 2
+    """,
+)
+def q9_product_profit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit on a product line by supplier nation and
+    order year.  Adaptation: no partsupp, so supply cost is proxied as
+    60% of p_retailprice per unit (documented, same on both sides).
+    100 TB plan: the name-filtered part set and supplier→nation dims
+    BROADCAST onto the lineitem scan; lineitem⋈orders on orderkey is the
+    one big shuffle; profit accumulates as a micro-int decimal sum."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .filter(F.col("p_name").like("%gear%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet").select("s_suppkey", "s_nationkey")
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet").select("n_nationkey", "n_name")
+    sn = sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey).select(
+        "s_suppkey", F.col("n_name").alias("nation")
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_orderkey", "o_orderdate")
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+    )
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return j.groupBy(
+        "nation", F.year("o_orderdate").cast("long").alias("o_year")
+    ).agg(dec_sum(profit, 2).alias("sum_profit"))
+
+
+@query(
+    "q11_important_stock",
+    f"""
+    WITH pv AS (
+        SELECT l_partkey, {sql_dec_sum("l_extendedprice * (1 - l_discount)", 2)} AS value
+        FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (
+        SELECT ({sql_dec_sum("l_extendedprice * (1 - l_discount)", 2)}) AS total,
+               CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts
+        FROM lineitem
+    )
+    SELECT pv.l_partkey, pv.value
+    FROM pv, tot
+    WHERE pv.value > tot.total / tot.n_parts * 1.5
+    """,
+)
+def q11_important_stock_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose traded value exceeds a fraction of
+    the GLOBAL total — a group aggregate gated by a global scalar.
+    Adaptation: value is traded lineitem value (no partsupp inventory),
+    and the gate is 1.5× the MEAN per-part value so the shape stays
+    non-degenerate at every scale factor (a fixed fraction of the total
+    empties out as #parts grows).  100 TB plan: the global total and
+    part count are ONE 1-row aggregate BROADCAST back (never a per-row
+    subquery); the threshold is pure IEEE arithmetic on bit-identical
+    inputs, so the > gate is bit-safe.  Per-part values pre-aggregate
+    map-side on the scan."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    val = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    pv = li.groupBy("l_partkey").agg(dec_sum(val, 2).alias("value"))
+    tot = li.agg(
+        dec_sum(val, 2).alias("__total"),
+        F.countDistinct("l_partkey").cast("long").alias("__n_parts"),
+    )
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .filter(F.col("value") > F.col("__total") / F.col("__n_parts") * F.lit(1.5))
+        .select("l_partkey", "value")
+    )
+
+
+@query(
+    "q12_priority_by_status",
+    """
+    SELECT l.l_linestatus AS shipmode,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l.l_linestatus
+    """,
+)
+def q12_priority_by_status_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: the conditional-count pivot of order priorities
+    per shipping bucket.  Adaptation: no l_shipmode column, so
+    l_linestatus is the bucket.  100 TB plan: the shipdate range filter
+    pushes to the lineitem scan; the orderkey join shuffles only the
+    filtered year; CASE-sums fold map-side into a ≤#statuses-row agg."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("l_linestatus").alias("shipmode"))
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q16_supplier_breadth",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#1' AND p.p_size IN (5, 10, 15, 20, 25)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    """,
+)
+def q16_supplier_breadth_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers serve each surviving
+    (brand, type, size) bucket, excluding a complaint set.  Adaptation:
+    the excluded suppliers are those with negative balance (no comment
+    column).  100 TB plan: the filtered part dim and the tiny exclusion
+    key set BROADCAST (NOT IN → LEFT-ANTI against a broadcast);
+    COUNT(DISTINCT supplier) shuffles a pre-deduplicated
+    (bucket, supplier) frame, never raw lineitem."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_partkey", "l_suppkey")
+    part = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .filter((F.col("p_brand") != "Brand#1") & F.col("p_size").isin(5, 10, 15, 20, 25))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad = (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("__bad"))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(bad), li.l_suppkey == F.col("__bad"), how="left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    f"""
+    WITH pa AS (
+        SELECT l.l_partkey, {sql_dec_avg("l.l_quantity")} AS avg_qty
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_brand = 'Brand#3'
+        GROUP BY l.l_partkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_small_lines,
+           floor({sql_dec_sum("l.l_extendedprice", 2)} / 7.0 * 100 + 0.5) / 100.0
+               AS avg_yearly
+    FROM lineitem l
+    JOIN pa ON l.l_partkey = pa.l_partkey
+    WHERE l.l_quantity < 0.2 * pa.avg_qty
+    """,
+)
+def q17_small_quantity_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue that would vanish if small-quantity
+    orders of a brand were dropped — the correlated per-part AVG
+    subquery DECORRELATED into a per-part aggregate joined back.
+    100 TB plan: the brand-filtered part keys BROADCAST onto the scan;
+    the per-part average is a ≤#parts-row aggregate that BROADCASTS
+    back; the threshold compare is pure IEEE on the bit-identical
+    decimal average; the final result is ONE row.  avg_yearly gets the
+    IEEE floor-round at 2 dp on both sides."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .filter(F.col("p_brand") == "Brand#3")
+        .select("p_partkey")
+    )
+    brand_li = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    pa = brand_li.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        dec_avg("l_quantity").alias("avg_qty")
+    )
+    small = brand_li.join(F.broadcast(pa), brand_li.l_partkey == F.col("__pk")).filter(
+        F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty")
+    )
+    return small.agg(
+        F.count(F.lit(1)).alias("n_small_lines"),
+        (
+            F.floor(dec_sum("l_extendedprice", 2) / F.lit(7.0) * F.lit(100.0) + F.lit(0.5))
+            / F.lit(100.0)
+        ).alias("avg_yearly"),
+    )
+
+
+@query(
+    "q20_dominant_supplier",
+    f"""
+    WITH red_parts AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+    pair_qty AS (
+        SELECT l_partkey, l_suppkey, {sql_dec_sum("l_quantity", 2)} AS pair_qty
+        FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM red_parts)
+        GROUP BY l_partkey, l_suppkey
+    ),
+    part_qty AS (
+        SELECT l_partkey, {sql_dec_sum("l_quantity", 2)} AS part_qty,
+               CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supp
+        FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM red_parts)
+        GROUP BY l_partkey
+    ),
+    dominant AS (
+        SELECT DISTINCT pq.l_suppkey
+        FROM pair_qty pq JOIN part_qty t ON pq.l_partkey = t.l_partkey
+        WHERE pq.pair_qty > 3.0 * t.part_qty / t.n_supp
+    )
+    SELECT s.s_suppkey, s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE s.s_suppkey IN (SELECT l_suppkey FROM dominant)
+    """,
+)
+def q20_dominant_supplier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers holding a dominant position on a named
+    part family — the nested semi-join chain (parts → qualifying
+    (part, supplier) volumes → supplier semi-restriction).  Adaptation:
+    no partsupp availqty, so dominance is shipping more than
+    3× the part's FAIR share of volume (share thresholds that ignore
+    the supplier count empty out as scale grows).  100 TB plan: the
+    name-filtered part keys BROADCAST into the lineitem scan ONCE and
+    both volume aggregates reuse that filtered frame (per-pair and
+    per-part, map-side partials); the dominance gate joins the
+    ≤#parts-row total back by partkey; the supplier restriction is a
+    LEFT-SEMI against the DISTINCT dominant key set; nation attaches by
+    broadcast."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    red = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    rli = li.join(F.broadcast(red), li.l_partkey == red.p_partkey).select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    pair = rli.groupBy("l_partkey", "l_suppkey").agg(dec_sum("l_quantity", 2).alias("pair_qty"))
+    tot = rli.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        dec_sum("l_quantity", 2).alias("part_qty"),
+        F.countDistinct("l_suppkey").cast("long").alias("__n_supp"),
+    )
+    dominant = (
+        pair.join(F.broadcast(tot), pair.l_partkey == F.col("__pk"))
+        .filter(F.col("pair_qty") > F.lit(3.0) * F.col("part_qty") / F.col("__n_supp"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet").select("n_nationkey", "n_name")
+    return (
+        sup.join(F.broadcast(dominant), sup.s_suppkey == dominant.l_suppkey, how="left_semi")
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name")
+    )

@@ -1877,3 +1877,97 @@ def test_q21_semi_and_anti_joins_in_plan(spark, sf_dir):
     assert "LeftSemi" in plan and "LeftAnti" in plan
     rows = df.collect()
     assert rows and all(r.numwait > 0 for r in rows)
+
+
+def test_q7_symmetric_nation_pairs(spark, sf_dir):
+    from mistocksync_spark.plans.queries import QUERIES
+
+    rows = QUERIES["q7_nation_volume"](spark, sf_dir).collect()
+    assert rows
+    bloc_a = {f"NATION_{i}" for i in range(5)}
+    bloc_b = {f"NATION_{i}" for i in range(5, 10)}
+    for r in rows:
+        assert (r.supp_nation in bloc_a and r.cust_nation in bloc_b) or (
+            r.supp_nation in bloc_b and r.cust_nation in bloc_a
+        )
+    assert all(r.l_year in (1996, 1997) for r in rows)
+
+
+def test_q8_share_is_ratio_of_reported_sums(spark, sf_dir):
+    from mistocksync_spark.plans.queries import QUERIES
+
+    rows = QUERIES["q8_market_share"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.mkt_share <= 1.0
+        expect = math.floor(r.nation_volume / r.total_volume * 1e6 + 0.5) / 1e6
+        assert r.mkt_share == pytest.approx(expect)
+
+
+def test_q9_profit_grouped_by_nation_year(spark, sf_dir):
+    from mistocksync_spark.plans.queries import QUERIES
+
+    df = QUERIES["q9_product_profit"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # part + supplier-nation dims
+    rows = df.collect()
+    assert rows and len({(r.nation, r.o_year) for r in rows}) == len(rows)
+
+
+def test_q11_gate_against_global_mean(spark, sf_dir):
+    from mistocksync_spark.plans.queries import QUERIES
+
+    rows = QUERIES["q11_important_stock"](spark, sf_dir).collect()
+    assert rows
+    # every surviving part's value strictly exceeds 1.5x the mean value
+    import pyspark.sql.functions as F2
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    total = li.agg(
+        F2.sum(F2.col("l_extendedprice") * (1 - F2.col("l_discount")))
+    ).collect()[0][0]
+    n_parts = li.select("l_partkey").distinct().count()
+    thr = total / n_parts * 1.5
+    assert all(r.value > thr * 0.99 for r in rows)
+
+
+def test_q12_counts_partition_the_year(spark, sf_dir):
+    from mistocksync_spark.plans.queries import QUERIES
+
+    rows = QUERIES["q12_priority_by_status"](spark, sf_dir).collect()
+    assert rows
+    import pyspark.sql.functions as F2
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        (F2.col("l_shipdate") >= F2.lit("1997-01-01").cast("timestamp"))
+        & (F2.col("l_shipdate") < F2.lit("1998-01-01").cast("timestamp"))
+    )
+    assert sum(r.high_line_count + r.low_line_count for r in rows) == li.count()
+
+
+def test_q16_excludes_negative_balance_suppliers(spark, sf_dir):
+    from mistocksync_spark.plans.queries import QUERIES
+
+    df = QUERIES["q16_supplier_breadth"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+    rows = df.collect()
+    assert rows and all(r.supplier_cnt > 0 for r in rows)
+    assert all(r.p_brand != "Brand#1" and r.p_size in (5, 10, 15, 20, 25) for r in rows)
+
+
+def test_q17_single_row_and_nonnegative(spark, sf_dir):
+    from mistocksync_spark.plans.queries import QUERIES
+
+    (r,) = QUERIES["q17_small_quantity_revenue"](spark, sf_dir).collect()
+    assert r.n_small_lines >= 0 and r.avg_yearly >= 0.0
+
+
+def test_q20_semi_join_and_fair_share_gate(spark, sf_dir):
+    from mistocksync_spark.plans.queries import QUERIES
+
+    df = QUERIES["q20_dominant_supplier"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    rows = df.collect()
+    assert rows and len({r.s_suppkey for r in rows}) == len(rows)
