@@ -194,6 +194,8 @@ def main():
             "q16_supplier_breadth",
             "q17_small_quantity_revenue",
             "q20_dominant_supplier",
+            "semantic_dedup",
+            "dsir_weights",
         ]
         if q in QUERIES
     ]

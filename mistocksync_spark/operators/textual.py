@@ -966,3 +966,94 @@ def source_length_ks(df: DataFrame, len_col: str = "n_chars",
     return j.groupBy("source", "n_docs").agg(
         F.max(F.abs(F.col("scdf") - F.col("gcdf"))).alias("ks_stat")
     )
+
+
+def dsir_weights(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    target_pred: Column | None = None,
+    dim: int = 4096,
+) -> DataFrame:
+    """DSIR-shaped importance weighting (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling" — public method):
+    hashed-bigram bag-of-ngrams models for a TARGET slice and the whole
+    corpus (the proposal), and a per-document importance score that ranks
+    documents by how target-like their n-gram profile is.
+
+    Deterministic variant: instead of the paper's log-probability sum
+    (transcendental ``ln`` is not bit-identical across engines), the
+    score is the MEAN smoothed count-ratio over the document's bigrams —
+    the same monotone "target-like vs corpus-like" signal, built only
+    from exact integer counts and IEEE divisions:
+
+        r(b) = ((ct_b + 1) / (tot_t + D)) / ((cc_b + 1) / (tot_c + D))
+
+    each quotient is an exact-int division (bit-identical), the ratio of
+    the two quotients is one more IEEE op, and per-document accumulation
+    micro-quantizes r(b) into exact integer sums.  ``selected`` marks
+    documents whose mean ratio exceeds parity (1.0).
+
+    100 TB plan: ONE corpus scan explodes bigrams; the bucket count
+    table is bounded by ``dim`` — NOT corpus size — so it (and the 1-row
+    totals) BROADCASTS back onto the bigram stream; featurization is
+    stateless hashing (no vocabulary to build or ship).  Two shuffles
+    total (bucket counts + per-doc re-aggregation), zero Python.
+    Documents with fewer than two tokens have no bigram and no row.
+    """
+    if target_pred is None:
+        target_pred = F.col("source").isin("src0", "src1")
+    low = F.lower(F.col(text_col))
+    toks = F.split(low, r"\s+")
+
+    def bigramify(t: Column) -> Column:
+        cnt = F.size(t) - 1
+        return F.transform(
+            F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
+        )
+
+    stream = (
+        df.filter(F.size(F.split(F.lower(F.col(text_col)), r"\s+")) >= 2)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            target_pred.cast("long").alias("__t"),
+            F.explode(F.flatten(F.transform(F.array(toks), bigramify))).alias("__bg"),
+        )
+        .select(
+            "doc_id",
+            "__t",
+            (
+                F.conv(F.substring(F.md5(F.col("__bg")), 1, 8), 16, 10).cast("long")
+                % F.lit(dim)
+            ).alias("bucket"),
+        )
+    )
+    counts = stream.groupBy("bucket").agg(
+        F.sum("__t").alias("__ct"), F.count(F.lit(1)).alias("__cc")
+    )
+    tot = counts.agg(
+        F.sum("__ct").alias("__tott"), F.sum("__cc").alias("__totc")
+    )
+    ratio = (
+        (F.col("__ct") + 1).cast("double") / (F.col("__tott") + F.lit(dim)).cast("double")
+    ) / (
+        (F.col("__cc") + 1).cast("double") / (F.col("__totc") + F.lit(dim)).cast("double")
+    )
+    prob = (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.floor(ratio * F.lit(1e6) + F.lit(0.5)).cast("decimal(38,0)").alias("__qr"),
+        )
+    )
+    per_doc = stream.join(F.broadcast(prob), on="bucket").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (F.sum("__qr").cast("double") / F.lit(1e6) / F.count(F.lit(1))).alias("dsir_score"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        "dsir_score",
+        (F.col("dsir_score") > 1.0).cast("int").alias("selected"),
+    )

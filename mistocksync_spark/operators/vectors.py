@@ -859,3 +859,78 @@ def pq_topk(
 
     scored = df.mapInPandas(run, schema=schema)
     return scored.orderBy(F.col("adc_score").desc(), F.col("vec_id").asc()).limit(k)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    n_clusters: int = 16,
+    threshold: float = 0.99,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-shaped semantic deduplication: coarse-cluster the corpus,
+    then prune near-duplicates ONLY within each cluster — the design that
+    makes embedding dedup affordable at 100 TB, because the O(n²)
+    pairwise scoring is bounded by cluster size, never corpus size
+    (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+    through semantic deduplication" — public method).
+
+    A vector is dropped when a LOWER-id vector in the same cluster is
+    cosine-similar above ``threshold``; emits (vec_id, centroid, keep).
+
+    Determinism BY CONSTRUCTION (stronger than the trained-IVF margin
+    argument): centroids are the ``n_clusters`` lowest-id vectors (no
+    RNG, no Lloyd refinement, no numpy), the assignment argmax and the
+    pair scores are strict left-fold column expressions (``dot``/
+    ``norm``), and ties break to the lowest centroid index via struct
+    max — every arithmetic step is replayed identically by the SQL
+    oracle.
+
+    Plan: assignment is a posexplode of the broadcast centroid literal
+    (#vectors × n_clusters rows, reduced map-side by the struct-max
+    partial agg — ONE shuffle of #vectors rows); the in-cluster self-join
+    shuffles on the centroid id; the drop set is a DISTINCT projection
+    joined back LEFT so kept rows survive.  At 100 TB the assignment
+    output would be written partitioned by centroid, making the
+    self-join a partition-local operation.
+    """
+    cents = deterministic_centroids(df, n_clusters, vec_col, id_col)
+    lit_cents = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in cents]
+    )
+    base = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__v"))
+    exploded = base.select(
+        "vec_id", "__v", F.posexplode(lit_cents).alias("cidx", "__cv")
+    )
+    scored = exploded.select(
+        "vec_id",
+        "cidx",
+        cosine(F.col("__v"), F.col("__cv")).alias("__score"),
+    )
+    # max(struct(score, -cidx)) == ORDER BY score DESC, cidx ASC rank 1
+    assign = scored.groupBy("vec_id").agg(
+        F.max(F.struct(F.col("__score"), (-F.col("cidx")).alias("__nc"))).alias("__m")
+    ).select("vec_id", (-F.col("__m.__nc")).cast("long").alias("centroid"))
+    withc = base.join(assign, on="vec_id")
+    a = withc.select(
+        F.col("centroid"), F.col("vec_id").alias("__ida"), F.col("__v").alias("__va")
+    )
+    b = withc.select(
+        F.col("centroid").alias("__cb"), F.col("vec_id").alias("__idb"), F.col("__v").alias("__vb")
+    )
+    pairs = a.join(
+        b, (F.col("centroid") == F.col("__cb")) & (F.col("__ida") < F.col("__idb"))
+    )
+    drops = (
+        pairs.filter(cosine(F.col("__va"), F.col("__vb")) >= F.lit(threshold))
+        .select(F.col("__idb").alias("__drop"))
+        .distinct()
+    )
+    return (
+        withc.join(drops, withc.vec_id == F.col("__drop"), how="left")
+        .select(
+            "vec_id",
+            "centroid",
+            F.when(F.col("__drop").isNull(), 1).otherwise(0).cast("int").alias("keep"),
+        )
+    )

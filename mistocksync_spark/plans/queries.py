@@ -6230,3 +6230,114 @@ def q20_dominant_supplier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
         .select("s_suppkey", "s_name", "n_name")
     )
+
+
+# --------------------------------------------------------------------------
+# Round-7: SemDeDup-shaped semantic dedup (cluster → in-cluster prune) and
+# DSIR-shaped importance weighting — LLM-pipeline operators with full
+# bit-deterministic SQL replays.
+# --------------------------------------------------------------------------
+def _sql_semantic_dedup(n_clusters: int = 16, threshold: float = 0.99) -> str:
+    """Full SQL replay of ``operators/vectors.semantic_dedup``: the
+    lowest-id centroid pick, the strict-fold assignment argmax (ties to
+    the lowest centroid index), the in-cluster pair scoring, and the
+    lower-id-wins drop set — every arithmetic step the Spark plan
+    performs, so the hash check is exact by construction (no numpy
+    anywhere on either side)."""
+    from mistocksync_spark.plans.feeds import EMB_AUG_SQL_DUCKDB
+
+    cos_ec = _sql_cos("e.embedding", "c.cv")
+    cos_ab = _sql_cos("a.embedding", "b.embedding")
+    return f"""
+    WITH ea AS ({EMB_AUG_SQL_DUCKDB}),
+    cents AS (
+        SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cidx, embedding AS cv
+        FROM ea ORDER BY vec_id ASC LIMIT {n_clusters}
+    ),
+    assign AS (
+        SELECT vec_id, cidx FROM (
+            SELECT e.vec_id, c.cidx,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id ORDER BY {cos_ec} DESC, c.cidx ASC
+                   ) AS rnk
+            FROM ea e, cents c
+        ) WHERE rnk = 1
+    ),
+    pairs AS (
+        SELECT b.vec_id AS dropped
+        FROM ea a
+        JOIN assign aa ON a.vec_id = aa.vec_id
+        JOIN assign ab ON aa.cidx = ab.cidx AND aa.vec_id < ab.vec_id
+        JOIN ea b ON b.vec_id = ab.vec_id
+        WHERE {cos_ab} >= {threshold}
+    ),
+    drops AS (SELECT DISTINCT dropped FROM pairs)
+    SELECT e.vec_id, CAST(aa.cidx AS BIGINT) AS centroid,
+           CAST(CASE WHEN d.dropped IS NULL THEN 1 ELSE 0 END AS INT) AS keep
+    FROM ea e
+    JOIN assign aa ON e.vec_id = aa.vec_id
+    LEFT JOIN drops d ON e.vec_id = d.dropped
+    """
+
+
+@query("semantic_dedup", _sql_semantic_dedup())
+def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic dedup over the augmented embedding feed
+    (operators/vectors.semantic_dedup): coarse clusters bound the O(n²)
+    pairwise scoring to cluster size — the web-scale embedding-dedup
+    design — and a vector drops when a lower-id in-cluster neighbor is
+    ≥0.99 cosine.  Fully bit-deterministic: no RNG, no numpy; the
+    assignment argmax and pair scores are the same strict-fold
+    expressions the oracle replays."""
+    from mistocksync_spark.operators.vectors import semantic_dedup
+    from mistocksync_spark.plans.feeds import emb_aug
+
+    return semantic_dedup(emb_aug(spark, sf_dir))
+
+
+@query(
+    "dsir_weights",
+    """
+    WITH tok AS (
+        SELECT doc_id, source, regexp_split_to_array(lower(text), '\\s+') AS t
+        FROM documents
+    ),
+    stream AS (
+        SELECT doc_id,
+               CAST(source IN ('src0', 'src1') AS BIGINT) AS is_t,
+               (list_reduce(list_transform(generate_series(1, 8),
+                    i -> strpos('0123456789abcdef',
+                                substr(md5(t[CAST(i2 AS INT)] || ' ' || t[CAST(i2 AS INT) + 1]), i, 1)) - 1),
+                    (acc, x) -> acc * 16 + x)) % 4096 AS bucket
+        FROM tok, UNNEST(generate_series(1, len(t) - 1)) AS u(i2)
+        WHERE len(t) >= 2
+    ),
+    counts AS (
+        SELECT bucket, SUM(is_t) AS ct, COUNT(*) AS cc FROM stream GROUP BY bucket
+    ),
+    tot AS (SELECT SUM(ct) AS tott, SUM(cc) AS totc FROM counts),
+    prob AS (
+        SELECT bucket,
+               CAST(floor(
+                   ((CAST(ct + 1 AS DOUBLE) / CAST(tott + 4096 AS DOUBLE))
+                    / (CAST(cc + 1 AS DOUBLE) / CAST(totc + 4096 AS DOUBLE)))
+                   * 1000000 + 0.5) AS HUGEINT) AS qr
+        FROM counts, tot
+    )
+    SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(p.qr) AS DOUBLE) / 1000000.0 / COUNT(*) AS dsir_score,
+           CAST((CAST(SUM(p.qr) AS DOUBLE) / 1000000.0 / COUNT(*)) > 1.0 AS INT) AS selected
+    FROM stream s JOIN prob p USING (bucket)
+    GROUP BY s.doc_id
+    """,
+)
+def dsir_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-shaped importance weighting (operators/textual.dsir_weights):
+    hashed-bigram target/corpus models with the target slice source ∈
+    {src0, src1}; the bucket table is bounded by the hash dimension —
+    never corpus size — so it broadcasts back onto the bigram stream;
+    scores are exact-integer count ratios, micro-int accumulated, so the
+    selection bit is bit-deterministic cross-engine."""
+    from mistocksync_spark.operators.textual import dsir_weights
+
+    return dsir_weights(spark.read.parquet(f"{sf_dir}/documents.parquet"))

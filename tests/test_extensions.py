@@ -1971,3 +1971,68 @@ def test_q20_semi_join_and_fair_share_gate(spark, sf_dir):
     assert "LeftSemi" in plan
     rows = df.collect()
     assert rows and len({r.s_suppkey for r in rows}) == len(rows)
+
+
+def test_semantic_dedup_drops_planted_duplicates(spark):
+    """Exact copies and scaled copies (cosine 1.0) of a lower-id vector
+    must be dropped; unrelated vectors survive."""
+    from mistocksync_spark.operators.vectors import semantic_dedup
+
+    base = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.0, 0.0, 1.0, 0.0]),
+        (10, [1.0, 0.0, 0.0, 0.0]),   # exact copy of 0
+        (11, [0.0, 2.0, 0.0, 0.0]),   # scaled copy of 1
+    ]
+    df = spark.createDataFrame(base, "vec_id long, embedding array<double>")
+    got = {r.vec_id: r.keep for r in semantic_dedup(df, n_clusters=3).collect()}
+    assert got[0] == 1 and got[1] == 1 and got[2] == 1
+    assert got[10] == 0 and got[11] == 0
+
+
+def test_semantic_dedup_pairs_only_within_cluster(spark, sf_dir):
+    """Total kept + dropped equals the corpus; every vector gets exactly
+    one cluster."""
+    from mistocksync_spark.plans.queries import QUERIES
+
+    rows = QUERIES["semantic_dedup"](spark, sf_dir).collect()
+    assert len({r.vec_id for r in rows}) == len(rows)
+    assert all(0 <= r.centroid < 16 for r in rows)
+    assert any(r.keep == 0 for r in rows)  # the planted dups are caught
+
+
+def test_dsir_weights_prefers_target_like_docs(spark):
+    """Docs sharing the target slice's bigrams outscore alien docs."""
+    from pyspark.sql import functions as F2
+
+    from mistocksync_spark.operators.textual import dsir_weights
+
+    rows = (
+        [(i, "alpha beta gamma delta", "t") for i in range(10)]
+        + [(100 + i, "omega psi chi phi", "c") for i in range(10)]
+        + [(200, "alpha beta gamma delta", "c"), (201, "omega psi chi phi", "x")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    # dim=64: with the tiny test corpus the default 4096-bucket Laplace
+    # smoothing would dwarf the counts and pull every ratio under parity
+    got = {
+        r.doc_id: r
+        for r in dsir_weights(df, target_pred=F2.col("source") == "t", dim=64).collect()
+    }
+    assert got[200].dsir_score > got[201].dsir_score
+    assert got[200].selected == 1 and got[201].selected == 0
+    assert got[200].n_bigrams == 3
+
+
+def test_dsir_weights_partition_order_independent(spark):
+    from mistocksync_spark.operators.textual import dsir_weights
+
+    rows = [(i, f"w{i % 7} w{(i + 1) % 7} w{(i + 2) % 5}", f"src{i % 3}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    from pyspark.sql import functions as F2
+
+    pred = F2.col("source") == "src0"
+    a = {(r.doc_id, r.dsir_score) for r in dsir_weights(df.repartition(1), target_pred=pred).collect()}
+    b = {(r.doc_id, r.dsir_score) for r in dsir_weights(df.repartition(17), target_pred=pred).collect()}
+    assert a == b
