@@ -196,6 +196,7 @@ def main():
             "q20_dominant_supplier",
             "semantic_dedup",
             "dsir_weights",
+            "purchase_view_join_stream",
         ]
         if q in QUERIES
     ]

@@ -6341,3 +6341,49 @@ def dsir_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mistocksync_spark.operators.textual import dsir_weights
 
     return dsir_weights(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+@query(
+    "purchase_view_join_stream",
+    """
+    SELECT v.event_id AS view_id, p.event_id AS purchase_id
+    FROM events v
+    JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
+    GROUP BY 1, 2
+    """,
+)
+def purchase_view_join_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join run as Structured Streaming
+    (streaming/events.purchase_view_join_stream): purchases attribute to
+    the same user's views from the trailing hour; watermarks on BOTH
+    sides bound the join state (views age out an hour past the
+    watermark).  The graded surface is the DISTINCT matched id-pair set,
+    which the batch interval-join oracle recomputes exactly."""
+    from mistocksync_spark.streaming.events import (
+        purchase_view_join_stream,
+        read_events_stream,
+    )
+
+    qname = _stream_sink_name("purchase_view_join_sink")
+    q = (
+        purchase_view_join_stream(read_events_stream(spark, sf_dir))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError(
+            "availableNow stream did not finish within 300 s — refusing to "
+            "return a partial memory table (it would fail the oracle with a "
+            "confusing value diff instead of a clear timeout)"
+        )
+    # inner-join append emits each pair once per micro-batch pass; the
+    # graded contract is the matched KEY-PAIR SET, so distinct() keeps the
+    # surface batching-independent (same rationale as the throttle query)
+    return spark.table(qname).select("view_id", "purchase_id").distinct()

@@ -108,3 +108,42 @@ def run_available_now(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
     )
     q.awaitTermination(300)
     spark.table("events_hourly_stream").write.mode("overwrite").parquet(out_dir)
+
+
+def purchase_view_join_stream(events: DataFrame) -> DataFrame:
+    """Stream-stream event-time interval join: each purchase joins the
+    same user's views from the preceding hour — streaming attribution,
+    the one join shape batch plans can't emulate incrementally.
+
+    Both sides carry a watermark so the join state is BOUNDED: a view
+    older than (purchase watermark − 1 h) can never match again and its
+    state row is evicted; without the time-range condition Spark would
+    have to keep every view forever.  Inner join + append mode emits
+    each matched pair exactly once.  At 100 TB the state store is
+    per-user-partitioned RocksDB; the range condition keeps it O(events
+    per user per hour).
+    """
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+        .withWatermark("view_ts", "2 hours")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    return views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("view_ts") <= F.col("purchase_ts")),
+    ).select("view_id", "purchase_id")

@@ -2036,3 +2036,35 @@ def test_dsir_weights_partition_order_independent(spark):
     a = {(r.doc_id, r.dsir_score) for r in dsir_weights(df.repartition(1), target_pred=pred).collect()}
     b = {(r.doc_id, r.dsir_score) for r in dsir_weights(df.repartition(17), target_pred=pred).collect()}
     assert a == b
+
+
+def test_purchase_view_join_stream_matches_batch(spark, sf_dir):
+    """The streaming interval join must equal the batch interval join on
+    the same data (availableNow drains everything), and every pair must
+    respect the 1-hour window."""
+    from pyspark.sql import functions as F2
+
+    from mistocksync_spark.plans.queries import QUERIES
+    from mistocksync_spark.sources.testdata import load_events
+
+    got = {
+        (r.view_id, r.purchase_id)
+        for r in QUERIES["purchase_view_join_stream"](spark, sf_dir).collect()
+    }
+    ev = load_events(spark, sf_dir)
+    v = ev.filter(F2.col("event_type") == "view").select(
+        F2.col("user_id").alias("vu"), F2.col("ts").alias("vt"), F2.col("event_id").alias("vid")
+    )
+    p = ev.filter(F2.col("event_type") == "purchase").select(
+        F2.col("user_id").alias("pu"), F2.col("ts").alias("pt"), F2.col("event_id").alias("pid")
+    )
+    batch = {
+        (r.vid, r.pid)
+        for r in v.join(
+            p,
+            (F2.col("vu") == F2.col("pu"))
+            & (F2.col("vt") >= F2.col("pt") - F2.expr("INTERVAL 1 HOUR"))
+            & (F2.col("vt") <= F2.col("pt")),
+        ).collect()
+    }
+    assert got == batch and got
