@@ -67,3 +67,41 @@ def test_compact_files_hits_target_count(spark, sf_dir, tmp_path):
     assert n == 2
     assert len(glob.glob(os.path.join(dst, "*.parquet"))) == 2
     assert spark.read.parquet(dst).count() == ev.count()
+
+
+def test_window_order_prioritizes_failures_and_oracle_changes(monkeypatch):
+    """The driver grades a bounded prefix of queries(): never-graded
+    queries must come first, then latest-grade failures, then queries
+    whose oracle changed since the digest snapshot, then the rest in
+    registry order."""
+    import __spark_entry__ as entry_mod
+
+    latest = {
+        "ok_old": {"rows_match": True, "schema_match": True, "hash_match": True, "err": None},
+        "failed": {"rows_match": True, "schema_match": True, "hash_match": False, "err": None},
+        "errored": {"rows_match": None, "schema_match": None, "hash_match": None, "err": "boom"},
+        "rows_only_upgraded": {"rows_match": None, "schema_match": None,
+                               "hash_match": None, "err": "no_oracle"},
+        "oracle_changed": {"rows_match": True, "schema_match": True,
+                           "hash_match": True, "err": None},
+    }
+    monkeypatch.setattr(entry_mod, "_latest_grades", lambda: latest)
+    monkeypatch.setattr(
+        entry_mod, "_oracle_digest_changes", lambda oracles: {"oracle_changed"}
+    )
+    import mistocksync_spark.plans.queries as qmod
+
+    monkeypatch.setattr(
+        qmod,
+        "ORACLES",
+        {k: "SELECT 1" for k in ("ok_old", "failed", "errored",
+                                 "rows_only_upgraded", "oracle_changed", "fresh")},
+    )
+    registry = {k: object() for k in (
+        "ok_old", "failed", "errored", "rows_only_upgraded", "oracle_changed", "fresh"
+    )}
+    got = list(entry_mod._window_order(registry))
+    assert got[0] == "fresh"                       # never graded
+    assert set(got[1:3]) == {"failed", "errored"}  # latest grade FAIL/error
+    assert set(got[3:5]) == {"rows_only_upgraded", "oracle_changed"}
+    assert got[5] == "ok_old"
