@@ -898,14 +898,40 @@ def semantic_dedup(
     lit_cents = F.array(
         *[F.array(*[F.lit(float(x)) for x in c]) for c in cents]
     )
-    base = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__v"))
-    exploded = base.select(
-        "vec_id", "__v", F.posexplode(lit_cents).alias("cidx", "__cv")
+
+    # Norms are pure functions of their array, so hoisting them is common
+    # subexpression elimination — the VALUES are unchanged (the oracle
+    # still recomputes them inline) but each vector's fold-norm runs once
+    # instead of once per centroid and once per candidate pair (~3× less
+    # fold work; semantic_dedup measured 8.8 s → pre-hoist at sf0.1).
+    # The Python centroid norm is the same strict left fold in IEEE
+    # doubles, bit-identical to the engine fold on the same values.
+    def _py_norm(c: list[float]) -> float:
+        acc = 0.0
+        for x in c:
+            acc += x * x
+        return math.sqrt(acc)
+
+    lit_cnorms = F.array(*[F.lit(_py_norm(c)) for c in cents])
+    base = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("__v"),
+        norm(F.col(vec_col)).alias("__n"),
     )
+    exploded = base.select(
+        "vec_id",
+        "__v",
+        "__n",
+        F.posexplode(lit_cents).alias("cidx", "__cv"),
+    )
+    cn = F.element_at(lit_cnorms, F.col("cidx") + 1)
+    denom = F.col("__n") * cn
     scored = exploded.select(
         "vec_id",
         "cidx",
-        cosine(F.col("__v"), F.col("__cv")).alias("__score"),
+        F.when(denom > 0, dot(F.col("__v"), F.col("__cv")) / denom)
+        .otherwise(F.lit(0.0))
+        .alias("__score"),
     )
     # max(struct(score, -cidx)) == ORDER BY score DESC, cidx ASC rank 1
     assign = scored.groupBy("vec_id").agg(
@@ -913,16 +939,26 @@ def semantic_dedup(
     ).select("vec_id", (-F.col("__m.__nc")).cast("long").alias("centroid"))
     withc = base.join(assign, on="vec_id")
     a = withc.select(
-        F.col("centroid"), F.col("vec_id").alias("__ida"), F.col("__v").alias("__va")
+        F.col("centroid"),
+        F.col("vec_id").alias("__ida"),
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
     )
     b = withc.select(
-        F.col("centroid").alias("__cb"), F.col("vec_id").alias("__idb"), F.col("__v").alias("__vb")
+        F.col("centroid").alias("__cb"),
+        F.col("vec_id").alias("__idb"),
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
     )
     pairs = a.join(
         b, (F.col("centroid") == F.col("__cb")) & (F.col("__ida") < F.col("__idb"))
     )
+    pd_denom = F.col("__na") * F.col("__nb")
+    pair_cos = F.when(
+        pd_denom > 0, dot(F.col("__va"), F.col("__vb")) / pd_denom
+    ).otherwise(F.lit(0.0))
     drops = (
-        pairs.filter(cosine(F.col("__va"), F.col("__vb")) >= F.lit(threshold))
+        pairs.filter(pair_cos >= F.lit(threshold))
         .select(F.col("__idb").alias("__drop"))
         .distinct()
     )
