@@ -81,3 +81,58 @@ def test_transition_probs_sum_to_one_per_from_type(spark, events):
     # pair count conservation: transitions = events - users with >=1 event
     n_users = len({u for u, _ in events})
     assert sum(r.cnt for r in out) == len(events) - n_users
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(_floats, min_size=4, max_size=4),
+        min_size=2,
+        max_size=12,
+        unique_by=lambda v: tuple(v),
+    )
+)
+def test_semantic_dedup_matches_brute_force_reference(spark, vecs):
+    """On arbitrary vectors, semantic_dedup's keep decision must equal a
+    Python reference that replays the same semantics: assign each vector
+    to its best (lowest-index-on-tie) centroid among the lowest-id seeds,
+    then drop any vector with a lower-id same-cluster neighbor at
+    cosine >= threshold."""
+    from mistocksync_spark.operators.vectors import semantic_dedup
+
+    n_clusters = 3
+    thr = 0.9
+
+    def py_cos(a, b):
+        da = 0.0
+        for x, y in zip(a, b):
+            da += float(x) * float(y)
+        na = 0.0
+        for x in a:
+            na += float(x) * float(x)
+        nb = 0.0
+        for y in b:
+            nb += float(y) * float(y)
+        denom = math.sqrt(na) * math.sqrt(nb)
+        return da / denom if denom > 0 else 0.0
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    cents = [v for _, v in rows[: min(n_clusters, len(rows))]]
+    expect = {}
+    assign = {}
+    for i, v in rows:
+        best = max(range(len(cents)), key=lambda c: (py_cos(v, cents[c]), -c))
+        assign[i] = best
+    for i, v in rows:
+        dropped = any(
+            j < i and assign[j] == assign[i] and py_cos(rows[j][1], v) >= thr
+            for j, _ in rows
+        )
+        expect[i] = 0 if dropped else 1
+
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r.vec_id: r.keep
+        for r in semantic_dedup(df, n_clusters=n_clusters, threshold=thr).collect()
+    }
+    assert got == expect
