@@ -197,6 +197,7 @@ def main():
             "semantic_dedup",
             "dsir_weights",
             "purchase_view_join_stream",
+            "bpe_pair_counts",
         ]
         if q in QUERIES
     ]

@@ -1057,3 +1057,41 @@ def dsir_weights(
         "dsir_score",
         (F.col("dsir_score") > 1.0).cast("int").alias("selected"),
     )
+
+
+def bpe_pair_counts(df: DataFrame, text_col: str = "text", top_k: int = 50) -> DataFrame:
+    """BPE/WordPiece vocabulary-induction inner loop: corpus-weighted
+    adjacent-character-pair counts, the statistic each merge round of
+    tokenizer training maximizes (Sennrich et al. 2016, public method).
+
+    100 TB plan — the classic BPE scaling trick: aggregate the corpus to
+    the WORD-TYPE frequency table first (one shuffle, map-side combine;
+    the table is bounded by vocabulary size, not corpus size), then
+    explode character pairs over DISTINCT words only, weighting each
+    pair by the word's corpus frequency.  The pair table is bounded by
+    charset² and its aggregation is a second, tiny shuffle.  Exact
+    integer counts throughout; the top-k order (count DESC, pair ASC) is
+    total, so the emitted set is deterministic.
+    """
+    words = df.select(
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w")
+    ).filter(F.length("w") > 0)
+    wc = words.groupBy("w").agg(F.count(F.lit(1)).alias("__wn"))
+    pairs = (
+        wc.filter(F.length("w") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("w") - 1),
+                    lambda i: F.col("w").substr(i, F.lit(2)),
+                )
+            ).alias("pair"),
+            "__wn",
+        )
+    )
+    pc = pairs.groupBy("pair").agg(F.sum("__wn").alias("cnt"))
+    return (
+        pc.orderBy(F.col("cnt").desc(), F.col("pair").asc())
+        .limit(top_k)
+        .select("pair", F.col("cnt").cast("long").alias("cnt"))
+    )

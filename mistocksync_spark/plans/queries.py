@@ -6387,3 +6387,31 @@ def purchase_view_join_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # graded contract is the matched KEY-PAIR SET, so distinct() keeps the
     # surface batching-independent (same rationale as the throttle query)
     return spark.table(qname).select("view_id", "purchase_id").distinct()
+
+
+@query(
+    "bpe_pair_counts",
+    r"""
+    WITH words AS (
+        SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS w FROM documents
+    ),
+    wc AS (SELECT w, COUNT(*) AS wn FROM words WHERE length(w) > 0 GROUP BY w),
+    pairs AS (
+        SELECT substr(w, CAST(i AS INT), 2) AS pair, wn
+        FROM wc, UNNEST(generate_series(1, length(w) - 1)) AS u(i)
+        WHERE length(w) >= 2
+    ),
+    pc AS (SELECT pair, SUM(wn) AS cnt FROM pairs GROUP BY pair)
+    SELECT pair, CAST(cnt AS BIGINT) AS cnt
+    FROM pc ORDER BY cnt DESC, pair ASC LIMIT 50
+    """,
+)
+def bpe_pair_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-pair statistic (operators/textual.bpe_pair_counts): the
+    corpus aggregates to the word-TYPE frequency table first — bounded
+    by vocabulary, not corpus size — and character pairs explode over
+    distinct words only, weighted by frequency.  Exact integer counts;
+    total top-k order, so the emitted set is deterministic."""
+    from mistocksync_spark.operators.textual import bpe_pair_counts
+
+    return bpe_pair_counts(spark.read.parquet(f"{sf_dir}/documents.parquet"))

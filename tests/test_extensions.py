@@ -2068,3 +2068,22 @@ def test_purchase_view_join_stream_matches_batch(spark, sf_dir):
         ).collect()
     }
     assert got == batch and got
+
+
+def test_bpe_pair_counts_weighted_by_word_frequency(spark):
+    from mistocksync_spark.operators.textual import bpe_pair_counts
+
+    df = spark.createDataFrame(
+        [(1, "aba aba cd"), (2, "aba x")], "doc_id long, text string"
+    )
+    got = [(r.pair, r.cnt) for r in bpe_pair_counts(df, top_k=5).collect()]
+    # 'aba' occurs 3x -> pairs ab,ba weighted 3; 'cd' once; 'x' has no pair
+    assert got == [("ab", 3), ("ba", 3), ("cd", 1)]
+
+
+def test_bpe_pair_counts_total_order_at_cutoff(spark, sf_dir):
+    from mistocksync_spark.plans.queries import QUERIES
+
+    rows = [(r.pair, r.cnt) for r in QUERIES["bpe_pair_counts"](spark, sf_dir).collect()]
+    assert len(rows) == 50
+    assert rows == sorted(rows, key=lambda t: (-t[1], t[0]))
