@@ -2109,3 +2109,36 @@ def test_token_cms_exact_on_tiny_vocab(spark):
     )
     got = {r.tok: (r.exact_cnt, r.cms_est) for r in token_cms_estimate(df, top_k=5).collect()}
     assert got["a"] == (3, 3) and got["b"] == (1, 1) and got["c"] == (1, 1)
+
+
+def test_new_ops_broadcast_their_bounded_frames(spark, sf_dir):
+    """The dim-bounded side frames (DSIR bucket table, CMS sketch, bloom
+    bits, semantic-dedup drop set) must attach by broadcast — a shuffle
+    there would scale with the bounded table, not the corpus, but AQE
+    can't always infer that from a fresh aggregate."""
+    from mistocksync_spark.plans.queries import QUERIES
+
+    for name in ("dsir_weights", "token_cms_estimate", "bloom_contamination"):
+        plan = QUERIES[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, name
+
+
+def test_new_ops_no_cartesian_or_bnlj(spark, sf_dir):
+    """None of the round-7 operators may plan a CartesianProduct, and any
+    BroadcastNestedLoopJoin must be a 1-row scalar attach (cross join of
+    an aggregate), never a data-sized pairing."""
+    from mistocksync_spark.plans.queries import QUERIES
+
+    for name in (
+        "semantic_dedup",
+        "dsir_weights",
+        "token_cms_estimate",
+        "bpe_pair_counts",
+        "charlm_score",
+        "hashed_quality_logit",
+        "source_length_ks",
+        "bloom_bits",
+        "bloom_contamination",
+    ):
+        plan = QUERIES[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
