@@ -45,15 +45,32 @@ def _latest_grades() -> dict[str, dict]:
     latest: dict[str, dict] = {}
     for _, data in sorted(rounds):
         for k, v in data.items():
-            latest[k] = v if isinstance(v, dict) else {}
+            # a malformed (non-dict) row must FAIL SAFE into the re-grade
+            # rotation, not score as a pass
+            latest[k] = v if isinstance(v, dict) else {"err": "malformed"}
     return latest
 
 
-def _oracle_digest_changes(oracles: dict[str, str]) -> set[str]:
-    """Queries whose oracle SQL changed since the committed snapshot
-    (tools/oracle_digests.json, refreshed each end-of-round) — a changed
-    oracle invalidates the old grade, so those re-enter the window."""
+def oracle_digest(sql: str) -> str:
+    """Digest of an oracle SQL string — the single definition shared with
+    tools/digest_snapshot.py so the snapshot and the comparison can never
+    drift apart."""
     import hashlib
+
+    return hashlib.sha256(sql.encode()).hexdigest()[:16]
+
+
+def _oracle_digest_changes(oracles: dict[str, str]) -> set[str]:
+    """Queries whose oracle SQL changed since its LAST GRADE.
+
+    tools/oracle_digests.json records each query's oracle digest as of
+    the round that last graded it (tools/digest_snapshot.py merges in
+    grade-time digests at ROUND START, for exactly the queries in the
+    newest CORRECTNESS file — a blanket end-of-round refresh would erase
+    the pending flag of any changed-oracle query that missed the bounded
+    window, leaving its stale PASS standing forever).  A digest mismatch
+    means the standing grade no longer covers the current SQL, so the
+    query re-enters the window."""
     import json
 
     here = os.path.dirname(os.path.abspath(__file__))
@@ -64,8 +81,7 @@ def _oracle_digest_changes(oracles: dict[str, str]) -> set[str]:
         return set()
     changed = set()
     for k, sql in oracles.items():
-        dig = hashlib.sha256(sql.encode()).hexdigest()[:16]
-        if k in snap and snap[k] != dig:
+        if k in snap and snap[k] != oracle_digest(sql):
             changed.add(k)
     return changed
 
@@ -98,7 +114,8 @@ def _window_order(d: dict) -> dict:
             return 2  # oracle added/changed since last grade
         return 3
 
-    keys = sorted(d, key=lambda k: (rank(k), list(d).index(k)))
+    registry_pos = {k: i for i, k in enumerate(d)}
+    keys = sorted(d, key=lambda k: (rank(k), registry_pos[k]))
     return {k: d[k] for k in keys}
 
 

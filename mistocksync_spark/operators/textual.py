@@ -1007,18 +1007,22 @@ def dsir_weights(
     toks = F.split(low, r"\s+")
 
     def bigramify(t: Column) -> Column:
+        # explicit empty array for <2-token docs: sequence(1, 0) DESCENDS
+        # in Spark instead of emitting empty, and a clamp would silently
+        # hash a lone token (concat_ws skips the NULL neighbor) — fail
+        # safe even without the filter below
         cnt = F.size(t) - 1
-        return F.transform(
+        grams = F.transform(
             F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))),
             lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
         )
+        return F.when(cnt >= 1, grams).otherwise(F.array().cast("array<string>"))
 
     stream = (
-        df.filter(F.size(F.split(F.lower(F.col(text_col)), r"\s+")) >= 2)
-        .select(
+        df.select(
             F.col(id_col).alias("doc_id"),
             target_pred.cast("long").alias("__t"),
-            F.explode(F.flatten(F.transform(F.array(toks), bigramify))).alias("__bg"),
+            F.explode(bigramify(toks)).alias("__bg"),
         )
         .select(
             "doc_id",

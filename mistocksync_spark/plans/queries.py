@@ -6417,11 +6417,9 @@ def bpe_pair_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_pair_counts(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
-_SQL_CMS_BUCKET = (
-    "(list_reduce(list_transform(generate_series(1, 8), "
-    "i -> strpos('0123456789abcdef', substr(md5('{d}|' || {col}), i, 1)) - 1), "
-    "(acc, x) -> acc * 16 + x)) % 1024"
-)
+# the same nibble-fold hex-to-int fragment as every other md5-bucket
+# oracle — built FROM _SQL_HEX8 so a future parity fix there propagates
+_SQL_CMS_BUCKET = "(" + _SQL_HEX8.format(sha="md5('{d}|' || {col})") + ") % 1024"
 
 
 @query(

@@ -2124,21 +2124,25 @@ def test_new_ops_broadcast_their_bounded_frames(spark, sf_dir):
 
 
 def test_new_ops_no_cartesian_or_bnlj(spark, sf_dir):
-    """None of the round-7 operators may plan a CartesianProduct, and any
-    BroadcastNestedLoopJoin must be a 1-row scalar attach (cross join of
-    an aggregate), never a data-sized pairing."""
+    """None of the round-7 operators may plan a CartesianProduct.  The
+    operators with NO scalar attach must plan zero
+    BroadcastNestedLoopJoins; the rest (dsir totals, KS totals/grid) are
+    allowed only their known 1-row/bounded-frame cross-join attaches."""
     from mistocksync_spark.plans.queries import QUERIES
 
-    for name in (
-        "semantic_dedup",
-        "dsir_weights",
-        "token_cms_estimate",
-        "bpe_pair_counts",
-        "charlm_score",
-        "hashed_quality_logit",
-        "source_length_ks",
-        "bloom_bits",
-        "bloom_contamination",
-    ):
+    bnlj_budget = {
+        "semantic_dedup": 0,
+        "bpe_pair_counts": 0,
+        "charlm_score": 0,
+        "hashed_quality_logit": 0,
+        "bloom_bits": 0,
+        "bloom_contamination": 0,
+        "token_cms_estimate": 0,
+        "dsir_weights": 1,      # 1-row totals attach
+        "source_length_ks": 2,  # 1-row total + sources×lengths grid
+    }
+    for name, budget in bnlj_budget.items():
         plan = QUERIES[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, name
+        got = plan.count("BroadcastNestedLoopJoin")
+        assert got <= budget, f"{name}: {got} BNLJ > budget {budget}"

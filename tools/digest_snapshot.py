@@ -1,33 +1,85 @@
-"""Refresh tools/oracle_digests.json — the per-query oracle-SQL digest
-snapshot the grading-window ordering compares against (an oracle whose
-digest differs from this snapshot re-enters the driver's bounded window,
-because its old grade no longer covers the current SQL).
+"""Maintain tools/oracle_digests.json — each query's oracle-SQL digest AS
+OF ITS LAST GRADE.  The grading-window ordering (__spark_entry__.py)
+re-prioritizes any query whose current oracle digest differs from this
+snapshot, because its standing grade no longer covers the current SQL.
 
-Run as the LAST step of the end-of-round checklist, after the final code
-change, so the snapshot reflects the oracles the driver actually grades.
+Default (merge) mode — run at ROUND START, before any code change:
+updates digests ONLY for queries present in the newest CORRECTNESS_r*.json
+(the tree is unchanged since the driver graded it, so the current oracles
+ARE the grade-time oracles for exactly those queries).  Entries for
+queries outside that window keep their older grade-time digests, so a
+pending changed-oracle flag survives until the query actually re-grades.
 
-Usage: python tools/digest_snapshot.py
+A blanket refresh (--full) erases pending flags and is ONLY for
+bootstrapping a missing snapshot — never part of the round ritual, and in
+particular never at END of round (that would clear the flag of every
+changed-oracle query that missed the bounded window, leaving stale PASSes
+standing forever — round-7 review finding).
+
+Usage:
+    python tools/digest_snapshot.py          # merge grade-time digests
+    python tools/digest_snapshot.py --full   # bootstrap only
 """
 
 from __future__ import annotations
 
-import hashlib
+import glob
 import json
 import os
+import re
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
+def _latest_correctness_keys() -> set[str]:
+    best: tuple[int, str] | None = None
+    for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)\.json$", path)
+        if m:
+            n = int(m.group(1))
+            if best is None or n > best[0]:
+                best = (n, path)
+    if best is None:
+        return set()
+    try:
+        with open(best[1]) as f:
+            return set(json.load(f).keys())
+    except (OSError, ValueError):
+        return set()
+
+
 def main() -> None:
+    from __spark_entry__ import oracle_digest
     from mistocksync_spark.plans.queries import ORACLES
 
-    dig = {k: hashlib.sha256(v.encode()).hexdigest()[:16] for k, v in ORACLES.items()}
     path = os.path.join(REPO, "tools", "oracle_digests.json")
+    full = "--full" in sys.argv
+    try:
+        with open(path) as f:
+            snap = json.load(f)
+    except (OSError, ValueError):
+        snap = {}
+        full = True
+
+    if full:
+        snap = {k: oracle_digest(v) for k, v in ORACLES.items()}
+        updated = len(snap)
+    else:
+        graded = _latest_correctness_keys()
+        updated = 0
+        for k in graded:
+            if k in ORACLES:
+                snap[k] = oracle_digest(ORACLES[k])
+                updated += 1
+        # drop entries for queries no longer registered
+        snap = {k: v for k, v in snap.items() if k in ORACLES}
+
     with open(path, "w") as f:
-        json.dump(dig, f, indent=0, sort_keys=True)
-    print(f"{len(dig)} oracle digests -> {path}")
+        json.dump(snap, f, indent=0, sort_keys=True)
+    mode = "full" if full else "merge"
+    print(f"{mode}: {updated} digests updated, {len(snap)} total -> {path}")
 
 
 if __name__ == "__main__":
