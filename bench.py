@@ -199,6 +199,7 @@ def main():
             "purchase_view_join_stream",
             "bpe_pair_counts",
             "token_cms_estimate",
+            "events_zorder_buckets",
         ]
         if q in QUERIES
     ]

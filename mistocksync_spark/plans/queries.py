@@ -6473,3 +6473,52 @@ def token_cms_estimate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mistocksync_spark.operators.textual import token_cms_estimate
 
     return token_cms_estimate(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _sql_zorder(a: str, b: str, bits: int = 8) -> str:
+    """SQL replay of sinks/layout.zorder_key: the identical shift/mask
+    integer fold, exact in any engine."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a}) >> {i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"((({b}) >> {i}) % 2) * {1 << (2 * i + 1)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+@query(
+    "events_zorder_buckets",
+    f"""
+    WITH keyed AS (
+        SELECT {_sql_zorder("user_id % 256", "CAST(hour(ts) AS BIGINT)")} AS zkey
+        FROM events
+    )
+    SELECT CAST(zkey >> 8 AS BIGINT) AS zblock,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(MIN(zkey) AS BIGINT) AS zmin,
+           CAST(MAX(zkey) AS BIGINT) AS zmax
+    FROM keyed GROUP BY zkey >> 8
+    """,
+)
+def events_zorder_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (user bucket, hour of day) —
+    the two-dimension layout key behind sinks/layout.zordered_write
+    (Delta/Iceberg OPTIMIZE ZORDER technique, public), graded on its
+    exact integer interleave: per coarse z-block row counts and key
+    bounds.  Pure shift/mask expressions, one partial-agg shuffle of a
+    ≤2^8-row frame; bit-identical cross-engine by construction."""
+    from mistocksync_spark.sinks.layout import zorder_key
+    from mistocksync_spark.sources.testdata import load_events
+
+    ev = load_events(spark, sf_dir)
+    keyed = ev.select(
+        zorder_key(
+            (F.col("user_id") % 256), F.hour("ts").cast("long"), bits=8
+        ).alias("zkey")
+    )
+    return keyed.groupBy(
+        F.shiftright(F.col("zkey"), 8).cast("long").alias("zblock")
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min("zkey").cast("long").alias("zmin"),
+        F.max("zkey").cast("long").alias("zmax"),
+    )

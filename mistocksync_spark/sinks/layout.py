@@ -53,3 +53,51 @@ def compact_files(
     n = max(1, -(-total // target_file_bytes))  # ceil division
     spark.read.parquet(src).coalesce(n).write.mode("overwrite").parquet(dst)
     return n
+
+
+def zorder_key(a, b, bits: int = 16):
+    """Z-order (Morton) interleave of two non-negative integer columns —
+    the multi-dimension clustering key range clustering can't provide:
+    sorting by the interleaved key keeps rows close in BOTH dimensions,
+    so parquet min/max statistics prune on either filter column (the
+    public Delta/Iceberg OPTIMIZE ZORDER technique).
+
+    Pure integer shift/mask expressions — exact and bit-identical in any
+    engine — folding ``bits`` levels of each input into a ``2*bits``-bit
+    key.  Inputs must already be bucketized to ``[0, 2^bits)`` (callers
+    rank/clamp first; the key of an out-of-range value would silently
+    collide).
+    """
+    from pyspark.sql import functions as F
+
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        key = (
+            key
+            + F.shiftleft(F.shiftright(a.cast("long"), i) % 2, 2 * i)
+            + F.shiftleft(F.shiftright(b.cast("long"), i) % 2, 2 * i + 1)
+        )
+    return key
+
+
+def zordered_write(
+    df: DataFrame, path: str, col_a: str, col_b: str, bits: int = 8, n_files: int = 8
+) -> str:
+    """Write ``df`` clustered on the Z-order key of two columns: range
+    partition + in-file sort by the interleaved key, so min/max footer
+    statistics stay tight on BOTH dimensions and a point predicate on
+    either column prunes files (asserted by reading footers back in
+    tests)."""
+    from pyspark.sql import functions as F
+
+    keyed = df.withColumn("__zkey", zorder_key(col_a, col_b, bits))
+    (
+        keyed.repartitionByRange(n_files, F.col("__zkey"))
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return path

@@ -105,3 +105,45 @@ def test_window_order_prioritizes_failures_and_oracle_changes(monkeypatch):
     assert set(got[1:3]) == {"failed", "errored"}  # latest grade FAIL/error
     assert set(got[3:5]) == {"rows_only_upgraded", "oracle_changed"}
     assert got[5] == "ok_old"
+
+
+def test_zorder_key_interleaves_bits(spark):
+    from mistocksync_spark.sinks.layout import zorder_key
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (3, 5)], "a long, b long"
+    )
+    got = {(r.a, r.b): r.z for r in df.select("a", "b", zorder_key("a", "b", 4).alias("z")).collect()}
+    # a occupies even bit positions, b odd: z(1,0)=1, z(0,1)=2
+    assert got[(0, 0)] == 0 and got[(1, 0)] == 1 and got[(0, 1)] == 2
+    # 3=0b011, 5=0b101 -> interleave: b2 a2 b1 a1 b0 a0 = 1 0 0 1 1 1 = 0b100111
+    assert got[(3, 5)] == 0b100111
+
+
+def test_zordered_write_tightens_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-order clustering must leave per-file footer ranges on BOTH
+    columns strictly tighter than a hash layout — the two-dimensional
+    pruning range clustering on one column can't give."""
+    from mistocksync_spark.sinks.layout import zordered_write
+
+    # two wide, independent 8-bit dimensions (sf0.001 has only 15 users,
+    # whose span no layout can tighten)
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            (F.col("event_id") % 256).alias("ua"),
+            (F.col("event_id") % 251 % 256).alias("eb"),
+        )
+    )
+    zpath = zordered_write(ev, str(tmp_path / "zorder"), "ua", "eb", bits=8, n_files=8)
+    hpath = str(tmp_path / "hashed")
+    ev.repartition(8).write.parquet(hpath)
+
+    def mean_span(path, col):
+        rngs = [r for r in _file_ranges(path, col) if r[0] is not None]
+        return sum(hi - lo for lo, hi in rngs) / len(rngs)
+
+    # both dimensions tighter than the unclustered layout on average
+    assert mean_span(zpath, "ua") < mean_span(hpath, "ua")
+    assert mean_span(zpath, "eb") < mean_span(hpath, "eb")
+    assert spark.read.parquet(zpath).count() == ev.count()
