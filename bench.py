@@ -200,6 +200,7 @@ def main():
             "bpe_pair_counts",
             "token_cms_estimate",
             "events_zorder_buckets",
+            "lineitem_correlations",
         ]
         if q in QUERIES
     ]

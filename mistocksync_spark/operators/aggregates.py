@@ -323,3 +323,58 @@ def mad_outliers(
             (F.floor(rz * F.lit(1000.0) + F.lit(0.5)) / F.lit(1000.0)).alias("robust_z"),
         )
     )
+
+
+def numeric_correlations(df: DataFrame, columns: list[str]) -> DataFrame:
+    """One-pass Pearson correlation matrix over numeric columns — the
+    feature-correlation profile a pipeline runs before pruning redundant
+    signals — with EXACT arithmetic until the final IEEE division.
+
+    Every value micro-quantizes to an integer (functions/numeric._u) and
+    the five moments (Σx, Σy, Σxy, Σx², Σy²) accumulate as exact
+    decimal(38,0) sums — order-independent, and the classic one-pass
+    cancellation (n·Σxy − Σx·Σy on nearly-collinear data) happens in
+    EXACT integer arithmetic, not floating point, so the result is
+    bit-identical to the SQL oracle's HUGEINT replay.  Bounds: the
+    integer products stay exact below ~1e38 — micro-units ~1e6·|x|, so
+    |x| ≤ 1e9 rows ≤ 1e12 is safe; beyond that, pre-scale the inputs.
+
+    ONE scan computes all k + k(k−1)/2 moment sums simultaneously (the
+    numeric_profile shape); the matrix unpivots from the single result
+    row via explode — no per-pair rescans.  Constant columns yield NULL
+    correlation (zero variance), never a division error.
+    """
+    from mistocksync_spark.functions.numeric import _u
+
+    aggs = []
+    for c in columns:
+        aggs.append(F.count(F.col(c)).alias(f"__n_{c}"))
+        aggs.append(F.sum(_u(c)).alias(f"__s_{c}"))
+        aggs.append(F.sum(_u(c) * _u(c)).alias(f"__ss_{c}"))
+    pairs = [(a, b) for i, a in enumerate(columns) for b in columns[i + 1 :]]
+    for a, b in pairs:
+        aggs.append(F.sum(_u(a) * _u(b)).alias(f"__sp_{a}_{b}"))
+    row = df.agg(*aggs)
+
+    def corr_struct(a: str, b: str):
+        n = F.col(f"__n_{a}").cast("decimal(38,0)")
+        sx, sy = F.col(f"__s_{a}"), F.col(f"__s_{b}")
+        sxx, syy = F.col(f"__ss_{a}"), F.col(f"__ss_{b}")
+        sxy = F.col(f"__sp_{a}_{b}")
+        # exact decimal covariance/variance numerators, THEN one cast
+        cov = (n * sxy - sx * sy).cast("double")
+        vx = (n * sxx - sx * sx).cast("double")
+        vy = (n * syy - sy * sy).cast("double")
+        corr = F.when(
+            (vx > 0) & (vy > 0), cov / F.sqrt(vx) / F.sqrt(vy)
+        ).otherwise(F.lit(None).cast("double"))
+        return F.struct(
+            F.lit(a).alias("col_a"),
+            F.lit(b).alias("col_b"),
+            F.col(f"__n_{a}").cast("long").alias("n"),
+            corr.alias("pearson_r"),
+        )
+
+    return row.select(
+        F.explode(F.array(*[corr_struct(a, b) for a, b in pairs])).alias("p")
+    ).select("p.col_a", "p.col_b", "p.n", "p.pearson_r")

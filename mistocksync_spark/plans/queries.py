@@ -6522,3 +6522,51 @@ def events_zorder_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("zkey").cast("long").alias("zmin"),
         F.max("zkey").cast("long").alias("zmax"),
     )
+
+
+def _sql_correlations(table: str, cols: list[str]) -> str:
+    """HUGEINT replay of operators/aggregates.numeric_correlations: the
+    same exact micro-int moment sums (int128 — no rounding anywhere until
+    the single cast of each exact integer difference) and the same final
+    IEEE op order (cov / sqrt(vx) / sqrt(vy))."""
+    u = "CAST(floor(({c}) * 1000000 + 0.5) AS HUGEINT)"
+    moments = [f"COUNT({c}) AS n_{c}" for c in cols]
+    moments += [f"SUM({u.format(c=c)}) AS s_{c}" for c in cols]
+    moments += [f"SUM({u.format(c=c)} * {u.format(c=c)}) AS ss_{c}" for c in cols]
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    moments += [
+        f"SUM({u.format(c=a)} * {u.format(c=b)}) AS sp_{a}_{b}" for a, b in pairs
+    ]
+    selects = []
+    for a, b in pairs:
+        cov = f"CAST(CAST(n_{a} AS HUGEINT) * sp_{a}_{b} - s_{a} * s_{b} AS DOUBLE)"
+        vx = f"CAST(CAST(n_{a} AS HUGEINT) * ss_{a} - s_{a} * s_{a} AS DOUBLE)"
+        vy = f"CAST(CAST(n_{a} AS HUGEINT) * ss_{b} - s_{b} * s_{b} AS DOUBLE)"
+        selects.append(
+            f"SELECT '{a}' AS col_a, '{b}' AS col_b, CAST(n_{a} AS BIGINT) AS n, "
+            f"CASE WHEN {vx} > 0 AND {vy} > 0 "
+            f"THEN {cov} / sqrt({vx}) / sqrt({vy}) END AS pearson_r FROM m"
+        )
+    return f"WITH m AS (SELECT {', '.join(moments)} FROM {table}) " + " UNION ALL ".join(
+        selects
+    )
+
+
+@query(
+    "lineitem_correlations",
+    _sql_correlations("lineitem", ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]),
+)
+def lineitem_correlations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass exact Pearson correlation matrix over the lineitem
+    numeric columns (operators/aggregates.numeric_correlations): all
+    moment sums accumulate as exact integers in ONE scan-aggregate (the
+    classic one-pass cancellation happens in integer arithmetic, not
+    floating point), the matrix unpivots from the single result row, and
+    the final divisions are the only IEEE ops — bit-identical to the
+    HUGEINT SQL replay."""
+    from mistocksync_spark.operators.aggregates import numeric_correlations
+
+    return numeric_correlations(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )

@@ -2146,3 +2146,29 @@ def test_new_ops_no_cartesian_or_bnlj(spark, sf_dir):
         assert "CartesianProduct" not in plan, name
         got = plan.count("BroadcastNestedLoopJoin")
         assert got <= budget, f"{name}: {got} BNLJ > budget {budget}"
+
+
+def test_numeric_correlations_exact_and_bounded(spark):
+    """Perfectly correlated / anti-correlated / constant columns hit the
+    exact endpoints; all r in [-1, 1]; constant column yields NULL."""
+    from mistocksync_spark.operators.aggregates import numeric_correlations
+
+    rows = [(float(i), float(2 * i + 1), float(-3 * i), 7.0) for i in range(50)]
+    df = spark.createDataFrame(rows, "x double, y double, z double, c double")
+    got = {(r.col_a, r.col_b): r.pearson_r for r in
+           numeric_correlations(df, ["x", "y", "z", "c"]).collect()}
+    assert got[("x", "y")] == pytest.approx(1.0)
+    assert got[("x", "z")] == pytest.approx(-1.0)
+    assert got[("x", "c")] is None  # zero variance
+    for v in got.values():
+        assert v is None or -1.0 <= v <= 1.0
+
+
+def test_numeric_correlations_partition_order_independent(spark):
+    from mistocksync_spark.operators.aggregates import numeric_correlations
+
+    rows = [(float(i % 13), float((i * 7) % 11)) for i in range(200)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    a = numeric_correlations(df.repartition(1), ["x", "y"]).collect()[0].pearson_r
+    b = numeric_correlations(df.repartition(23), ["x", "y"]).collect()[0].pearson_r
+    assert a == b  # bit-identical, not approx
