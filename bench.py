@@ -201,6 +201,7 @@ def main():
             "token_cms_estimate",
             "events_zorder_buckets",
             "lineitem_correlations",
+            "events_cuped",
         ]
         if q in QUERIES
     ]

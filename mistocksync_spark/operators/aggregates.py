@@ -378,3 +378,69 @@ def numeric_correlations(df: DataFrame, columns: list[str]) -> DataFrame:
     return row.select(
         F.explode(F.array(*[corr_struct(a, b) for a, b in pairs])).alias("p")
     ).select("p.col_a", "p.col_b", "p.n", "p.pearson_r")
+
+
+def cuped_adjusted_means(
+    df: DataFrame,
+    split_ts: str,
+    user_col: str = "user_id",
+    value_col: str = "value",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """CUPED variance-reduced experiment readout (Deng et al. 2013,
+    "Improving the sensitivity of online controlled experiments" —
+    public method): per-variant means of the post-period metric adjusted
+    by the pre-period covariate, the standard trick that shrinks A/B
+    confidence intervals without extra traffic.
+
+        theta    = cov(pre, post) / var(pre)          (over users)
+        adjusted = post − theta · (pre − mean(pre))
+
+    Variants assign deterministically as ``user_id % 2``; the pre/post
+    split is ``ts < split_ts``.
+
+    Determinism: per-user pre/post metric sums are EXACT micro-int
+    integers (one user-keyed shuffle); every cross-user moment (Σx, Σy,
+    Σx², Σxy) accumulates those integers exactly, so theta and the
+    per-user adjustment are pure IEEE ops on bit-identical inputs; the
+    adjusted values re-quantize to integers before the per-variant mean,
+    so no order-dependent double sum exists anywhere.  Zero pre-period
+    variance yields theta = 0 (plain means).  100 TB plan: ONE shuffle
+    keyed by user builds the per-user frame; the 1-row moment aggregate
+    broadcasts back; the final agg is a 2-row frame.
+    """
+    from mistocksync_spark.functions.numeric import _u
+
+    t0 = F.lit(split_ts).cast("timestamp")
+    per_user = df.groupBy(F.col(user_col).alias("user")).agg(
+        F.sum(F.when(F.col(ts_col) < t0, _u(value_col)).otherwise(F.lit(0))).alias("__upre"),
+        F.sum(F.when(F.col(ts_col) >= t0, _u(value_col)).otherwise(F.lit(0))).alias("__upost"),
+    )
+    m = per_user.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("__n"),
+        F.sum("__upre").alias("__sx"),
+        F.sum("__upost").alias("__sy"),
+        F.sum(F.col("__upre") * F.col("__upre")).alias("__sxx"),
+        F.sum(F.col("__upre") * F.col("__upost")).alias("__sxy"),
+    )
+    j = per_user.crossJoin(F.broadcast(m))
+    cov = (F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")).cast("double")
+    varp = (F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast("double")
+    theta = F.when(varp > 0, cov / varp).otherwise(F.lit(0.0))
+    mean_pre = F.col("__sx").cast("double") / F.col("__n").cast("double")
+    adj = (
+        F.col("__upost").cast("double")
+        - theta * (F.col("__upre").cast("double") - mean_pre)
+    )
+    q = j.select(
+        (F.col("user") % 2).alias("variant"),
+        F.col("__upost"),
+        F.floor(adj + F.lit(0.5)).cast("decimal(38,0)").alias("__qadj"),
+        theta.alias("__theta"),
+    )
+    return q.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        (F.sum("__upost").cast("double") / F.lit(1e6) / F.count(F.lit(1))).alias("mean_post"),
+        (F.sum("__qadj").cast("double") / F.lit(1e6) / F.count(F.lit(1))).alias("mean_adjusted"),
+        F.min("__theta").alias("theta"),
+    )

@@ -6570,3 +6570,56 @@ def lineitem_correlations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
         ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
     )
+
+
+_SQL_U_VALUE = "CAST(floor(value * 1000000 + 0.5) AS HUGEINT)"
+
+
+@query(
+    "events_cuped",
+    f"""
+    WITH pu AS (
+        SELECT user_id AS usr,
+               SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN {_SQL_U_VALUE} ELSE 0 END) AS upre,
+               SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN {_SQL_U_VALUE} ELSE 0 END) AS upost
+        FROM events GROUP BY user_id
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(upre) AS sx, SUM(upost) AS sy,
+               SUM(upre * upre) AS sxx, SUM(upre * upost) AS sxy
+        FROM pu
+    ),
+    j AS (
+        SELECT pu.usr, pu.upre, pu.upost,
+               CASE WHEN CAST(m.n * m.sxx - m.sx * m.sx AS DOUBLE) > 0
+                    THEN CAST(m.n * m.sxy - m.sx * m.sy AS DOUBLE)
+                         / CAST(m.n * m.sxx - m.sx * m.sx AS DOUBLE)
+                    ELSE 0.0 END AS theta,
+               CAST(m.sx AS DOUBLE) / CAST(m.n AS DOUBLE) AS mean_pre
+        FROM pu, m
+    )
+    SELECT CAST(usr % 2 AS BIGINT) AS variant,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(upost) AS DOUBLE) / 1000000.0 / COUNT(*) AS mean_post,
+           CAST(SUM(CAST(floor(
+               CAST(upost AS DOUBLE)
+               - theta * (CAST(upre AS DOUBLE) - mean_pre) + 0.5) AS HUGEINT))
+               AS DOUBLE) / 1000000.0 / COUNT(*) AS mean_adjusted,
+           MIN(theta) AS theta
+    FROM j GROUP BY usr % 2
+    """,
+)
+def events_cuped_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout
+    (operators/aggregates.cuped_adjusted_means): per-variant post-period
+    means adjusted by the pre-period covariate.  ONE user-keyed shuffle
+    builds exact micro-int per-user sums; all cross-user moments
+    accumulate those integers exactly (the covariance cancellation
+    happens in integer arithmetic), theta and the adjustments are pure
+    IEEE ops on bit-identical inputs, and adjusted values re-quantize
+    before the per-variant mean — no order-dependent double sum
+    anywhere."""
+    from mistocksync_spark.operators.aggregates import cuped_adjusted_means
+    from mistocksync_spark.sources.testdata import load_events
+
+    return cuped_adjusted_means(load_events(spark, sf_dir), "2024-01-16")

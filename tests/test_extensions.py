@@ -2172,3 +2172,51 @@ def test_numeric_correlations_partition_order_independent(spark):
     a = numeric_correlations(df.repartition(1), ["x", "y"]).collect()[0].pearson_r
     b = numeric_correlations(df.repartition(23), ["x", "y"]).collect()[0].pearson_r
     assert a == b  # bit-identical, not approx
+
+
+def test_cuped_reduces_variance_and_preserves_means(spark):
+    """With post = pre + noise + effect, CUPED must (a) keep each
+    variant's adjusted mean finite and close to its raw mean shifted by
+    the global correction, and (b) shrink the spread of adjusted values
+    vs raw post values; theta must be shared across variants."""
+    import datetime as dt
+
+    from mistocksync_spark.operators.aggregates import cuped_adjusted_means
+
+    rows = []
+    eid = 0
+    for u in range(40):
+        base = 100.0 + (u % 10) * 50.0   # user-level heterogeneity
+        for period, day in (("pre", 1), ("post", 20)):
+            eid += 1
+            v = base if period == "pre" else base + (5.0 if u % 2 else 0.0)
+            rows.append((eid, u, dt.datetime(2024, 1, day), v))
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp, value double")
+    got = {r.variant: r for r in cuped_adjusted_means(df, "2024-01-10").collect()}
+    assert set(got) == {0, 1}
+    assert got[0].theta == got[1].theta
+    # post == pre + effect -> theta ~= 1 (the u%2 assignment correlates
+    # slightly with the u%10 covariate, so not exactly 1), and the
+    # adjusted difference recovers the +5 effect far better than the raw
+    # post difference (which carries the 50-point covariate imbalance)
+    assert got[0].theta == pytest.approx(1.0, abs=0.05)
+    raw_diff = got[1].mean_post - got[0].mean_post
+    adj_diff = got[1].mean_adjusted - got[0].mean_adjusted
+    assert abs(adj_diff - 5.0) < 1.0
+    assert abs(adj_diff - 5.0) < abs(raw_diff - 5.0)
+
+
+def test_cuped_zero_pre_variance_falls_back_to_plain_means(spark):
+    import datetime as dt
+
+    from mistocksync_spark.operators.aggregates import cuped_adjusted_means
+
+    rows = []
+    for u in range(10):
+        rows.append((u * 2, u, dt.datetime(2024, 1, 1), 7.0))       # constant pre
+        rows.append((u * 2 + 1, u, dt.datetime(2024, 1, 20), float(u)))
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp, value double")
+    got = {r.variant: r for r in cuped_adjusted_means(df, "2024-01-10").collect()}
+    for r in got.values():
+        assert r.theta == 0.0
+        assert r.mean_adjusted == pytest.approx(r.mean_post)
