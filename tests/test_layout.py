@@ -147,3 +147,49 @@ def test_zordered_write_tightens_both_dimensions(spark, sf_dir, tmp_path):
     assert mean_span(zpath, "ua") < mean_span(hpath, "ua")
     assert mean_span(zpath, "eb") < mean_span(hpath, "eb")
     assert spark.read.parquet(zpath).count() == ev.count()
+
+
+def test_window_order_malformed_row_fails_safe(monkeypatch):
+    """A corrupted (non-dict) CORRECTNESS row must re-enter the re-grade
+    rotation, not score as a pass."""
+    import __spark_entry__ as entry_mod
+
+    monkeypatch.setattr(
+        entry_mod, "_latest_grades", lambda: {"corrupt": {"err": "malformed"}}
+    )
+    monkeypatch.setattr(entry_mod, "_oracle_digest_changes", lambda oracles: set())
+    got = list(entry_mod._window_order({"ok": object(), "corrupt": object()}))
+    assert got[0] == "ok"       # never graded: rank 0
+    assert got[1] == "corrupt"  # malformed: rank 1, ahead of any rank-3
+
+
+def test_digest_snapshot_merge_only_touches_graded_queries(tmp_path, monkeypatch):
+    """Merge mode must update digests only for queries in the newest
+    CORRECTNESS file, preserving pending change-flags for the rest."""
+    import json
+
+    import tools.digest_snapshot as ds
+
+    repo = tmp_path
+    (repo / "tools").mkdir()
+    (repo / "CORRECTNESS_r01.json").write_text(json.dumps({"graded_q": {}}))
+    snap_path = repo / "tools" / "oracle_digests.json"
+    snap_path.write_text(json.dumps({"graded_q": "stale", "pending_q": "old_flag"}))
+
+    from __spark_entry__ import oracle_digest
+
+    oracles = {"graded_q": "SELECT 1", "pending_q": "SELECT 2 -- changed"}
+    monkeypatch.setattr(ds, "REPO", str(repo))
+
+    class FakeQueries:
+        ORACLES = oracles
+
+    import sys
+
+    monkeypatch.setitem(
+        sys.modules, "mistocksync_spark.plans.queries", FakeQueries
+    )
+    ds.main()
+    got = json.loads(snap_path.read_text())
+    assert got["graded_q"] == oracle_digest("SELECT 1")   # updated to grade-time
+    assert got["pending_q"] == "old_flag"                 # pending flag preserved
