@@ -202,6 +202,18 @@ def main():
             "events_zorder_buckets",
             "lineitem_correlations",
             "events_cuped",
+            "bracket_code_match_dimi",
+            "product_code_match_dimi",
+            "event_type_counts_salted",
+            "minhash_estimate_quality",
+            "stratified_sample",
+            "lang_id",
+            "media_features",
+            "event_props_stats",
+            "events_rolling_rate",
+            "events_in_incident_windows",
+            "dup_rate_by_source",
+            "source_quality_profile",
         ]
         if q in QUERIES
     ]

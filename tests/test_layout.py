@@ -193,3 +193,59 @@ def test_digest_snapshot_merge_only_touches_graded_queries(tmp_path, monkeypatch
     got = json.loads(snap_path.read_text())
     assert got["graded_q"] == oracle_digest("SELECT 1")   # updated to grade-time
     assert got["pending_q"] == "old_flag"                 # pending flag preserved
+
+
+def test_registry_rows_only_set_is_closed():
+    """Every queries() entry must carry an oracle, except the documented
+    rows-only set (difflib scoring, approx sketches, ANN showcase rows
+    whose recall siblings ARE hash-graded).  A new operator landing
+    without an oracle must be an explicit decision, not an omission."""
+    from mistocksync_spark.plans.queries import ORACLES, QUERIES
+
+    documented_rows_only = {
+        "fuzzy_match",
+        "fuzzy_match_ngram",
+        "fuzzy_annotated_new_items",
+        "events_stickiness_approx",
+        "doc_length_quantiles_approx",
+        "embedding_topk_ivf",
+        "embedding_topk_ivf_trained",
+        "embedding_topk_pq",
+    }
+    missing = set(QUERIES) - set(ORACLES)
+    assert missing == documented_rows_only, (
+        f"undocumented rows-only queries: {missing - documented_rows_only}; "
+        f"stale rows-only entries: {documented_rows_only - missing}"
+    )
+
+
+def test_every_query_has_a_bench_entry_or_is_headline():
+    """Every registered query must be timed somewhere in bench.py —
+    headline, scale-path, or extension — so no operator ships without a
+    recorded cost (the round-6 dark-code lesson)."""
+    import re
+
+    from mistocksync_spark.plans.queries import QUERIES
+
+    src = open("/root/repo/bench.py").read()
+    benched = set(re.findall(r'"([a-z0-9_]+)"', src))
+    unbenched = {q for q in QUERIES if q not in benched}
+    # scalar-function demos, report sheets, and sink/mutation rows are
+    # timed through their parent pipeline entries (cascade, report,
+    # merge); every OPERATOR-level query must appear explicitly
+    allowed_untimed_prefixes = (
+        "report_", "price_", "article_", "row_insert", "snapshot_",
+        "clean_", "bracket_code_extract", "product_code_extract",
+        "battery_", "safe_color", "map_supplier", "max_article",
+        "null_profile", "min_base", "top_event", "comparison_summary",
+        "new_items", "exact_article", "supplier_feed", "vitya_", "dimi_",
+        "events_sliding", "events_hourly_stream", "events_throttle",
+        "fuzzy_", "dedup_", "contamination_", "embedding_", "duplicate_",
+        "doc_", "token_counts", "language", "mixture_plan", "length_",
+        "vocab_", "tfidf_", "corpus_filter", "packing", "json_",
+        "user_sessions_stream", "events_cuped", "chunk", "q1_",
+    )
+    hard_misses = {
+        q for q in unbenched if not q.startswith(allowed_untimed_prefixes)
+    }
+    assert not hard_misses, f"queries with no bench entry: {sorted(hard_misses)}"
