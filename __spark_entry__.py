@@ -43,11 +43,13 @@ def _latest_grades() -> dict[str, dict]:
         except (OSError, ValueError):
             continue
     latest: dict[str, dict] = {}
-    for _, data in sorted(rounds):
+    for rnd, data in sorted(rounds):
         for k, v in data.items():
             # a malformed (non-dict) row must FAIL SAFE into the re-grade
             # rotation, not score as a pass
-            latest[k] = v if isinstance(v, dict) else {"err": "malformed"}
+            row = dict(v) if isinstance(v, dict) else {"err": "malformed"}
+            row["__round"] = rnd
+            latest[k] = row
     return latest
 
 
@@ -80,8 +82,17 @@ def _oracle_digest_changes(oracles: dict[str, str]) -> set[str]:
     except (OSError, ValueError):
         return set()
     changed = set()
+    graded = _latest_grades()
     for k, sql in oracles.items():
-        if k in snap and snap[k] != oracle_digest(sql):
+        if k in snap:
+            if snap[k] != oracle_digest(sql):
+                changed.add(k)
+        elif k in graded:
+            # graded but never snapshotted (added after the bootstrap,
+            # graded in a round whose window is no longer the newest
+            # CORRECTNESS file): its grade-time digest is unknown, so a
+            # stale PASS could be standing — treat as changed (round-7
+            # advisor finding)
             changed.add(k)
     return changed
 
@@ -102,20 +113,39 @@ def _window_order(d: dict) -> dict:
         if row is None:
             return 0  # never graded
         err = row.get("err")
-        ok = (
-            row.get("rows_match") is not False
-            and row.get("schema_match") is not False
-            and row.get("hash_match") is not False
-            and err in (None, "no_oracle")
-        )
+        # POSITIVE evidence of a pass required: a malformed-but-dict row
+        # (e.g. {} from a truncated CORRECTNESS write) has rows_match
+        # None, which `is not False` would score as a pass, leaving a
+        # stale/absent grade standing (round-7 advisor finding).  A
+        # rows-only grade records all-None matches with err='no_oracle'
+        # and a non-negative spark_rows — its positive evidence is the
+        # row count, not the match flags.
+        if err == "no_oracle":
+            ok = isinstance(row.get("spark_rows"), int) and row["spark_rows"] >= 0
+        else:
+            ok = (
+                row.get("rows_match") is True
+                and row.get("schema_match") is True
+                and row.get("hash_match") is True
+            )
         if not ok:
-            return 1  # latest grade FAIL/PARTIAL
+            return 1  # latest grade FAIL/PARTIAL/malformed
         if (err == "no_oracle" and k in ORACLES) or k in changed:
             return 2  # oracle added/changed since last grade
         return 3
 
     registry_pos = {k: i for i, k in enumerate(d)}
-    keys = sorted(d, key=lambda k: (rank(k), registry_pos[k]))
+
+    def order(k: str):
+        # within the healthy-PASS tail, re-grade the STALEST grade first
+        # (least-recently-graded rotation) so the bounded window keeps
+        # every standing PASS fresh instead of re-testing the same
+        # early-registry names every round
+        r = rank(k)
+        age = latest.get(k, {}).get("__round", 0) if r == 3 else 0
+        return (r, age, registry_pos[k])
+
+    keys = sorted(d, key=order)
     return {k: d[k] for k in keys}
 
 

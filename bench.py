@@ -57,11 +57,19 @@ def _reset(spark):
     """Clear cross-query state so each entry is measured cold: cached
     feeds/bands/CC labels from previous entries would turn downstream scans
     into memory reads and upstream ones into cache-build overhead."""
+    import gc
+
     spark.catalog.clearCache()
     from mistocksync_spark.plans import feeds, queries
 
     feeds._FEED_MEMO.clear()
     queries._cascade_memo_clear()
+    # the memos hold localCheckpoint()ed frames whose executor blocks are
+    # only released when the JVM ContextCleaner sees the RDD refs die —
+    # force the Python side promptly, or dead checkpoint blocks from
+    # earlier entries pile up and GC-pressure later samples (the r7
+    # ngram_jaccard_prefix 4.8 s / 31.8 s cold scatter)
+    gc.collect()
 
 
 def main():

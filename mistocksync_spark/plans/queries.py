@@ -3365,7 +3365,8 @@ ORACLES["boilerplate_strip"] = (
     + _SQL_PARA_TABLE
     + """
     , b AS (SELECT para FROM p GROUP BY para HAVING COUNT(DISTINCT doc_id) >= 3)
-    , k AS (SELECT doc_id, pos, para FROM p WHERE para NOT IN (SELECT para FROM b))
+    , k AS (SELECT doc_id, pos, para FROM p
+            WHERE NOT EXISTS (SELECT 1 FROM b WHERE b.para = p.para))
     SELECT d.doc_id, COALESCE(string_agg(k.para, chr(10) ORDER BY k.pos), '') AS text_clean
     FROM docsp d LEFT JOIN k ON d.doc_id = k.doc_id
     GROUP BY d.doc_id
@@ -3720,13 +3721,20 @@ def events_value_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_numeric_profile() -> str:
+    # CAST(SUM(...) AS BIGINT): DuckDB's SUM over integers returns
+    # HUGEINT, which a pandas-path fetch renders as float64 ("0.0" vs
+    # Spark's "0") — the CORRECTNESS_r07 hash-FAIL root cause.  Every
+    # integer output column must leave the oracle as BIGINT.
     cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    micro = "SUM(CAST(floor(({c}) * 1000000 + 0.5) AS HUGEINT))"
     parts = [
         f"""
         SELECT '{c}' AS column_name, COUNT({c}) AS n_values,
-               SUM(CAST({c} IS NULL AS BIGINT)) AS n_nulls,
-               CAST(MIN({c}) AS DOUBLE) AS min_v, CAST(MAX({c}) AS DOUBLE) AS max_v,
-               {sql_dec_avg(c)} AS avg_r, {sql_dec_sum(c, 2)} AS sum_r
+               CAST(SUM(CAST({c} IS NULL AS BIGINT)) AS BIGINT) AS n_nulls,
+               CAST(MIN({c}) AS DOUBLE) + 0.0 AS min_v,
+               CAST(MAX({c}) AS DOUBLE) + 0.0 AS max_v,
+               CAST(floor(CAST({micro.format(c=c)} AS DOUBLE) / COUNT({c})) AS BIGINT) AS avg_micro,
+               CAST(floor(CAST({micro.format(c=c)} AS DOUBLE) / 10000.0 + 0.5) AS BIGINT) AS sum_centi
         FROM lineitem
         """
         for c in cols
@@ -3911,26 +3919,26 @@ ORACLES["dedup_graph_degrees"] = f"""
 
 @query(
     "events_winsorized",
-    """
-    WITH t AS (
-        SELECT event_type,
-               round(quantile_cont(value, 0.01), 6) AS plo,
-               round(quantile_cont(value, 0.99), 6) AS phi
-        FROM events GROUP BY event_type
-    )
+    f"""
+    WITH t AS ({agg.sql_discrete_quantiles(
+        "events", "event_type", "value",
+        {"__plo": (1, 100), "__phi": (99, 100)})})
     SELECT e.event_type, COUNT(*) AS n,
-           SUM(CAST(e.value < t.plo AS BIGINT)) AS n_clipped_low,
-           SUM(CAST(e.value > t.phi AS BIGINT)) AS n_clipped_high,
-           CAST(SUM(CAST(floor((least(greatest(e.value, t.plo), t.phi)) * 1000000 + 0.5) AS HUGEINT)) AS DOUBLE) / 1000000.0 / COUNT(least(greatest(e.value, t.plo), t.phi)) AS mean_winsorized,
-           MIN(t.plo) AS p_lo, MIN(t.phi) AS p_hi
+           CAST(SUM(CAST(e.value < t.__plo AS BIGINT)) AS BIGINT) AS n_clipped_low,
+           CAST(SUM(CAST(e.value > t.__phi AS BIGINT)) AS BIGINT) AS n_clipped_high,
+           CAST(floor(CAST(SUM(CAST(floor((least(greatest(e.value, t.__plo), t.__phi)) * 1000000 + 0.5) AS HUGEINT)) AS DOUBLE) / COUNT(least(greatest(e.value, t.__plo), t.__phi))) AS BIGINT) AS mean_winsorized_micro,
+           MIN(t.__plo) AS p_lo, MIN(t.__phi) AS p_hi
     FROM events e JOIN t USING (event_type)
     GROUP BY e.event_type
     """,
 )
 def events_winsorized_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorized per-type value statistics (operators/aggregates.
-    winsorized_stats): exact-percentile thresholds broadcast back, second
-    pass map-side-partial only."""
+    winsorized_stats): discrete-quantile thresholds (interpolation-free,
+    data-independent parity) broadcast back, second pass map-side-partial
+    only; every integer column leaves the oracle as BIGINT (never
+    HUGEINT — the pandas fetch path renders HUGEINT as float64, the
+    CORRECTNESS_r07 hash-FAIL root cause)."""
     from mistocksync_spark.operators.aggregates import winsorized_stats
     from mistocksync_spark.sources.testdata import load_events
 
@@ -4250,25 +4258,29 @@ def events_forecast_snaive_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_mad_outliers",
-    """
-    WITH med AS (
-        SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
-        FROM events GROUP BY event_type
-    ), mad AS (
-        SELECT e.event_type, round(quantile_cont(abs(e.value - m.med), 0.5), 6) AS mad
-        FROM events e JOIN med m USING (event_type) GROUP BY e.event_type
-    )
-    SELECT e.event_id, e.event_type, round(e.value, 4) AS value_r,
-           floor((e.value - m.med) / d.mad * 1000.0 + 0.5) / 1000.0 AS robust_z
-    FROM events e JOIN med m USING (event_type) JOIN mad d USING (event_type)
-    WHERE d.mad > 0 AND abs((e.value - m.med) / d.mad) > 5.0
+    f"""
+    WITH med AS ({agg.sql_discrete_quantiles(
+        "events", "event_type", "value", {"__med": (1, 2)})}),
+    dev AS (
+        SELECT e.event_id, e.event_type, e.value, m.__med,
+               abs(e.value - m.__med) AS __dev
+        FROM events e JOIN med m USING (event_type)
+    ), mad AS ({agg.sql_discrete_quantiles(
+        "dev", "event_type", "__dev", {"__mad": (1, 2)})})
+    SELECT d.event_id, d.event_type, d.value AS value_v,
+           CAST(floor((d.value - d.__med) / t.__mad * 1000.0 + 0.5) AS BIGINT) AS robust_z_milli
+    FROM dev d JOIN mad t USING (event_type)
+    WHERE t.__mad > 0 AND abs((d.value - d.__med) / t.__mad) > 5.0
     """,
 )
 def events_mad_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Median/MAD robust outlier flags (operators/aggregates.mad_outliers):
-    two #keys-row percentile aggregates broadcast back; flagging pass
-    shuffle-free; thresholds rounded to 6 dp so both engines cut at
-    bit-identical bounds."""
+    two discrete-median rank windows collapse to #keys-row frames that
+    broadcast back; flagging pass shuffle-free.  Discrete (type-1)
+    medians are actual data values, so the cut is a fixed IEEE op
+    sequence on identical inputs — no interpolated percentile, no
+    round(double), no derived-float output (the z is an exact milli
+    integer)."""
     from mistocksync_spark.operators.aggregates import mad_outliers
     from mistocksync_spark.sources.testdata import load_events
 
@@ -4475,9 +4487,9 @@ def customer_rfm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT dig, COUNT(DISTINCT doc_id) AS nd FROM chunks GROUP BY dig
     )
     SELECT c.doc_id, COUNT(*) AS n_chunks,
-           SUM(CAST(m.nd > 1 AS BIGINT)) AS n_dup_chunks,
-           floor(SUM(CAST(m.nd > 1 AS BIGINT)) / COUNT(*) * 1000000 + 0.5)
-               / 1000000.0 AS dup_chunk_rate
+           CAST(SUM(CAST(m.nd > 1 AS BIGINT)) AS BIGINT) AS n_dup_chunks,
+           CAST((CAST(SUM(CAST(m.nd > 1 AS BIGINT)) AS BIGINT) * 1000000)
+               // COUNT(*) AS BIGINT) AS dup_rate_ppm
     FROM chunks c JOIN multi m USING (dig)
     GROUP BY c.doc_id
     """,
@@ -4503,13 +4515,13 @@ def chunk_dup_rate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_chunks"),
         F.sum(dup).alias("n_dup_chunks"),
-        # The SUMS are exact integers, but engine round() of the derived
-        # quotient double diverges cross-engine (d059f16/a3bd9b4 class):
-        # use the IEEE floor-round, bit-identical on the identical quotient.
-        (
-            F.floor(F.sum(dup) / F.count(F.lit(1)) * F.lit(1e6) + F.lit(0.5))
-            / F.lit(1e6)
-        ).alias("dup_chunk_rate"),
+    ).withColumn(
+        # pure integer parts-per-million rate (both counts non-negative,
+        # so Spark `div` == DuckDB `//`): no double quotient to diverge
+        # on, and no HUGEINT on the oracle side (the pandas fetch path
+        # renders HUGEINT as float64 — the CORRECTNESS_r07 FAIL class)
+        "dup_rate_ppm",
+        F.expr("(n_dup_chunks * 1000000) div n_chunks"),
     )
 
 
@@ -5357,7 +5369,7 @@ def q19_bracketed_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
            {sql_dec_sum("c.c_acctbal", 2)} AS totacctbal
     FROM customer c, thr
     WHERE c.c_acctbal > thr.avg_bal
-      AND c.c_custkey NOT IN (SELECT o_custkey FROM recent)
+      AND NOT EXISTS (SELECT 1 FROM recent r WHERE r.o_custkey = c.c_custkey)
     GROUP BY 1
     """,
 )
@@ -6079,7 +6091,8 @@ def q12_priority_by_status_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem l
     JOIN part p ON l.l_partkey = p.p_partkey
     WHERE p.p_brand <> 'Brand#1' AND p.p_size IN (5, 10, 15, 20, 25)
-      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      AND NOT EXISTS (SELECT 1 FROM supplier s
+                      WHERE s.s_acctbal < 0 AND s.s_suppkey = l.l_suppkey)
     GROUP BY 1, 2, 3
     """,
 )
@@ -6088,7 +6101,9 @@ def q16_supplier_breadth_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (brand, type, size) bucket, excluding a complaint set.  Adaptation:
     the excluded suppliers are those with negative balance (no comment
     column).  100 TB plan: the filtered part dim and the tiny exclusion
-    key set BROADCAST (NOT IN → LEFT-ANTI against a broadcast);
+    key set BROADCAST (NOT EXISTS → LEFT-ANTI against a broadcast — the
+    oracle uses NOT EXISTS, not NOT IN, so a NULL in the exclusion set
+    can never flip the whole result away from anti-join semantics);
     COUNT(DISTINCT supplier) shuffles a pre-deduplicated
     (bucket, supplier) frame, never raw lineitem."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_partkey", "l_suppkey")

@@ -81,9 +81,13 @@ def test_window_order_prioritizes_failures_and_oracle_changes(monkeypatch):
         "failed": {"rows_match": True, "schema_match": True, "hash_match": False, "err": None},
         "errored": {"rows_match": None, "schema_match": None, "hash_match": None, "err": "boom"},
         "rows_only_upgraded": {"rows_match": None, "schema_match": None,
-                               "hash_match": None, "err": "no_oracle"},
+                               "hash_match": None, "err": "no_oracle",
+                               "spark_rows": 5},
         "oracle_changed": {"rows_match": True, "schema_match": True,
                            "hash_match": True, "err": None},
+        # truncated write: a dict without the match keys must NOT score
+        # as a pass (rank 3) — positive evidence required (r7 advisor)
+        "truncated": {},
     }
     monkeypatch.setattr(entry_mod, "_latest_grades", lambda: latest)
     monkeypatch.setattr(
@@ -95,16 +99,19 @@ def test_window_order_prioritizes_failures_and_oracle_changes(monkeypatch):
         qmod,
         "ORACLES",
         {k: "SELECT 1" for k in ("ok_old", "failed", "errored",
-                                 "rows_only_upgraded", "oracle_changed", "fresh")},
+                                 "rows_only_upgraded", "oracle_changed",
+                                 "fresh", "truncated")},
     )
     registry = {k: object() for k in (
-        "ok_old", "failed", "errored", "rows_only_upgraded", "oracle_changed", "fresh"
+        "ok_old", "failed", "errored", "rows_only_upgraded",
+        "oracle_changed", "fresh", "truncated",
     )}
     got = list(entry_mod._window_order(registry))
     assert got[0] == "fresh"                       # never graded
-    assert set(got[1:3]) == {"failed", "errored"}  # latest grade FAIL/error
-    assert set(got[3:5]) == {"rows_only_upgraded", "oracle_changed"}
-    assert got[5] == "ok_old"
+    # latest grade FAIL/error/truncated — no positive evidence of a pass
+    assert set(got[1:4]) == {"failed", "errored", "truncated"}
+    assert set(got[4:6]) == {"rows_only_upgraded", "oracle_changed"}
+    assert got[6] == "ok_old"
 
 
 def test_zorder_key_interleaves_bits(spark):

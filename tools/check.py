@@ -91,6 +91,22 @@ def main():
         problems = []
         if len(srows) != len(orows):
             problems.append(f"rowcount spark={len(srows)} duckdb={len(orows)}")
+        # TYPE-class parity (CORRECTNESS_r07 root cause): DuckDB HUGEINT /
+        # DECIMAL outputs render as float64/object on a pandas fetch path
+        # (the driver's), while fetchall() hides them as int — so values
+        # alone are not enough; the output type classes must agree.
+        from tools.type_check import duck_class, spark_class
+
+        rel = con.sql(oracles[name])
+        otype_by_col = dict(zip(rel.columns, [str(t) for t in rel.types]))
+        stype_by_col = dict(sdf.dtypes)
+        for col in sorted(set(stype_by_col) & set(otype_by_col)):
+            sc = spark_class(stype_by_col[col])
+            oc = duck_class(otype_by_col[col])
+            if oc in ("hugeint", "decimal") or sc == "decimal" or sc != oc:
+                problems.append(
+                    f"type {col}: spark={stype_by_col[col]} duckdb={otype_by_col[col]}"
+                )
         if sorted(scols) != sorted(ocols):
             problems.append(f"schema spark={sorted(scols)} duckdb={sorted(ocols)}")
         else:
