@@ -73,8 +73,12 @@ def product_code_in_name(name: Column) -> Column:
         group = 1 if i == len(CODE_PATTERNS) - 1 else 0
         matches = F.regexp_extract_all(up, F.lit(pat), group)
         surviving = F.filter(matches, _not_excluded)
-        first = F.when(F.size(surviving) > 0, F.element_at(surviving, 1))
-        per_pattern.append(first)
+        # F.get is null-safe on the empty array, so ONE instance of the
+        # regexp_extract_all+filter tree suffices — the previous
+        # `when(size(X) > 0, element_at(X, 1))` form evaluated the whole
+        # regex pipeline twice per pattern in codegen (the dominant cost
+        # of the code-match bench entries)
+        per_pattern.append(F.get(surviving, 0))
     result = F.coalesce(*per_pattern)
     return F.when(name.isNull(), F.lit(None).cast("string")).otherwise(result)
 

@@ -144,7 +144,15 @@ def code_match(
     joins 1:1 against the supplier variants, the winner is
     ``coalesce(t1..t4)``, and one final join fetches the winning variant's
     payload — never materializing supplier×base pairs, at any skew.
+
+    The variant tables are materialized once (lazy localCheckpoint):
+    ``base_variants`` feeds FIVE consumers (b1–b4 + payload) and Catalyst
+    does not share common subplans across joins, so without it the
+    unified-code regex extraction — the most expensive expression in the
+    pipeline — would re-run five times per query.
     """
+    base_variants = base_variants.localCheckpoint(eager=False)
+    supplier_variants = supplier_variants.localCheckpoint(eager=False)
     agg_min = F.min("base_variant_order")
     b1 = base_variants.groupBy("code", "base_color", "base_capacity").agg(agg_min.alias("o1"))
     b2 = base_variants.groupBy("code", "base_color").agg(agg_min.alias("o2"))

@@ -815,13 +815,17 @@ def charlm_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     ``floor(p*1e6+0.5)`` and accumulated exactly, never a float sum).
 
     100 TB plan: the trigram stream (one row per character position)
-    aggregates to the (lang, trigram) count table with map-side partial
-    combine — the table is bounded by charset³ per language, NOT by
-    corpus size, so it BROADCASTS back onto the stream for scoring; the
-    prefix totals derive from the already-aggregated count table (no
-    second pass over the corpus).  Two shuffles total (count table +
-    per-doc re-aggregation), zero Python.  Documents shorter than 3
-    chars have no trigram and no output row.
+    collapses immediately to a (doc, lang, trigram, count) frame —
+    materialized once (lazy localCheckpoint), because both the count
+    table and the scoring probe consume it and Catalyst does not share
+    common subplans across joins (without it the explode ran twice —
+    the r7 bench's 7.7 s).  The (lang, trigram) model table is bounded
+    by charset³ per language, NOT by corpus size, so it BROADCASTS back
+    onto the per-doc frame; the prefix totals derive from the already-
+    aggregated count table (no second pass over the corpus).  Two
+    shuffles total (doc-trigram collapse + per-doc re-aggregation),
+    zero Python.  Documents shorter than 3 chars have no trigram and no
+    output row.
     """
     low = F.lower(F.col(text_col))
     n_tri = F.length(low) - 2
@@ -834,7 +838,12 @@ def charlm_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             F.transform(F.sequence(F.lit(1), n_tri), lambda i: F.substring(low, i, 3))
         ).alias("tri"),
     )
-    tc = tri_stream.groupBy("lang", "tri").agg(F.count(F.lit(1)).alias("__tn"))
+    grouped = (
+        tri_stream.groupBy("doc_id", "lang", "tri")
+        .agg(F.count(F.lit(1)).alias("__k"))
+        .localCheckpoint(eager=False)
+    )
+    tc = grouped.groupBy("lang", "tri").agg(F.sum("__k").alias("__tn"))
     # pc derives from tc (a self-join by lineage): rename its keys so the
     # prefix-total attach resolves unambiguously
     pc = tc.groupBy(
@@ -857,18 +866,22 @@ def charlm_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             .alias("__qp"),
         )
     )
-    # prob derives from tri_stream, so the probe join is a self-join by
-    # lineage — qualify both sides with dataset aliases
-    scored = tri_stream.alias("s").join(
+    # prob derives from grouped, so the probe join is a self-join by
+    # lineage — qualify both sides with dataset aliases.  Count-weighted
+    # sums over the collapsed frame reproduce per-instance accumulation
+    # exactly: Σ_instances qp = Σ_trigram-types k·qp.
+    scored = grouped.alias("s").join(
         F.broadcast(prob.alias("p")),
         (F.col("s.lang") == F.col("p.__plang")) & (F.col("s.tri") == F.col("p.__ptri")),
     )
     return scored.groupBy(
         F.col("s.doc_id").alias("doc_id"), F.col("s.lang").alias("lang")
     ).agg(
-        F.count(F.lit(1)).alias("n_trigrams"),
+        F.sum("s.__k").alias("n_trigrams"),
         (
-            F.sum("p.__qp").cast("double") / F.lit(1e6) / F.count(F.lit(1))
+            F.sum(F.col("s.__k").cast("decimal(38,0)") * F.col("p.__qp")).cast("double")
+            / F.lit(1e6)
+            / F.sum("s.__k")
         ).alias("lm_score"),
     )
 
@@ -994,12 +1007,18 @@ def dsir_weights(
     micro-quantizes r(b) into exact integer sums.  ``selected`` marks
     documents whose mean ratio exceeds parity (1.0).
 
-    100 TB plan: ONE corpus scan explodes bigrams; the bucket count
-    table is bounded by ``dim`` — NOT corpus size — so it (and the 1-row
-    totals) BROADCASTS back onto the bigram stream; featurization is
-    stateless hashing (no vocabulary to build or ship).  Two shuffles
-    total (bucket counts + per-doc re-aggregation), zero Python.
-    Documents with fewer than two tokens have no bigram and no row.
+    100 TB plan: ONE corpus scan explodes bigrams and immediately
+    collapses them to a (doc, bucket, count) frame — materialized once
+    (lazy localCheckpoint), because the frame feeds THREE consumers
+    (bucket counts, corpus totals, per-doc scoring) and Catalyst does
+    not share common subplans across joins, so without it the md5
+    featurization would run three times (the r7 bench's 13 s).  The
+    bucket count table is bounded by ``dim`` — NOT corpus size — so it
+    (and the 1-row totals) BROADCASTS back onto the per-doc frame;
+    featurization is stateless hashing (no vocabulary to build or
+    ship).  Two shuffles total (doc-bucket collapse + per-doc
+    re-aggregation), zero Python.  Documents with fewer than two tokens
+    have no bigram and no row.
     """
     if target_pred is None:
         target_pred = F.col("source").isin("src0", "src1")
@@ -1033,8 +1052,14 @@ def dsir_weights(
             ).alias("bucket"),
         )
     )
-    counts = stream.groupBy("bucket").agg(
-        F.sum("__t").alias("__ct"), F.count(F.lit(1)).alias("__cc")
+    grouped = (
+        stream.groupBy("doc_id", "__t", "bucket")
+        .agg(F.count(F.lit(1)).alias("__k"))
+        .localCheckpoint(eager=False)
+    )
+    counts = grouped.groupBy("bucket").agg(
+        F.sum(F.col("__t") * F.col("__k")).alias("__ct"),
+        F.sum("__k").alias("__cc"),
     )
     tot = counts.agg(
         F.sum("__ct").alias("__tott"), F.sum("__cc").alias("__totc")
@@ -1051,9 +1076,15 @@ def dsir_weights(
             F.floor(ratio * F.lit(1e6) + F.lit(0.5)).cast("decimal(38,0)").alias("__qr"),
         )
     )
-    per_doc = stream.join(F.broadcast(prob), on="bucket").groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
-        (F.sum("__qr").cast("double") / F.lit(1e6) / F.count(F.lit(1))).alias("dsir_score"),
+    # instance-weighted sums over the collapsed frame reproduce the
+    # per-instance accumulation exactly: Σ_instances qr = Σ_buckets k·qr
+    per_doc = grouped.join(F.broadcast(prob), on="bucket").groupBy("doc_id").agg(
+        F.sum("__k").alias("n_bigrams"),
+        (
+            F.sum(F.col("__k").cast("decimal(38,0)") * F.col("__qr")).cast("double")
+            / F.lit(1e6)
+            / F.sum("__k")
+        ).alias("dsir_score"),
     )
     return per_doc.select(
         "doc_id",
