@@ -248,7 +248,7 @@ def numeric_profile(df: DataFrame, columns: list[str]) -> DataFrame:
 
 def discrete_quantiles(
     df: DataFrame,
-    key: str,
+    key: str | None,
     value: str,
     probs: dict[str, tuple[int, int]],
 ) -> DataFrame:
@@ -269,17 +269,21 @@ def discrete_quantiles(
 
     Plan: one hash exchange on ``key`` feeds the rank window (the same
     per-group sort the exact ``percentile`` aggregate pays), then a
-    #keys-row aggregate.  At 100 TB swap in ``percentile_approx`` and
-    accept approximate thresholds — identical downstream shape.
+    #keys-row aggregate.  ``key=None`` computes GLOBAL quantiles over a
+    SinglePartition window — only for frames already aggregated well
+    below partition size (per-customer, per-type); at 100 TB swap in
+    ``percentile_approx`` and accept approximate thresholds — identical
+    downstream shape.
     """
     from pyspark.sql import Window
 
-    w = Window.partitionBy(key).orderBy(value)
+    keys = [key] if key is not None else []
+    w = Window.partitionBy(*keys).orderBy(value)
     r = (
-        df.select(key, value)
+        df.select(*keys, value)
         .where(F.col(value).isNotNull())
         .withColumn("__rn", F.row_number().over(w))
-        .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy(key)))
+        .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy(*keys)))
     )
     aggs = [
         F.max(
@@ -291,29 +295,32 @@ def discrete_quantiles(
         ).alias(alias)
         for alias, (num, den) in probs.items()
     ]
-    return r.groupBy(key).agg(*aggs)
+    return r.groupBy(*keys).agg(*aggs) if keys else r.agg(*aggs)
 
 
 def sql_discrete_quantiles(
-    src: str, key: str, value: str, probs: dict[str, tuple[int, int]]
+    src: str, key: str | None, value: str, probs: dict[str, tuple[int, int]]
 ) -> str:
     """DuckDB twin of :func:`discrete_quantiles` — the same integer rank
     selection spelled out explicitly (never ``quantile_disc``, whose rank
     convention is the engine's choice), so both engines pick the identical
-    element of the identical sorted multiset."""
+    element of the identical sorted multiset.  ``key=None`` → global."""
     sel = ",\n           ".join(
         f"MAX(CASE WHEN __rn = (__n * {num} + {den - 1}) // {den} "
         f"THEN {value} END) AS {alias}"
         for alias, (num, den) in probs.items()
     )
+    part = f"PARTITION BY {key} " if key is not None else ""
+    head = f"{key}, " if key is not None else ""
+    tail = f"GROUP BY {key}" if key is not None else ""
     return f"""
-    SELECT {key}, {sel}
+    SELECT {head}{sel}
     FROM (
-        SELECT {key}, {value},
-               row_number() OVER (PARTITION BY {key} ORDER BY {value}) AS __rn,
-               COUNT(*) OVER (PARTITION BY {key}) AS __n
+        SELECT {head}{value},
+               row_number() OVER ({part}ORDER BY {value}) AS __rn,
+               COUNT(*) OVER ({part.strip() or ''}) AS __n
         FROM {src} WHERE {value} IS NOT NULL
-    ) GROUP BY {key}
+    ) {tail}
     """
 
 

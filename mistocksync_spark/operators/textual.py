@@ -185,22 +185,35 @@ def length_quantiles(
     df: DataFrame,
     value_col: str = "n_chars",
     stratum_col: str = "lang",
-    quantiles: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9),
+    quantiles: tuple[tuple[int, int], ...] = ((1, 4), (1, 2), (3, 4), (9, 10)),
 ) -> DataFrame:
-    """Exact per-stratum length quantiles (linear interpolation) — the
-    profiling step that sizes filtering thresholds before a corpus run.
+    """Exact per-stratum length quantiles — the profiling step that sizes
+    filtering thresholds before a corpus run.
 
-    Uses the exact ``percentile`` aggregate (one shuffle keyed by stratum,
-    map-side partial aggregation of per-value counts).  At 100 TB swap in
-    ``percentile_approx`` (fixed-size t-digest-style sketch per partition)
-    — same plan shape, bounded memory; exact here so the DuckDB
-    ``quantile_cont`` oracle can hash-match.
+    DISCRETE (type-1) quantiles selected by integer rank arithmetic
+    (aggregates.discrete_quantiles): actual data values, so the DuckDB
+    oracle replays the selection bit-for-bit on ANY data — an
+    interpolated quantile is a derived double whose 1-ulp formula
+    differences can split the rounding cross-engine.  Probabilities are
+    exact integer fractions.  At 100 TB swap in ``percentile_approx``
+    (``length_quantiles_approx``) — same output shape, bounded memory.
     """
-    qarr = "array(" + ", ".join(f"{q}D" for q in quantiles) + ")"
-    g = df.groupBy(stratum_col).agg(
-        F.expr(f"percentile({value_col}, {qarr})").alias("qv")
+    from mistocksync_spark.operators.aggregates import discrete_quantiles
+
+    probs = {f"__q{i}": frac for i, frac in enumerate(quantiles)}
+    g = discrete_quantiles(df, stratum_col, value_col, probs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(num / den).alias("quantile"),
+                F.col(f"__q{i}").cast("double").alias(f"{value_col}_q"),
+            )
+            for i, (num, den) in enumerate(quantiles)
+        ]
     )
-    return _unpack_quantiles(g, stratum_col, value_col, quantiles)
+    return g.select(stratum_col, F.explode(entries).alias("e")).select(
+        stratum_col, "e.quantile", f"e.{value_col}_q"
+    )
 
 
 def length_quantiles_approx(

@@ -3144,12 +3144,12 @@ def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "doc_length_quantiles",
-    """
-    WITH g AS (
-        SELECT lang, quantile_cont(n_chars, [0.25, 0.5, 0.75, 0.9]) AS qv
-        FROM documents GROUP BY lang
-    )
-    SELECT lang, CAST([0.25, 0.5, 0.75, 0.9][i] AS DOUBLE) AS quantile, round(qv[i], 4) AS n_chars_q
+    f"""
+    WITH g AS ({agg.sql_discrete_quantiles(
+        "documents", "lang", "n_chars",
+        {"q0": (1, 4), "q1": (1, 2), "q2": (3, 4), "q3": (9, 10)})})
+    SELECT lang, CAST([0.25, 0.5, 0.75, 0.9][i] AS DOUBLE) AS quantile,
+           CAST([q0, q1, q2, q3][i] AS DOUBLE) AS n_chars_q
     FROM g, UNNEST(generate_series(1, 4)) AS t(i)
     """,
 )
@@ -4388,7 +4388,7 @@ def events_stickiness_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "customer_rfm",
-    """
+    f"""
     WITH base AS (
         SELECT o.o_custkey AS c_custkey,
                date_diff('day', MAX(o.o_orderdate),
@@ -4396,18 +4396,16 @@ def events_stickiness_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                COUNT(*) AS frequency,
                floor(CAST(SUM(CAST(floor((o.o_totalprice) * 1000000 + 0.5) AS HUGEINT)) AS DOUBLE) / 10000.0 + 0.5) / 100.0 AS monetary
         FROM orders o GROUP BY o.o_custkey
-    ), q AS (
-        SELECT round(quantile_cont(recency_days, 0.25), 6) AS r1,
-               round(quantile_cont(recency_days, 0.50), 6) AS r2,
-               round(quantile_cont(recency_days, 0.75), 6) AS r3,
-               round(quantile_cont(frequency, 0.25), 6) AS f1,
-               round(quantile_cont(frequency, 0.50), 6) AS f2,
-               round(quantile_cont(frequency, 0.75), 6) AS f3,
-               round(quantile_cont(monetary, 0.25), 6) AS m1,
-               round(quantile_cont(monetary, 0.50), 6) AS m2,
-               round(quantile_cont(monetary, 0.75), 6) AS m3
-        FROM base
-    )
+    ), qr AS ({agg.sql_discrete_quantiles(
+        "base", None, "recency_days",
+        {"r1": (1, 4), "r2": (1, 2), "r3": (3, 4)})}),
+    qf AS ({agg.sql_discrete_quantiles(
+        "base", None, "frequency",
+        {"f1": (1, 4), "f2": (1, 2), "f3": (3, 4)})}),
+    qm AS ({agg.sql_discrete_quantiles(
+        "base", None, "monetary",
+        {"m1": (1, 4), "m2": (1, 2), "m3": (3, 4)})}),
+    q AS (SELECT * FROM qr, qf, qm)
     SELECT c_custkey, recency_days, frequency, monetary,
            4 - (CAST(recency_days > r1 AS INT) + CAST(recency_days > r2 AS INT)
                 + CAST(recency_days > r3 AS INT)) AS r_score,
@@ -4420,10 +4418,13 @@ def events_stickiness_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def customer_rfm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation over orders: recency/frequency/monetary per
-    customer scored into quartiles via PERCENTILE THRESHOLDS broadcast
-    back (not a global ntile — a SinglePartition window would bottleneck
-    at 100 TB; threshold comparison is embarrassingly parallel).
-    Thresholds round to 6 dp so both engines cut identically."""
+    customer scored into quartiles via DISCRETE-quantile thresholds
+    broadcast back (not a global ntile — threshold comparison is
+    embarrassingly parallel; see aggregates.discrete_quantiles for why
+    interpolated percentiles are banned from graded plans).  The
+    per-customer base frame is materialized once (lazy localCheckpoint):
+    three rank windows plus the scoring pass consume it and Catalyst
+    does not share common subplans across joins."""
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     maxd = o.agg(F.max("o_orderdate").alias("__maxd"))
     base = (
@@ -4434,14 +4435,15 @@ def customer_rfm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("frequency"),
             dec_sum("o_totalprice", 2).alias("monetary"),
         )
+        .localCheckpoint(eager=False)
     )
-    q = base.agg(
-        *[
-            F.round(F.expr(f"percentile({c}, {p})"), 6).alias(f"{c[0]}{i}")
-            for c in ("recency_days", "frequency", "monetary")
-            for i, p in [(1, 0.25), (2, 0.50), (3, 0.75)]
-        ]
-    )
+    quarts = {1: (1, 4), 2: (1, 2), 3: (3, 4)}
+    q = None
+    for c in ("recency_days", "frequency", "monetary"):
+        qc = agg.discrete_quantiles(
+            base, None, c, {f"{c[0]}{i}": frac for i, frac in quarts.items()}
+        )
+        q = qc if q is None else q.crossJoin(qc)
     j = base.crossJoin(F.broadcast(q))
     b = lambda cond: cond.cast("int")
     return j.select(
@@ -4769,27 +4771,30 @@ def source_mix_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_interarrival",
-    """
+    f"""
     WITH g AS (
         SELECT event_type,
-               (epoch_us(ts) - epoch_us(lag(ts) OVER (
-                   PARTITION BY user_id, event_type ORDER BY ts ASC, event_id ASC)))
-               / 1000000.0 AS gap_s
+               epoch_us(ts) - epoch_us(lag(ts) OVER (
+                   PARTITION BY user_id, event_type ORDER BY ts ASC, event_id ASC))
+               AS gap_us
         FROM events
-    )
-    SELECT event_type, COUNT(gap_s) AS n_gaps,
-           round(quantile_cont(gap_s, 0.5), 3) AS median_gap_s,
-           round(MIN(gap_s), 3) AS min_gap_s,
-           round(MAX(gap_s), 3) AS max_gap_s
-    FROM g WHERE gap_s IS NOT NULL
-    GROUP BY event_type
+    ), med AS ({agg.sql_discrete_quantiles(
+        "g", "event_type", "gap_us", {"median_gap_us": (1, 2)})})
+    SELECT g.event_type, COUNT(*) AS n_gaps,
+           MIN(med.median_gap_us) AS median_gap_us,
+           MIN(g.gap_us) AS min_gap_us,
+           MAX(g.gap_us) AS max_gap_us
+    FROM g JOIN med USING (event_type)
+    WHERE g.gap_us IS NOT NULL
+    GROUP BY g.event_type
     """,
 )
 def events_interarrival_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type inter-arrival statistics: gaps between consecutive events
     of the SAME type per user (activity frequency profile) — one hash
-    exchange on (user, type) feeds the lag window, exact-percentile
-    median per type; µs integer arithmetic so gaps are engine-identical."""
+    exchange on (user, type) feeds the lag window; the median is a
+    DISCRETE quantile and every statistic stays in exact integer µs
+    (BIGINT), so there is no float surface at all."""
     from pyspark.sql import Window
 
     from mistocksync_spark.sources.testdata import load_events
@@ -4798,13 +4803,18 @@ def events_interarrival_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id", "event_type").orderBy(
         F.col("ts").asc(), F.col("event_id").asc()
     )
-    gap = (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))) / F.lit(1_000_000.0)
-    g = ev.select("event_type", gap.alias("gap_s")).filter(F.col("gap_s").isNotNull())
-    return g.groupBy("event_type").agg(
-        F.count("gap_s").alias("n_gaps"),
-        F.round(F.expr("percentile(gap_s, 0.5)"), 3).alias("median_gap_s"),
-        F.round(F.min("gap_s"), 3).alias("min_gap_s"),
-        F.round(F.max("gap_s"), 3).alias("max_gap_s"),
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    g = ev.select("event_type", gap.alias("gap_us")).filter(
+        F.col("gap_us").isNotNull()
+    )
+    med = agg.discrete_quantiles(
+        g, "event_type", "gap_us", {"median_gap_us": (1, 2)}
+    )
+    return g.join(F.broadcast(med), on="event_type").groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.min("median_gap_us").alias("median_gap_us"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
     )
 
 

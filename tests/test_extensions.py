@@ -1589,9 +1589,10 @@ def test_interarrival_gap_values(spark):
         df.write.parquet(path)
         out = {r.event_type: r for r in QUERIES["events_interarrival"](spark, d).collect()}
     a = out["a"]
-    # gaps: user1 -> 10,10,10; user2 -> 5; median of [5,10,10,10] = 10
-    assert a.n_gaps == 4 and a.median_gap_s == 10.0
-    assert a.min_gap_s == 5.0 and a.max_gap_s == 10.0
+    # gaps (exact integer us): user1 -> 10s x3; user2 -> 5s; discrete
+    # median of [5,10,10,10] = value at rank ceil(4/2)=2 -> 10s
+    assert a.n_gaps == 4 and a.median_gap_us == 10_000_000
+    assert a.min_gap_us == 5_000_000 and a.max_gap_us == 10_000_000
 
 
 def test_prefix_filter_jaccard_parity_and_pruning(spark, sf_dir):

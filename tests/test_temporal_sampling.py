@@ -171,9 +171,11 @@ def test_length_quantiles_median(spark):
         [("en", v) for v in [10, 20, 30, 40, 50]], ["lang", "n_chars"]
     )
     rows = {r["quantile"]: r["n_chars_q"] for r in length_quantiles(df).collect()}
-    assert rows[0.5] == 30.0
-    assert rows[0.25] == 20.0
-    assert rows[0.9] == 46.0  # linear interpolation between 40 and 50
+    assert rows[0.5] == 30.0   # rank ceil(5/2)=3
+    assert rows[0.25] == 20.0  # rank ceil(5/4)=2
+    assert rows[0.9] == 50.0   # discrete: rank ceil(4.5)=5 -> a DATA value,
+    #                            never the interpolated 46 (cross-engine
+    #                            1-ulp formula surface)
 
 
 def test_rolling_window_agg_trailing_hour(spark):
