@@ -222,6 +222,9 @@ def main():
             "events_in_incident_windows",
             "dup_rate_by_source",
             "source_quality_profile",
+            "lineitem_quality_rules",
+            "lineitem_key_skew",
+            "doc_split_summary",
         ]
         if q in QUERIES
     ]

@@ -6648,3 +6648,134 @@ def events_cuped_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mistocksync_spark.sources.testdata import load_events
 
     return cuped_adjusted_means(load_events(spark, sf_dir), "2024-01-16")
+
+
+# --------------------------------------------------------------------------
+# round-8 session: data-quality gates — declarative rule engine, join-key
+# skew profiler, leakage-safe hash split (operators/quality.py)
+# --------------------------------------------------------------------------
+
+_QUALITY_RULES_SQL = """
+    WITH s AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity IS NULL AS BIGINT)) AS BIGINT) AS v0,
+               CAST(SUM(CAST(l_quantity IS NOT NULL
+                    AND (l_quantity < 0 OR l_quantity > 100) AS BIGINT)) AS BIGINT) AS v1,
+               CAST(SUM(CAST(l_discount IS NOT NULL
+                    AND (l_discount < 0 OR l_discount > 1) AS BIGINT)) AS BIGINT) AS v2,
+               CAST(SUM(CAST(l_returnflag IS NOT NULL
+                    AND l_returnflag NOT IN ('A', 'N', 'R') AS BIGINT)) AS BIGINT) AS v3,
+               CAST(SUM(CAST(l_linestatus IS NOT NULL
+                    AND NOT regexp_matches(l_linestatus, '^[OF]$') AS BIGINT)) AS BIGINT) AS v4,
+               CAST(COUNT(l_orderkey) - COUNT(DISTINCT l_orderkey) AS BIGINT) AS v5
+        FROM lineitem
+    )
+    SELECT r.rule_name, r.column_name AS "column", r.kind, s.n AS n_rows,
+           r.v AS n_violations,
+           (r.v * 1000000) // s.n AS violation_ppm,
+           r.v = 0 AS passed
+    FROM s, LATERAL (
+        SELECT * FROM (VALUES
+            ('qty_not_null', 'l_quantity', 'not_null', s.v0),
+            ('qty_range', 'l_quantity', 'range', s.v1),
+            ('disc_range', 'l_discount', 'range', s.v2),
+            ('flag_domain', 'l_returnflag', 'isin', s.v3),
+            ('status_regex', 'l_linestatus', 'regex', s.v4),
+            ('orderkey_unique', 'l_orderkey', 'unique', s.v5)
+        ) AS t(rule_name, column_name, kind, v)
+    ) AS r
+    """
+
+
+@query("lineitem_quality_rules", _QUALITY_RULES_SQL)
+def lineitem_quality_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate (operators/quality.
+    data_quality_report — the Deequ/Great-Expectations shape): six rules
+    over lineitem evaluated with scan sharing — every row-level rule is
+    one summed flag inside a SINGLE full-scan aggregate, the uniqueness
+    rule one count-distinct branch of the same aggregate, and the
+    per-rule rows unpivot from the 1-row result.  Adding a rule never
+    adds a pass over the data; every output is an exact integer or
+    boolean."""
+    from mistocksync_spark.operators.quality import Rule, data_quality_report
+
+    return data_quality_report(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        [
+            Rule("qty_not_null", "l_quantity", "not_null"),
+            Rule("qty_range", "l_quantity", "range", {"lo": 0, "hi": 100}),
+            Rule("disc_range", "l_discount", "range", {"lo": 0, "hi": 1}),
+            Rule("flag_domain", "l_returnflag", "isin", {"values": ["A", "N", "R"]}),
+            Rule("status_regex", "l_linestatus", "regex", {"pattern": "^[OF]$"}),
+            Rule("orderkey_unique", "l_orderkey", "unique"),
+        ],
+    )
+
+
+@query(
+    "lineitem_key_skew",
+    """
+    WITH pk AS (
+        SELECT CAST(l_suppkey AS VARCHAR) AS key_value, COUNT(*) AS cnt
+        FROM lineitem GROUP BY 1
+    ), t AS (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS n, COUNT(*) AS k FROM pk
+    )
+    SELECT key_value, cnt,
+           (cnt * 1000000) // t.n AS share_ppm,
+           (cnt * t.k * 1000000) // t.n AS skew_ratio_ppm
+    FROM pk, t
+    ORDER BY cnt DESC, key_value ASC LIMIT 10
+    """,
+)
+def lineitem_key_skew_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew audit (operators/quality.join_skew_profile): the
+    top-10 heaviest l_suppkey values with exact counts, integer-ppm row
+    share and skew-vs-uniform ratio — the pre-flight check that decides
+    salting / AQE skew-join before a 100 TB shuffle straggles.  ONE
+    map-side-partial groupBy (≤ #keys rows), 1-row total broadcast,
+    top-k over the aggregated frame only; (cnt desc, key asc) is a
+    total order so the emitted set is deterministic."""
+    from mistocksync_spark.operators.quality import join_skew_profile
+
+    return join_skew_profile(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"), "l_suppkey", top_k=10
+    )
+
+
+_SPLIT_SQL = f"""
+    WITH g AS (
+        SELECT doc_id, n_chars, doc_id // 10 AS grp,
+               ({_SQL_HEX8.format(sha="md5(CAST(doc_id // 10 AS VARCHAR))")})
+                   % 10000 AS b
+        FROM documents
+    )
+    SELECT CASE WHEN b < 8000 THEN 'train'
+                WHEN b < 9000 THEN 'val' ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT grp) AS n_groups,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars_sum
+    FROM g GROUP BY 1
+    """
+
+
+@query("doc_split_summary", _SPLIT_SQL)
+def doc_split_summary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split audit (operators/quality.
+    hash_split): every row of a GROUP (here: synthetic 10-doc sites —
+    in production a domain or dedup-cluster id) lands in one split
+    because the assignment is md5(group) bucket arithmetic, never
+    row-level randomness — near-duplicates can't straddle train and
+    eval.  The assignment is a stateless column expression (no shuffle);
+    the audit is one map-side-partial groupBy over the three splits."""
+    from mistocksync_spark.operators.quality import hash_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "__grp", F.expr("doc_id div 10")
+    )
+    split = hash_split(docs, "__grp", {"train": 8, "val": 1, "test": 1})
+    return split.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(F.col("__grp")).alias("n_groups"),
+        F.sum("n_chars").cast("long").alias("n_chars_sum"),
+    )

@@ -2320,3 +2320,93 @@ def test_cuped_zero_pre_variance_falls_back_to_plain_means(spark):
     for r in got.values():
         assert r.theta == 0.0
         assert r.mean_adjusted == pytest.approx(r.mean_post)
+
+
+# --------------------------------------------- round-8 session: quality gates
+def test_data_quality_report_counts_violations(spark):
+    from mistocksync_spark.operators.quality import Rule, data_quality_report
+
+    df = spark.createDataFrame(
+        [
+            (1, 5.0, "A"),
+            (2, -1.0, "A"),      # range violation
+            (3, None, "B"),      # null (not a range violation)
+            (3, 150.0, "X"),     # range + isin violations, dup id
+        ],
+        "id long, qty double, flag string",
+    )
+    got = {
+        r.rule_name: r
+        for r in data_quality_report(
+            df,
+            [
+                Rule("qty_not_null", "qty", "not_null"),
+                Rule("qty_range", "qty", "range", {"lo": 0, "hi": 100}),
+                Rule("flag_domain", "flag", "isin", {"values": ["A", "B"]}),
+                Rule("id_unique", "id", "unique"),
+            ],
+        ).collect()
+    }
+    assert got["qty_not_null"].n_violations == 1
+    assert got["qty_range"].n_violations == 2          # -1 and 150, null exempt
+    assert got["flag_domain"].n_violations == 1        # X
+    assert got["id_unique"].n_violations == 1          # one dup beyond first
+    assert got["qty_range"].n_rows == 4
+    assert got["qty_range"].violation_ppm == 500_000
+    assert not got["qty_range"].passed and got["qty_not_null"].n_violations == 1
+
+
+def test_data_quality_report_single_scan(spark):
+    """Scan sharing: all row-level rules must collapse into ONE aggregate
+    over ONE scan — the plan may not contain more scans than rules need."""
+    from mistocksync_spark.operators.quality import Rule, data_quality_report
+
+    df = spark.createDataFrame([(1, 2.0)], "id long, qty double")
+    plan = data_quality_report(
+        df,
+        [
+            Rule("a", "qty", "not_null"),
+            Rule("b", "qty", "range", {"lo": 0, "hi": 10}),
+            Rule("c", "id", "not_null"),
+        ],
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("LocalRelation") + plan.count("LogicalRDD") == 1
+
+
+def test_join_skew_profile_math(spark):
+    from mistocksync_spark.operators.quality import join_skew_profile
+
+    rows = [("hot",)] * 6 + [("a",), ("b",)]
+    df = spark.createDataFrame(rows, "k string")
+    got = join_skew_profile(df, "k", top_k=2).collect()
+    assert [r.key_value for r in got] == ["hot", "a"]  # ties: key asc
+    hot = got[0]
+    # 6 of 8 rows, 3 keys: share 750000 ppm, skew 6*3/8 = 2.25e6 ppm
+    assert hot.cnt == 6 and hot.share_ppm == 750_000
+    assert hot.skew_ratio_ppm == 2_250_000
+
+
+def test_hash_split_group_coherence_and_weights(spark):
+    from pyspark.sql import functions as F2
+
+    from mistocksync_spark.operators.quality import hash_split
+
+    df = spark.range(0, 5000).select(
+        F.col("id"), F.expr("id div 10").alias("grp")
+    )
+    out = hash_split(df, "grp", {"train": 8, "val": 1, "test": 1})
+    # leakage-safety: every group lands in exactly one split
+    assert (
+        out.groupBy("grp")
+        .agg(F2.count_distinct("split").alias("ns"))
+        .filter(F2.col("ns") > 1)
+        .count()
+        == 0
+    )
+    shares = {r.split: r.n for r in out.groupBy("split").agg(F2.count("*").alias("n")).collect()}
+    assert set(shares) == {"train", "val", "test"}
+    assert 0.7 < shares["train"] / 5000 < 0.9  # md5-uniform near 80%
+    # determinism: same assignment on re-run
+    again = {r.grp: r.split for r in hash_split(df, "grp", {"train": 8, "val": 1, "test": 1}).select("grp", "split").distinct().collect()}
+    first = {r.grp: r.split for r in out.select("grp", "split").distinct().collect()}
+    assert first == again
