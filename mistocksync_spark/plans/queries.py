@@ -895,23 +895,12 @@ def exact_dedup_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_documents_stream,
     )
 
-    qname = _stream_sink_name("exact_dedup_stream_sink")
-    q = (
-        exact_dedup_stream(augment_documents(read_documents_stream(spark, sf_dir)))
-        .writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(qname)
-        .trigger(availableNow=True)
-        .start()
+    return _run_stream(
+        spark,
+        exact_dedup_stream(augment_documents(read_documents_stream(spark, sf_dir))),
+        "exact_dedup_stream_sink",
+        "complete",
     )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise RuntimeError(
-            "availableNow stream did not finish within 300 s — refusing to "
-            "return a partial memory table (it would fail the oracle with a "
-            "confusing value diff instead of a clear timeout)"
-        )
-    return spark.table(qname)
 
 
 @query("minhash_lsh_pairs")
@@ -1780,6 +1769,49 @@ def _stream_sink_name(base: str) -> str:
     _STREAM_SINK_SEQ[0] += 1
     return f"{base}_{_STREAM_SINK_SEQ[0]}"
 
+
+def _run_stream(spark: SparkSession, stream_df, base: str, mode: str) -> DataFrame:
+    """Start a one-shot (Trigger.AvailableNow) stream into a memory sink,
+    wait for it, and return the sink table.
+
+    Streaming state partitioning is scoped DOWN for the run: every
+    stateful operator instantiates one state store per shuffle
+    partition, and for these bounded single-session streams the
+    per-instance setup dominates wall time (the stream-stream join
+    measured 8.5 s at 32 partitions vs 2.8 s at 8 on 1 M events; a
+    vanilla 200-partition session is worse).  The session value is
+    restored afterward — batch plans keep their own parallelism.  On a
+    real cluster with large state, raise it back via
+    ``SPARK_GRAFT_STREAM_PARTITIONS``.
+    """
+    import os
+
+    qname = _stream_sink_name(base)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8"),
+    )
+    try:
+        q = (
+            stream_df.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(qname)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "availableNow stream did not finish within 300 s — refusing "
+                "to return a partial memory table (it would fail the oracle "
+                "with a confusing value diff instead of a clear timeout)"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    return spark.table(qname)
+
+
 @query("events_hourly_stream")
 def events_hourly_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming parity: the same tumbling-window aggregation run
@@ -1787,23 +1819,12 @@ def events_hourly_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     equal the batch query — oracle shared with ``events_hourly``."""
     from mistocksync_spark.streaming.events import hourly_aggregate, read_events_stream
 
-    qname = _stream_sink_name("events_hourly_stream_sink")
-    q = (
-        hourly_aggregate(read_events_stream(spark, sf_dir))
-        .writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(qname)
-        .trigger(availableNow=True)
-        .start()
+    return _run_stream(
+        spark,
+        hourly_aggregate(read_events_stream(spark, sf_dir)),
+        "events_hourly_stream_sink",
+        "complete",
     )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise RuntimeError(
-            "availableNow stream did not finish within 300 s — refusing to "
-            "return a partial memory table (it would fail the oracle with a "
-            "confusing value diff instead of a clear timeout)"
-        )
-    return spark.table(qname)
 
 
 ORACLES["events_hourly_stream"] = ORACLES["events_hourly"]
@@ -1841,23 +1862,12 @@ def events_sliding_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark, Trigger.AvailableNow) — oracle shared with events_sliding."""
     from mistocksync_spark.streaming.events import read_events_stream, sliding_aggregate
 
-    qname = _stream_sink_name("events_sliding_stream_sink")
-    q = (
-        sliding_aggregate(read_events_stream(spark, sf_dir))
-        .writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(qname)
-        .trigger(availableNow=True)
-        .start()
+    return _run_stream(
+        spark,
+        sliding_aggregate(read_events_stream(spark, sf_dir)),
+        "events_sliding_stream_sink",
+        "complete",
     )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise RuntimeError(
-            "availableNow stream did not finish within 300 s — refusing to "
-            "return a partial memory table (it would fail the oracle with a "
-            "confusing value diff instead of a clear timeout)"
-        )
-    return spark.table(qname)
 
 
 ORACLES["events_sliding_stream"] = _SQL_SLIDING
@@ -1881,29 +1891,19 @@ def events_throttle_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload-level batch/stream key parity stays pytest-asserted."""
     from mistocksync_spark.streaming.events import read_events_stream, throttle_stream
 
-    qname = _stream_sink_name("events_throttle_stream_sink")
-    q = (
-        throttle_stream(read_events_stream(spark, sf_dir))
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName(qname)
-        .trigger(availableNow=True)
-        .start()
+    sink = _run_stream(
+        spark,
+        throttle_stream(read_events_stream(spark, sf_dir)),
+        "events_throttle_stream_sink",
+        "append",
     )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise RuntimeError(
-            "availableNow stream did not finish within 300 s — refusing to "
-            "return a partial memory table (it would fail the oracle with a "
-            "confusing value diff instead of a clear timeout)"
-        )
     # dropDuplicatesWithinWatermark is at-most-once only WITHIN the
     # watermark horizon: a key re-seen after its state evicts re-emits,
     # and which payload wins is batch-order dependent.  The graded
     # contract is the KEY SET, so distinct() the keys-only projection —
     # cheap (already keys-only) and batching-independent.
     return (
-        spark.table(qname)
+        sink
         .select(
             "user_id",
             "event_type",
@@ -2486,23 +2486,12 @@ def user_sessions_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mistocksync_spark.streaming.events import read_events_stream
     from mistocksync_spark.streaming.sessions import sessionize_stateful
 
-    qname = _stream_sink_name("user_sessions_stream_sink")
-    q = (
-        sessionize_stateful(read_events_stream(spark, sf_dir), flush_open=True)
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName(qname)
-        .trigger(availableNow=True)
-        .start()
+    return _run_stream(
+        spark,
+        sessionize_stateful(read_events_stream(spark, sf_dir), flush_open=True),
+        "user_sessions_stream_sink",
+        "append",
     )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise RuntimeError(
-            "availableNow stream did not finish within 300 s — refusing to "
-            "return a partial memory table (it would fail the oracle with a "
-            "confusing value diff instead of a clear timeout)"
-        )
-    return spark.table(qname)
 
 
 ORACLES["user_sessions_stream"] = ORACLES["user_sessions"]
@@ -3634,23 +3623,12 @@ def event_transitions_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mistocksync_spark.streaming.events import read_events_stream
     from mistocksync_spark.streaming.transitions import transition_pairs_stateful
 
-    qname = _stream_sink_name("event_transitions_stream_sink")
-    q = (
-        transition_pairs_stateful(read_events_stream(spark, sf_dir))
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName(qname)
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise RuntimeError(
-            "availableNow stream did not finish within 300 s — refusing to "
-            "return a partial memory table (it would fail the oracle with a "
-            "confusing value diff instead of a clear timeout)"
-        )
-    return transition_counts(spark.table(qname))
+    return transition_counts(_run_stream(
+        spark,
+        transition_pairs_stateful(read_events_stream(spark, sf_dir)),
+        "event_transitions_stream_sink",
+        "append",
+    ))
 
 
 ORACLES["event_transitions_stream"] = ORACLES["event_transitions"]
@@ -6392,26 +6370,16 @@ def purchase_view_join_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_events_stream,
     )
 
-    qname = _stream_sink_name("purchase_view_join_sink")
-    q = (
-        purchase_view_join_stream(read_events_stream(spark, sf_dir))
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName(qname)
-        .trigger(availableNow=True)
-        .start()
+    sink = _run_stream(
+        spark,
+        purchase_view_join_stream(read_events_stream(spark, sf_dir)),
+        "purchase_view_join_sink",
+        "append",
     )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise RuntimeError(
-            "availableNow stream did not finish within 300 s — refusing to "
-            "return a partial memory table (it would fail the oracle with a "
-            "confusing value diff instead of a clear timeout)"
-        )
     # inner-join append emits each pair once per micro-batch pass; the
     # graded contract is the matched KEY-PAIR SET, so distinct() keeps the
     # surface batching-independent (same rationale as the throttle query)
-    return spark.table(qname).select("view_id", "purchase_id").distinct()
+    return sink.select("view_id", "purchase_id").distinct()
 
 
 @query(
