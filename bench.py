@@ -258,8 +258,14 @@ def main():
     # 3.2× sample spread on the minhash_lsh_pairs headline and the
     # dedup_graph_clustering cold scatter — warm the classes once,
     # untimed, so every timed sample measures the same steady-state cost.
+    # simhash_dedup_pairs joined in round 8: the simhash signature +
+    # banded-hamming classes are distinct from the minhash pipeline's, and
+    # their first touch landed on whichever CC-family entry ran first
+    # (dedup_cluster_histogram sampled 21.5 s first-touch vs 8.1-8.8 s
+    # steady in isolation)
     for wq in ("top_event_types", "new_items", "product_code_extract",
-               "bracket_code_extract", "minhash_lsh_pairs"):
+               "bracket_code_extract", "minhash_lsh_pairs",
+               "simhash_dedup_pairs"):
         if wq in QUERIES:
             _reset(spark)
             run_once(wq)
