@@ -182,3 +182,54 @@ def test_q5_fact_table_shuffles_once(spark):
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 3
     assert "CartesianProduct" not in plan
+
+
+def test_registry_wide_no_cartesian_bnlj_budget(spark, sf_dir):
+    """Registry-wide plan-shape invariant: NO query may plan a
+    CartesianProduct, and BroadcastNestedLoopJoin appears only where a
+    documented 1-row/bounded scalar frame attaches (budget below,
+    default 0) — a new operator that plans an unbudgeted nested loop
+    fails here before it can ship.  Streaming queries are exercised by
+    their own parity tests (building them starts real streams)."""
+    from mistocksync_spark.plans.queries import QUERIES
+
+    # every entry is a 1-row or bounded-frame crossJoin(broadcast(...))
+    # attach: totals, thresholds, recall-reference frames
+    bnlj_budget = {
+        "comparison_summary": 1,
+        "mixture_plan": 1,
+        "embedding_knn_join": 1,
+        "embedding_near_dup_recall": 6,
+        "row_insert_autonumber": 1,
+        "embedding_topk_ivf_recall": 2,
+        "embedding_topk_ivf_trained_recall": 2,
+        "embedding_topk_pq_recall": 2,
+        "rare_token_score": 1,
+        "events_value_histogram": 1,
+        "corpus_prepare": 1,
+        "mixture_apply": 1,
+        "events_stickiness": 1,
+        "customer_rfm": 3,
+        "dedup_graph_clustering": 1,
+        "source_mix_drift": 1,
+        "events_stickiness_approx": 1,
+        "q22_dormant_high_balance": 1,
+        "source_length_ks": 2,
+        "q11_important_stock": 1,
+        "dsir_weights": 1,
+        "events_cuped": 1,
+        "lineitem_key_skew": 1,
+    }
+    failures = []
+    for name, fn in QUERIES.items():
+        if "_stream" in name:
+            continue
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            failures.append(f"{name}: CartesianProduct")
+        got = plan.count("BroadcastNestedLoopJoin")
+        if got > bnlj_budget.get(name, 0):
+            failures.append(
+                f"{name}: {got} BNLJ > budget {bnlj_budget.get(name, 0)}"
+            )
+    assert not failures, failures
