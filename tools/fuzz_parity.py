@@ -89,15 +89,35 @@ def gen_events(rng: random.Random, n: int) -> pd.DataFrame:
     return pd.DataFrame(
         {
             "event_id": list(range(n)),
-            "ts": pd.to_datetime("2024-01-01")
-            + pd.to_timedelta([rng.randint(0, 10**6) for _ in range(n)], unit="s"),
+            "ts": (
+                pd.to_datetime("2024-01-01")
+                + pd.to_timedelta([rng.randint(0, 10**6) for _ in range(n)], unit="s")
+            ).astype("datetime64[us]"),
             "user_id": [rng.randint(1, 50) for _ in range(n)],
             "event_type": [rng.choice(types) for _ in range(n)],
-            "value": pd.array(
-                [v if v is not None else 0.0 for v in _adversarial_doubles(rng, n)],
+            "value": pd.array(_adversarial_doubles(rng, n), dtype="float64"),
+            "props": ["{}"] * n,
+        }
+    )
+
+
+def gen_orders(rng: random.Random, n: int) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "o_orderkey": list(range(n)),
+            "o_custkey": [rng.randint(1, max(n // 5, 1)) for _ in range(n)],
+            "o_orderstatus": [rng.choice("OFP") for _ in range(n)],
+            "o_totalprice": pd.array(
+                [abs(v) if v is not None else None for v in _adversarial_doubles(rng, n)],
                 dtype="float64",
             ),
-            "props": ["{}"] * n,
+            # microsecond precision: pandas defaults to ns, which Spark
+            # reads as BIGINT under the nanosAsLong conf
+            "o_orderdate": (
+                pd.to_datetime("2024-01-01")
+                + pd.to_timedelta([rng.randint(0, 1000) for _ in range(n)], unit="D")
+            ).astype("datetime64[us]"),
+            "o_orderpriority": ["3-MEDIUM"] * n,
         }
     )
 
@@ -147,12 +167,27 @@ GENERATORS = {
     "lineitem": gen_lineitem,
     "events": gen_events,
     "documents": gen_documents,
+    "orders": gen_orders,
 }
 
 
 def main() -> None:
     n_trials = int(sys.argv[1]) if len(sys.argv) > 1 else 30
-    queries = sys.argv[2:] or ["lineitem_profile", "events_winsorized", "chunk_dup_rate"]
+    # default: every query whose parity is data-DEPENDENT (rank selection,
+    # tokenization, clipping, rule thresholds) over the three fuzzable
+    # tables — the boundary-case hunting ground
+    queries = sys.argv[2:] or [
+        "lineitem_profile",
+        "events_winsorized",
+        "events_mad_outliers",
+        "chunk_dup_rate",
+        "events_interarrival",
+        "doc_length_quantiles",
+        "lineitem_quality_rules",
+        "lineitem_key_skew",
+        "doc_split_summary",
+        "customer_rfm",
+    ]
 
     import duckdb
 
