@@ -225,6 +225,7 @@ def main():
             "lineitem_quality_rules",
             "lineitem_key_skew",
             "doc_split_summary",
+            "lsh_pair_quality",
         ]
         if q in QUERIES
     ]

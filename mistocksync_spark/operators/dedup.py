@@ -742,3 +742,52 @@ def bloom_contamination(
         "n_false_neg",
         (F.col("n_false_pos").cast("double") / F.col("n_probed")).alias("fp_rate"),
     )
+
+
+def lsh_pair_quality(
+    candidate_pairs: DataFrame, exact_pairs: DataFrame
+) -> DataFrame:
+    """Set-level precision/recall of an LSH candidate pair set against
+    the exact-threshold pair set — THE banding-tuning readout: more
+    bands/shorter rows raise recall and shed precision, and this one-row
+    audit says whether the current (bands, rows) trade is right BEFORE a
+    100 TB dedup run pays for a mis-tuned sweep (a recall miss silently
+    leaves duplicates in the corpus; a precision miss pays exact
+    verification on junk candidates).
+
+    Inputs are (doc_a, doc_b) frames; output is one row of exact BIGINT
+    counts plus integer-ppm precision/recall (NULL when the respective
+    denominator set is empty — guarded on both engines, because integer
+    division by zero raises in DuckDB but yields NULL in non-ANSI
+    Spark).
+
+    Plan: both pair lists are banding-/threshold-bounded (never all
+    pairs), one full-outer equi-join on the pair key aligns them, and a
+    1-row aggregate finishes — two exchanges over candidate-scale data.
+    """
+    c = candidate_pairs.select("doc_a", "doc_b").distinct().withColumn(
+        "__c", F.lit(1).cast("long")
+    )
+    e = exact_pairs.select("doc_a", "doc_b").distinct().withColumn(
+        "__e", F.lit(1).cast("long")
+    )
+    u = c.join(e, ["doc_a", "doc_b"], "full_outer").select(
+        F.coalesce(F.col("__c"), F.lit(0)).alias("in_lsh"),
+        F.coalesce(F.col("__e"), F.lit(0)).alias("in_exact"),
+    )
+    agg = u.agg(
+        F.sum("in_lsh").alias("n_lsh"),
+        F.sum("in_exact").alias("n_exact"),
+        F.sum(F.col("in_lsh") * F.col("in_exact")).alias("n_both"),
+    )
+    return agg.select(
+        "n_lsh",
+        "n_exact",
+        "n_both",
+        F.when(
+            F.col("n_lsh") > 0, F.expr("(n_both * 1000000) div n_lsh")
+        ).alias("precision_ppm"),
+        F.when(
+            F.col("n_exact") > 0, F.expr("(n_both * 1000000) div n_exact")
+        ).alias("recall_ppm"),
+    )

@@ -6747,3 +6747,42 @@ def doc_split_summary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct(F.col("__grp")).alias("n_groups"),
         F.sum("n_chars").cast("long").alias("n_chars_sum"),
     )
+
+
+_LSH_QUALITY_SQL = f"""
+    WITH c AS (SELECT doc_a, doc_b FROM ({ORACLES["minhash_lsh_pairs"]})),
+    e AS (SELECT doc_a, doc_b FROM ({ORACLES["ngram_jaccard_pairs"]})),
+    u AS (
+        SELECT CAST(c.doc_a IS NOT NULL AS BIGINT) AS in_lsh,
+               CAST(e.doc_a IS NOT NULL AS BIGINT) AS in_exact
+        FROM c FULL OUTER JOIN e
+          ON c.doc_a = e.doc_a AND c.doc_b = e.doc_b
+    )
+    SELECT CAST(SUM(in_lsh) AS BIGINT) AS n_lsh,
+           CAST(SUM(in_exact) AS BIGINT) AS n_exact,
+           CAST(SUM(in_lsh * in_exact) AS BIGINT) AS n_both,
+           CASE WHEN SUM(in_lsh) > 0
+                THEN (CAST(SUM(in_lsh * in_exact) AS BIGINT) * 1000000)
+                     // CAST(SUM(in_lsh) AS BIGINT) END AS precision_ppm,
+           CASE WHEN SUM(in_exact) > 0
+                THEN (CAST(SUM(in_lsh * in_exact) AS BIGINT) * 1000000)
+                     // CAST(SUM(in_exact) AS BIGINT) END AS recall_ppm
+    FROM u
+    """
+
+
+@query("lsh_pair_quality", _LSH_QUALITY_SQL)
+def lsh_pair_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-level precision/recall of the MinHash-LSH candidate pairs vs
+    the exact 0.5-Jaccard pair set (operators/dedup.lsh_pair_quality) —
+    the banding-tuning audit run before a full dedup sweep.  The exact
+    side reuses the prefix-filtered plan (output proven identical to the
+    quadratic-free full Jaccard) and both sides share the memoized
+    shingle/pair frames with their sibling queries, so the audit pays
+    only its own full-outer alignment join."""
+    from mistocksync_spark.operators.dedup import jaccard_prefix_pairs, lsh_pair_quality
+
+    return lsh_pair_quality(
+        _minhash_pairs_shared(spark, sf_dir),
+        jaccard_prefix_pairs(_shingles_shared(spark, sf_dir), 0.5),
+    )

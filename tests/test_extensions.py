@@ -2410,3 +2410,20 @@ def test_hash_split_group_coherence_and_weights(spark):
     again = {r.grp: r.split for r in hash_split(df, "grp", {"train": 8, "val": 1, "test": 1}).select("grp", "split").distinct().collect()}
     first = {r.grp: r.split for r in out.select("grp", "split").distinct().collect()}
     assert first == again
+
+
+def test_lsh_pair_quality_counts(spark):
+    from mistocksync_spark.operators.dedup import lsh_pair_quality
+
+    cand = spark.createDataFrame(
+        [(1, 2), (1, 3), (4, 5)], "doc_a long, doc_b long"
+    )
+    exact = spark.createDataFrame(
+        [(1, 2), (4, 5), (6, 7)], "doc_a long, doc_b long"
+    )
+    r = lsh_pair_quality(cand, exact).collect()[0]
+    assert (r.n_lsh, r.n_exact, r.n_both) == (3, 3, 2)
+    assert r.precision_ppm == 666_666 and r.recall_ppm == 666_666
+    # empty exact set: recall NULL (guarded), never a divide error
+    r2 = lsh_pair_quality(cand, exact.limit(0)).collect()[0]
+    assert r2.n_exact == 0 and r2.recall_ppm is None and r2.precision_ppm == 0
