@@ -260,12 +260,14 @@ def discrete_quantiles(
     quantile is a DERIVED double whose value depends on the engine's
     interpolation formula — ``lo + (hi-lo)*frac`` vs ``lo*(1-frac) +
     hi*frac`` differ by 1 ulp on ordinary doubles, and rounding the
-    result (any flavor) can then split cross-engine on half-cases.  That
-    is the CORRECTNESS_r07 ``events_winsorized`` hash-FAIL class: local
-    data had no half-case, the driver's did.  A discrete quantile is an
-    ACTUAL data value selected by pure integer arithmetic
+    result (any flavor) can then split cross-engine on half-cases.
+    (The CORRECTNESS_r07 ``events_winsorized`` FAIL itself turned out to
+    be the HUGEINT-output class — see tools/type_check.py — but the
+    interpolation surface is the same latent divergence family and was
+    removed in the same hardening.)  A discrete quantile is an ACTUAL
+    data value selected by pure integer arithmetic
     (``(n*num + den-1) div den``) — zero float derivation, so parity is
-    data-INDEPENDENT.
+    data-INDEPENDENT under any engine version.
 
     Plan: one hash exchange on ``key`` feeds the rank window (the same
     per-group sort the exact ``percentile`` aggregate pays), then a
