@@ -2427,3 +2427,18 @@ def test_lsh_pair_quality_counts(spark):
     # empty exact set: recall NULL (guarded), never a divide error
     r2 = lsh_pair_quality(cand, exact.limit(0)).collect()[0]
     assert r2.n_exact == 0 and r2.recall_ppm is None and r2.precision_ppm == 0
+
+
+def test_run_stream_restores_shuffle_partitions_on_failure(spark):
+    """_run_stream scopes spark.sql.shuffle.partitions down for the
+    stream and must restore the session value even when starting the
+    stream raises (a batch frame has no writeStream plan)."""
+    import pytest as _pytest
+
+    from mistocksync_spark.plans.queries import _run_stream
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    batch_df = spark.range(3)
+    with _pytest.raises(Exception):
+        _run_stream(spark, batch_df, "bogus_sink", "append")
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
