@@ -564,3 +564,93 @@ def cuped_adjusted_means(
         (F.sum("__qadj").cast("double") / F.lit(1e6) / F.count(F.lit(1))).alias("mean_adjusted"),
         F.min("__theta").alias("theta"),
     )
+
+
+# Inverse-CDF thresholds for Poisson(1) sampling from a uniform u32:
+# w = #{thresholds <= u} caps at 7 (P[w > 7] < 1e-7).  Computed ONCE in
+# exact Python float arithmetic and embedded as integer literals, so both
+# engines compare integers — no transcendental evaluated at query time.
+_POISSON1_U32_THRESHOLDS = (
+    1580030168, 3160060337, 3950075421, 4213413783,
+    4279248373, 4292415291, 4294609777,
+)
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    value: str,
+    id_col: str,
+    n_replicas: int = 200,
+    lo: tuple[int, int] = (1, 40),    # 2.5 %
+    hi: tuple[int, int] = (39, 40),   # 97.5 %
+) -> DataFrame:
+    """Bootstrap confidence interval for a mean over data too large to
+    resample: the POISSON bootstrap (Chamandy et al., "Estimating
+    uncertainty for massive data streams", Google 2012 — public method).
+    Classic bootstrap resampling needs n draws per replica over the
+    whole dataset; at 100 TB that is unrunnable.  Poisson(1) weights are
+    an asymptotically equivalent substitute that needs only a PER-ROW
+    weight, so all R replicas ride ONE scan.
+
+    Determinism: each (row, replica) weight derives from
+    md5(id ':' replica) — the first 8 hex chars as a u32 compared
+    against precomputed integer inverse-CDF thresholds (no RNG state,
+    no floats); replica sums accumulate exact micro-int integers; the
+    CI bounds are DISCRETE quantiles of the R replica means (actual
+    replica values, integer rank selection).  Every output column is an
+    exact BIGINT, bit-reproducible in any engine.
+
+    Plan: one scan explodes R weight rows per input row but the
+    per-replica partial aggregate collapses them map-side, so the
+    shuffle carries ≤ R rows per partition; the R-row replica frame then
+    takes a single rank window.  R is a constant (hundreds), so cost is
+    R × the plain mean's map work, independent of cluster size.
+    """
+    from mistocksync_spark.functions.numeric import _u
+
+    reps = F.explode(F.sequence(F.lit(0), F.lit(n_replicas - 1))).alias("rep")
+    u32 = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.col("rep").cast("string"))),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("long")
+    w = sum(
+        (u32 >= F.lit(t)).cast("long") for t in _POISSON1_U32_THRESHOLDS[:-1]
+    ) + (u32 >= F.lit(_POISSON1_U32_THRESHOLDS[-1])).cast("long")
+    # w counts thresholds BELOW u (w=0 when u < first threshold)
+    base = df.select(F.col(id_col), F.col(value)).where(F.col(value).isNotNull())
+    per_rep = (
+        base.select(F.col(id_col), F.col(value), reps)
+        .select(
+            "rep",
+            (w * _u(value)).alias("__wx"),
+            w.alias("__w"),
+        )
+        .groupBy("rep")
+        .agg(F.sum("__wx").alias("__sx"), F.sum("__w").alias("__n"))
+        .where(F.col("__n") > 0)
+        .select(
+            "rep",
+            # exact integer micro-mean per replica (floor of one
+            # correctly-rounded division of exact integers)
+            F.floor(F.col("__sx").cast("double") / F.col("__n")).cast("long").alias("__m"),
+        )
+    )
+    ci = discrete_quantiles(
+        per_rep, None, "__m", {"ci_lo_micro": lo, "ci_hi_micro": hi}
+    )
+    point = base.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.floor(
+            F.sum(_u(value)).cast("double") / F.count(F.lit(1))
+        ).cast("long").alias("mean_micro"),
+    )
+    return point.crossJoin(F.broadcast(ci)).select(
+        "n_rows",
+        F.lit(n_replicas).alias("n_replicas"),
+        "mean_micro",
+        "ci_lo_micro",
+        "ci_hi_micro",
+    )

@@ -6786,3 +6786,73 @@ def lsh_pair_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         _minhash_pairs_shared(spark, sf_dir),
         jaccard_prefix_pairs(_shingles_shared(spark, sf_dir), 0.5),
     )
+
+
+def _sql_bootstrap_ci(n_replicas: int = 200) -> str:
+    from mistocksync_spark.operators.aggregates import (
+        _POISSON1_U32_THRESHOLDS,
+        sql_discrete_quantiles,
+    )
+
+    u32 = _SQL_HEX8.format(
+        sha="md5(CAST(user_id AS VARCHAR) || ':' || CAST(r.rep AS VARCHAR))"
+    )
+    w = " + ".join(
+        f"CAST(u32 >= {t} AS BIGINT)" for t in _POISSON1_U32_THRESHOLDS
+    )
+    ci = sql_discrete_quantiles(
+        "m", None, "__m", {"ci_lo_micro": (1, 40), "ci_hi_micro": (39, 40)}
+    )
+    return f"""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(SUM(CAST(floor((value) * 1000000 + 0.5) AS HUGEINT)) AS DOUBLE)
+                   / 1000000.0 AS user_total
+        FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+        GROUP BY user_id
+    ), u AS (
+        SELECT p.user_id, p.user_total, r.rep, {u32} AS u32
+        FROM per_user p, UNNEST(generate_series(0, {n_replicas - 1})) AS r(rep)
+    ), wt AS (
+        SELECT rep, ({w}) AS w,
+               CAST(floor((user_total) * 1000000 + 0.5) AS HUGEINT) AS x
+        FROM u
+    ), pr AS (
+        SELECT rep, SUM(w * x) AS sx, CAST(SUM(w) AS BIGINT) AS n
+        FROM wt GROUP BY rep HAVING SUM(w) > 0
+    ), m AS (
+        SELECT rep, CAST(floor(CAST(sx AS DOUBLE) / n) AS BIGINT) AS __m FROM pr
+    ), ci AS ({ci}), pt AS (
+        SELECT COUNT(*) AS n_rows,
+               CAST(floor(CAST(SUM(CAST(floor((user_total) * 1000000 + 0.5) AS HUGEINT)) AS DOUBLE)
+                    / COUNT(*)) AS BIGINT) AS mean_micro
+        FROM per_user
+    )
+    SELECT pt.n_rows, {n_replicas} AS n_replicas, pt.mean_micro,
+           ci.ci_lo_micro, ci.ci_hi_micro
+    FROM pt, ci
+    """
+
+
+@query("events_bootstrap_ci", _sql_bootstrap_ci())
+def events_bootstrap_ci_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% CI for the mean per-user purchase total
+    (operators/aggregates.poisson_bootstrap_ci — Chamandy et al. 2012,
+    public method): the uncertainty readout for a metric over data too
+    large to resample classically.  Bootstrapping the per-USER frame is
+    the cluster bootstrap — users are the independence unit, and it also
+    bounds the hashed-weight work by #users, not #events.  Weights are
+    deterministic md5 inverse-CDF draws against integer thresholds;
+    replica means and CI bounds are exact integers (discrete quantiles
+    of the replica frame) — bit-reproducible in any engine."""
+    from mistocksync_spark.functions.numeric import _u
+    from mistocksync_spark.operators.aggregates import poisson_bootstrap_ci
+    from mistocksync_spark.sources.testdata import load_events
+
+    ev = load_events(spark, sf_dir)
+    per_user = (
+        ev.filter((F.col("event_type") == "purchase") & F.col("value").isNotNull())
+        .groupBy("user_id")
+        .agg((F.sum(_u("value")).cast("double") / F.lit(1e6)).alias("user_total"))
+    )
+    return poisson_bootstrap_ci(per_user, "user_total", "user_id", n_replicas=200)

@@ -2442,3 +2442,25 @@ def test_run_stream_restores_shuffle_partitions_on_failure(spark):
     with _pytest.raises(Exception):
         _run_stream(spark, batch_df, "bogus_sink", "append")
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_poisson_bootstrap_ci_brackets_mean_and_is_stable(spark):
+    from mistocksync_spark.operators.aggregates import poisson_bootstrap_ci
+
+    df = spark.createDataFrame(
+        [(i, 10.0 + (i % 7)) for i in range(500)], "uid long, v double"
+    )
+    r = poisson_bootstrap_ci(df, "v", "uid", n_replicas=100).collect()[0]
+    assert r.n_rows == 500 and r.n_replicas == 100
+    # the 95% CI must bracket the point estimate, with nonzero width on
+    # non-constant data, and stay within the data's own range
+    assert r.ci_lo_micro <= r.mean_micro <= r.ci_hi_micro
+    assert r.ci_lo_micro < r.ci_hi_micro
+    assert 10_000_000 <= r.ci_lo_micro and r.ci_hi_micro <= 17_000_000
+    # deterministic: identical weights regardless of partitioning
+    r2 = poisson_bootstrap_ci(
+        df.repartition(13), "v", "uid", n_replicas=100
+    ).collect()[0]
+    assert (r.ci_lo_micro, r.ci_hi_micro, r.mean_micro) == (
+        r2.ci_lo_micro, r2.ci_hi_micro, r2.mean_micro,
+    )

@@ -219,6 +219,7 @@ def test_registry_wide_no_cartesian_bnlj_budget(spark, sf_dir):
         "dsir_weights": 1,
         "events_cuped": 1,
         "lineitem_key_skew": 1,
+        "events_bootstrap_ci": 1,  # 1-row point-estimate × CI attach
     }
     failures = []
     for name, fn in QUERIES.items():
