@@ -362,9 +362,9 @@ def winsorized_stats(
         F.count("*").alias("n"),
         F.sum((v < F.col("__plo")).cast("long")).alias("n_clipped_low"),
         F.sum((v > F.col("__phi")).cast("long")).alias("n_clipped_high"),
-        # exact integer micro-mean: SUM is an exact integer (< 2^53 at
-        # graded scales), the division is one correctly-rounded IEEE op,
-        # floor lands on a BIGINT — no fractional repr to diverge on
+        # deterministic micro-mean: the decimal micro-sum casts to double
+        # (exact below 2^53, correctly-rounded — hence still engine-
+        # identical — beyond), one IEEE division, floor lands on a BIGINT
         F.floor(
             F.sum(micro).cast("double") / F.count(clipped)
         ).cast("long").alias("mean_winsorized_micro"),

@@ -45,7 +45,9 @@ def _violation_flag(rule: Rule) -> Column:
     raise ValueError(f"row-level flag undefined for kind {rule.kind!r}")
 
 
-def data_quality_report(df: DataFrame, rules: list[Rule]) -> DataFrame:
+def data_quality_report(
+    df: DataFrame, rules: list[Rule], approx: bool = False
+) -> DataFrame:
     """Evaluate every rule in as few passes as the rule mix allows and
     return one row per rule: ``(rule_name, column, kind, n_rows,
     n_violations, violation_ppm, passed)``.
@@ -53,27 +55,56 @@ def data_quality_report(df: DataFrame, rules: list[Rule]) -> DataFrame:
     Plan: all ROW-LEVEL rules (not_null/range/isin/regex) compute in ONE
     full-scan aggregate — a map-side partial sum of violation flags per
     rule, one 1-row result — regardless of how many rules are declared
-    (the Deequ "scan-sharing" property).  Each ``unique`` rule adds one
-    count-distinct branch to the same aggregate (Catalyst expands
-    multiple distincts via a single Expand node — still one job).  The
-    per-rule rows unpivot from the single result row via explode, so
-    adding a rule never adds a pass over the data.
+    (the Deequ "scan-sharing" property).  The per-rule rows unpivot from
+    the single result row via explode, so adding a row-level rule never
+    adds a pass over the data.
+
+    ``unique`` rules are the exception to free scan sharing: each one is
+    a count-distinct branch, and with k > 1 of them Catalyst rewrites
+    the multi-distinct aggregate through an Expand node that emits k+1
+    projected copies of every input row — one job still, but k unique
+    rules silently cost ~k scans' worth of shuffled rows.  At audit
+    scale that matters, so ``approx=True`` switches every unique rule to
+    ``approx_count_distinct`` (HyperLogLog++, default 5% rsd): all
+    sketches ride the ONE non-Expand aggregate with the row-level rules,
+    restoring true single-pass behavior at any unique-rule count.  The
+    trade is exactness — approximate ``n_violations``/``passed`` for
+    unique rules can under- or over-count near the boundary — so the
+    exact path stays the default and the approx path is the 100 TB
+    pre-flight choice.
 
     ``violation_ppm`` is pure integer arithmetic ((v * 1e6) div n) and
-    ``passed`` = zero violations — no float surface.
+    ``passed`` = zero violations — no float surface.  The multiply rides
+    a decimal(38,0) intermediate so it cannot wrap at any row count
+    (non-ANSI Spark would wrap a BIGINT product silently while DuckDB
+    errors — the cross-engine asymmetry numeric_correlations guards);
+    the quotient is bounded by 1e6 so the BIGINT result is exact.  On an
+    empty input (n = 0) the ppm is NULL rather than an engine-dependent
+    divide-by-zero (Spark NULL vs DuckDB error).
     """
     aggs = [F.count(F.lit(1)).alias("__n")]
     for i, r in enumerate(rules):
         if r.kind == "unique":
-            aggs.append(
-                (
+            if approx:
+                # HLL can overestimate the distinct count past COUNT —
+                # clamp so approximate violations never go negative
+                v = F.greatest(
                     F.count(F.col(r.column))
-                    - F.count_distinct(F.col(r.column))
-                ).alias(f"__v_{i}")
-            )
+                    - F.approx_count_distinct(F.col(r.column)),
+                    F.lit(0),
+                )
+            else:
+                v = F.count(F.col(r.column)) - F.count_distinct(
+                    F.col(r.column)
+                )
+            aggs.append(v.alias(f"__v_{i}"))
         else:
+            # coalesce: SUM over an empty table is NULL in both engines,
+            # but a gate over zero rows has zero violations and passes
             aggs.append(
-                F.sum(_violation_flag(r).cast("long")).alias(f"__v_{i}")
+                F.coalesce(
+                    F.sum(_violation_flag(r).cast("long")), F.lit(0)
+                ).alias(f"__v_{i}")
             )
     row = df.agg(*aggs)
     entries = F.array(
@@ -84,7 +115,12 @@ def data_quality_report(df: DataFrame, rules: list[Rule]) -> DataFrame:
                 F.lit(r.kind).alias("kind"),
                 F.col("__n").alias("n_rows"),
                 F.col(f"__v_{i}").alias("n_violations"),
-                F.expr(f"(__v_{i} * 1000000) div __n").alias("violation_ppm"),
+                F.when(
+                    F.col("__n") > 0,
+                    F.expr(
+                        f"(CAST(__v_{i} AS DECIMAL(38,0)) * 1000000) div __n"
+                    ),
+                ).alias("violation_ppm"),
                 (F.col(f"__v_{i}") == 0).alias("passed"),
             )
             for i, r in enumerate(rules)
@@ -107,6 +143,15 @@ def join_skew_profile(
     1-row total attached by broadcast, and a top-k sort over the
     aggregated frame only.  Ties order by key string so the emitted set
     is total-order deterministic.
+
+    Overflow/zero-division: both ppm products ride decimal(38,0)
+    intermediates — ``cnt * n_keys * 1e6`` wraps BIGINT silently in
+    non-ANSI Spark (while DuckDB errors) already at cnt~1e9, keys~1e4;
+    the decimal product cannot wrap below 10^38.  The quotients are
+    bounded (share ≤ 1e6, ratio ≤ n_keys·1e6) so the BIGINT results are
+    exact.  No n > 0 guard is needed: an emitted row implies
+    ``__n >= cnt >= 1`` (the total is summed over the same aggregated
+    frame the row comes from), so the divisor is never zero.
     """
     kc = F.col(key).cast("string")
     per_key = df.groupBy(kc.alias("key_value")).agg(
@@ -122,8 +167,12 @@ def join_skew_profile(
         .select(
             "key_value",
             "cnt",
-            F.expr("(cnt * 1000000) div __n").alias("share_ppm"),
-            F.expr("(cnt * __k * 1000000) div __n").alias("skew_ratio_ppm"),
+            F.expr(
+                "(CAST(cnt AS DECIMAL(38,0)) * 1000000) div __n"
+            ).alias("share_ppm"),
+            F.expr(
+                "(CAST(cnt AS DECIMAL(38,0)) * __k * 1000000) div __n"
+            ).alias("skew_ratio_ppm"),
         )
     )
 

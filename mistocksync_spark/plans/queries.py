@@ -6626,21 +6626,23 @@ def events_cuped_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QUALITY_RULES_SQL = """
     WITH s AS (
         SELECT COUNT(*) AS n,
-               CAST(SUM(CAST(l_quantity IS NULL AS BIGINT)) AS BIGINT) AS v0,
-               CAST(SUM(CAST(l_quantity IS NOT NULL
-                    AND (l_quantity < 0 OR l_quantity > 100) AS BIGINT)) AS BIGINT) AS v1,
-               CAST(SUM(CAST(l_discount IS NOT NULL
-                    AND (l_discount < 0 OR l_discount > 1) AS BIGINT)) AS BIGINT) AS v2,
-               CAST(SUM(CAST(l_returnflag IS NOT NULL
-                    AND l_returnflag NOT IN ('A', 'N', 'R') AS BIGINT)) AS BIGINT) AS v3,
-               CAST(SUM(CAST(l_linestatus IS NOT NULL
-                    AND NOT regexp_matches(l_linestatus, '^[OF]$') AS BIGINT)) AS BIGINT) AS v4,
+               CAST(COALESCE(SUM(CAST(l_quantity IS NULL AS BIGINT)), 0) AS BIGINT) AS v0,
+               CAST(COALESCE(SUM(CAST(l_quantity IS NOT NULL
+                    AND (l_quantity < 0 OR l_quantity > 100) AS BIGINT)), 0) AS BIGINT) AS v1,
+               CAST(COALESCE(SUM(CAST(l_discount IS NOT NULL
+                    AND (l_discount < 0 OR l_discount > 1) AS BIGINT)), 0) AS BIGINT) AS v2,
+               CAST(COALESCE(SUM(CAST(l_returnflag IS NOT NULL
+                    AND l_returnflag NOT IN ('A', 'N', 'R') AS BIGINT)), 0) AS BIGINT) AS v3,
+               CAST(COALESCE(SUM(CAST(l_linestatus IS NOT NULL
+                    AND NOT regexp_matches(l_linestatus, '^[OF]$') AS BIGINT)), 0) AS BIGINT) AS v4,
                CAST(COUNT(l_orderkey) - COUNT(DISTINCT l_orderkey) AS BIGINT) AS v5
         FROM lineitem
     )
     SELECT r.rule_name, r.column_name AS "column", r.kind, s.n AS n_rows,
            r.v AS n_violations,
-           (r.v * 1000000) // s.n AS violation_ppm,
+           CASE WHEN s.n > 0
+                THEN CAST((CAST(r.v AS HUGEINT) * 1000000) // s.n AS BIGINT)
+           END AS violation_ppm,
            r.v = 0 AS passed
     FROM s, LATERAL (
         SELECT * FROM (VALUES
@@ -6690,8 +6692,10 @@ def lineitem_quality_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(SUM(cnt) AS BIGINT) AS n, COUNT(*) AS k FROM pk
     )
     SELECT key_value, cnt,
-           (cnt * 1000000) // t.n AS share_ppm,
-           (cnt * t.k * 1000000) // t.n AS skew_ratio_ppm
+           CAST((CAST(cnt AS HUGEINT) * 1000000) // t.n AS BIGINT)
+               AS share_ppm,
+           CAST((CAST(cnt AS HUGEINT) * t.k * 1000000) // t.n AS BIGINT)
+               AS skew_ratio_ppm
     FROM pk, t
     ORDER BY cnt DESC, key_value ASC LIMIT 10
     """,

@@ -2373,6 +2373,59 @@ def test_data_quality_report_single_scan(spark):
     assert plan.count("LocalRelation") + plan.count("LogicalRDD") == 1
 
 
+def test_data_quality_report_empty_input(spark):
+    """n = 0 must yield NULL ppm (not a cross-engine divide-by-zero:
+    Spark non-ANSI div returns NULL, DuckDB // raises) and passed=True."""
+    from mistocksync_spark.operators.quality import Rule, data_quality_report
+
+    df = spark.createDataFrame([], "id long, qty double")
+    got = data_quality_report(
+        df,
+        [
+            Rule("qty_not_null", "qty", "not_null"),
+            Rule("id_unique", "id", "unique"),
+        ],
+    ).collect()
+    assert len(got) == 2
+    for r in got:
+        assert r.n_rows == 0 and r.n_violations == 0
+        assert r.violation_ppm is None
+        assert r.passed
+
+
+def test_data_quality_report_multi_unique_plan(spark):
+    """Scale story for k > 1 unique rules: the exact path pays Catalyst's
+    multi-distinct Expand (documented), the approx path must NOT —
+    approx_count_distinct sketches ride the one shared aggregate."""
+    from mistocksync_spark.operators.quality import Rule, data_quality_report
+
+    df = spark.createDataFrame(
+        [(1, 10, 5.0), (2, 10, 5.0), (2, 11, None)],
+        "id long, grp long, qty double",
+    )
+    rules = [
+        Rule("qty_not_null", "qty", "not_null"),
+        Rule("id_unique", "id", "unique"),
+        Rule("grp_unique", "grp", "unique"),
+    ]
+
+    exact_plan = (
+        data_quality_report(df, rules)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Expand" in exact_plan  # the documented k-distinct cost
+
+    approx = data_quality_report(df, rules, approx=True)
+    approx_plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in approx_plan  # single-pass at any unique count
+
+    # at this tiny cardinality HLL is exact — values must agree
+    got = {r.rule_name: r for r in approx.collect()}
+    assert got["id_unique"].n_violations == 1
+    assert got["grp_unique"].n_violations == 1
+    assert got["qty_not_null"].n_violations == 1
+
+
 def test_join_skew_profile_math(spark):
     from mistocksync_spark.operators.quality import join_skew_profile
 
