@@ -8,9 +8,14 @@ left join (J6) — five loops become two joins.  The openpyxl styling /
 column widths are presentation-only and out of scope; an Excel writer
 would consume these DataFrames on the driver.
 
-Scale: enrichment joins broadcast the small side (matches) against the
-base; each sheet is independently writable (one job per sheet, shared
-cached inputs).
+Scale: enrichment joins broadcast the small side (the matched subset)
+against the base and join INNER — every enrichment key exists on the
+enrich side by construction (base_index/article are produced by the
+upstream match against that very frame), so inner ≡ left here, and only
+an inner join lets Spark build the broadcast hash on the matches side
+(a left-outer join cannot build its preserved side; the hint would be
+silently dropped and the join would shuffle).  Each sheet is
+independently writable (one job per sheet, shared cached inputs).
 """
 
 from __future__ import annotations
@@ -31,7 +36,10 @@ def matches_sheet(matches: DataFrame, base: DataFrame) -> DataFrame:
         F.col("article_dimi").cast("string").alias("base_article_dimi"),
         F.col("price").alias("base_list_price"),
     )
-    return F.broadcast(matches).join(enrich, on="base_index", how="left").select(
+    # inner ≡ left: every matches.base_index is a real base.row_id (the J1
+    # match produced it), and row_id is unique — 1:1, no rows dropped.
+    # Inner is what makes the broadcast(matches) hint honorable (BuildLeft).
+    return F.broadcast(matches).join(enrich, on="base_index", how="inner").select(
         "article",
         "name",
         F.col("supplier_price").alias("supplier_price"),
@@ -60,7 +68,9 @@ def price_changes_sheet(price_changes: DataFrame, supplier: DataFrame, supplier_
     dedup = enrich.groupBy("article").agg(
         F.max_by(F.struct("supplier_color", "supplier_balance", "supplier_row"), F.col("supplier_row")).alias("__r")
     ).select("article", "__r.supplier_color", "__r.supplier_balance")
-    return F.broadcast(price_changes).join(dedup, on="article", how="left")
+    # inner ≡ left: price_changes.article came from the supplier side of the
+    # J1 match, so it is present in `dedup` (unique per article) — 1:1.
+    return F.broadcast(price_changes).join(dedup, on="article", how="inner")
 
 
 def warnings_sheet(matches: DataFrame, threshold: float = SIGNIFICANT_CHANGE_PERCENT) -> DataFrame:

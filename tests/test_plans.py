@@ -184,6 +184,19 @@ def test_q5_fact_table_shuffles_once(spark):
     assert "CartesianProduct" not in plan
 
 
+@pytest.mark.parametrize(
+    "name", ["report_matches_sheet", "report_price_changes_sheet"]
+)
+def test_report_sheets_broadcast_the_matched_side(spark, name):
+    # r9 verdict fix: the old left-outer broadcast(matches) hint was
+    # silently dropped (Spark cannot build the preserved side of a left
+    # join) and both sheets shuffled.  Keys are present-by-construction,
+    # so the joins are inner and the broadcast must now be honored.
+    plan = _plan(spark, name)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_registry_wide_no_cartesian_bnlj_budget(spark, sf_dir):
     """Registry-wide plan-shape invariant: NO query may plan a
     CartesianProduct, and BroadcastNestedLoopJoin appears only where a
