@@ -4,9 +4,14 @@ Great-Expectations shape, public methods), a join-key skew profiler
 (the pre-flight check before any large shuffle), and a leakage-safe
 hash split (grouped train/val/test assignment).
 
-All outputs are exact integers or passthrough values — no derived-float
-surface — so the DuckDB oracles replay them bit-for-bit on any data
-(see functions/numeric.py for the determinism doctrine).
+On the DEFAULT paths, all outputs are exact integers or passthrough
+values — no derived-float surface — so the DuckDB oracles replay them
+bit-for-bit on any data (see functions/numeric.py for the determinism
+doctrine).  The one documented exception is
+``data_quality_report(approx=True)``: its ``unique`` rules use
+HyperLogLog++ sketches, which are neither exact nor oracle-replayable —
+those rows are marked ``kind = 'unique_approx'`` so a consumer can tell
+a sketch-based verdict from an exact one.
 """
 
 from __future__ import annotations
@@ -46,7 +51,10 @@ def _violation_flag(rule: Rule) -> Column:
 
 
 def data_quality_report(
-    df: DataFrame, rules: list[Rule], approx: bool = False
+    df: DataFrame,
+    rules: list[Rule],
+    approx: bool = False,
+    rsd: float = 0.05,
 ) -> DataFrame:
     """Evaluate every rule in as few passes as the rule mix allows and
     return one row per rule: ``(rule_name, column, kind, n_rows,
@@ -69,9 +77,14 @@ def data_quality_report(
     sketches ride the ONE non-Expand aggregate with the row-level rules,
     restoring true single-pass behavior at any unique-rule count.  The
     trade is exactness — approximate ``n_violations``/``passed`` for
-    unique rules can under- or over-count near the boundary — so the
-    exact path stays the default and the approx path is the 100 TB
-    pre-flight choice.
+    unique rules can under- or over-count near the boundary (an HLL
+    overestimate is clamped to 0 violations, i.e. a sketch-noise PASS) —
+    so the exact path stays the default and the approx path is the
+    100 TB pre-flight choice.  So a consumer can tell an advisory
+    sketch verdict from an exact one, unique-rule rows produced under
+    ``approx=True`` report ``kind = 'unique_approx'`` instead of
+    ``'unique'``; ``rsd`` is the sketch's target relative standard
+    deviation (passed to ``approx_count_distinct``, default 5%).
 
     ``violation_ppm`` is pure integer arithmetic ((v * 1e6) div n) and
     ``passed`` = zero violations — no float surface.  The multiply rides
@@ -90,7 +103,7 @@ def data_quality_report(
                 # clamp so approximate violations never go negative
                 v = F.greatest(
                     F.count(F.col(r.column))
-                    - F.approx_count_distinct(F.col(r.column)),
+                    - F.approx_count_distinct(F.col(r.column), rsd),
                     F.lit(0),
                 )
             else:
@@ -112,7 +125,11 @@ def data_quality_report(
             F.struct(
                 F.lit(r.name).alias("rule_name"),
                 F.lit(r.column).alias("column"),
-                F.lit(r.kind).alias("kind"),
+                F.lit(
+                    "unique_approx"
+                    if approx and r.kind == "unique"
+                    else r.kind
+                ).alias("kind"),
                 F.col("__n").alias("n_rows"),
                 F.col(f"__v_{i}").alias("n_violations"),
                 F.when(

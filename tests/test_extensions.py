@@ -2424,6 +2424,24 @@ def test_data_quality_report_multi_unique_plan(spark):
     assert got["id_unique"].n_violations == 1
     assert got["grp_unique"].n_violations == 1
     assert got["qty_not_null"].n_violations == 1
+    # sketch verdicts must be distinguishable from exact ones (advisory
+    # marker), while non-unique rules keep their exact kind
+    assert got["id_unique"].kind == "unique_approx"
+    assert got["grp_unique"].kind == "unique_approx"
+    assert got["qty_not_null"].kind == "not_null"
+    exact_got = {
+        r.rule_name: r for r in data_quality_report(df, rules).collect()
+    }
+    assert exact_got["id_unique"].kind == "unique"
+    # rsd is a passthrough to approx_count_distinct — a tighter sketch
+    # must still run and stay exact at this cardinality
+    tight = {
+        r.rule_name: r
+        for r in data_quality_report(
+            df, rules, approx=True, rsd=0.01
+        ).collect()
+    }
+    assert tight["id_unique"].n_violations == 1
 
 
 def test_join_skew_profile_math(spark):

@@ -11,6 +11,7 @@ from __future__ import annotations
 import hashlib
 import math
 import sys
+import time
 
 REPO = "/root/repo"
 sys.path.insert(0, REPO)
@@ -67,6 +68,7 @@ def main():
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        t0 = time.monotonic()
         try:
             sdf = fn(spark, sf_dir)
             srows = sdf.collect()
@@ -76,7 +78,7 @@ def main():
             print(f"FAIL {name}: spark error: {e}")
             continue
         if name not in oracles:
-            print(f"ok   {name}: rows={len(srows)} (no oracle, rows-only)")
+            print(f"ok   {name}: rows={len(srows)} (no oracle, rows-only) [{time.monotonic()-t0:.2f}s]")
             if len(srows) == 0:
                 print(f"     WARNING: zero rows")
             continue
@@ -124,7 +126,7 @@ def main():
                 for row in list(diff)[:3]:
                     print(f"       {label}: {row}")
         else:
-            print(f"PASS {name}: rows={len(srows)}")
+            print(f"PASS {name}: rows={len(srows)} [{time.monotonic()-t0:.2f}s]")
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     spark.stop()
     sys.exit(1 if failures else 0)
