@@ -139,6 +139,8 @@ def main():
             "gopher_quality",
             "rare_token_score",
             "event_transitions_stream",
+            "incremental_dedup_merge",
+            "incremental_dedup_stream",
             "embedding_quantize",
             "events_value_histogram",
             "lineitem_profile",

@@ -791,3 +791,158 @@ def lsh_pair_quality(
             F.col("n_exact") > 0, F.expr("(n_both * 1000000) div n_exact")
         ).alias("recall_ppm"),
     )
+
+
+def incremental_dedup_merge(
+    corpus: DataFrame,
+    batch: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental corpus dedup MERGE — the shape of a production ingest
+    tick: dedup an incoming ``batch`` of documents against an EXISTING
+    ``corpus`` (plus the batch's own earlier arrivals) and return the
+    merged corpus.
+
+    Decision rule (arrival-ordered, seen-set based): a batch document is
+    REJECTED iff it has a verified near-duplicate partner — MinHash-LSH
+    band collision AND exact shingle Jaccard >= ``threshold`` — among
+    (a) any corpus document, or (b) any batch document with a smaller
+    ``doc_id``, WHETHER OR NOT that earlier batch document itself
+    survived.  Including rejected arrivals in the seen set makes the rule
+    prefix-decomposable: processing the batch in any number of id-ordered
+    micro-batches (see streaming/merge.py:incremental_corpus_dedup) gives
+    bit-identical output to the one-shot run, because each document's
+    verdict depends only on documents that precede it, never on later
+    verdicts.  (Excluding rejected docs would make verdicts recursive
+    along duplicate chains and order-sensitive across ticks.)
+
+    Output: (doc_id, origin) — every corpus doc (origin='corpus') plus
+    every accepted batch doc (origin='batch').
+
+    Plan (one band equi-join + one candidate-bounded verify, no
+    quadratics): shingle -> minhash -> band over corpus UNION batch in a
+    single pass; candidates = band self-join restricted to pairs whose
+    LATER side (by (is_batch, doc_id) precedence) is a batch doc; the
+    exact-Jaccard verify first semi-restricts the shingle table to
+    candidate documents, so the intersection join touches only candidate
+    shingles — NOT the full-corpus shingle self-join that
+    ``exact_jaccard_for_pairs`` pays (at 100 TB the corpus shingle table
+    dwarfs the candidate set; restricting docs first keeps the verify
+    proportional to candidates).  Rejected ids are a small frame,
+    broadcast into the final anti-join.  At 100 TB the corpus bands and
+    shingle sizes would be a STORED signature table appended per tick
+    (this operator recomputes them so the semantics are self-contained;
+    the stored-state substitution changes only the two scan sources, not
+    the joins).
+    """
+    seen = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("text"),
+        F.lit(0).alias("is_batch"),
+    ).unionByName(
+        batch.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(text_col).alias("text"),
+            F.lit(1).alias("is_batch"),
+        )
+    )
+    sh = shingle_table(seen, text_col="text", id_col="doc_id", n=n)
+    bands = lsh_bands(minhash_signatures(sh, num_hashes), rows_per_band)
+    rank = seen.select("doc_id", "is_batch")
+    br = bands.join(rank, on="doc_id")
+    earlier = br.select(
+        "band",
+        "band_key",
+        F.col("doc_id").alias("earlier_id"),
+        F.col("is_batch").alias("earlier_batch"),
+    )
+    later = br.filter(F.col("is_batch") == 1).select(
+        "band", "band_key", F.col("doc_id").alias("later_id")
+    )
+    cand = (
+        earlier.join(later, on=["band", "band_key"])
+        .filter(
+            (F.col("earlier_batch") == 0)
+            | (F.col("earlier_id") < F.col("later_id"))
+        )
+        .select("earlier_id", "later_id")
+        .distinct()
+    )
+    # Verify: restrict shingles to candidate DOCS before the intersection
+    # join (candidate-proportional, not corpus-proportional).
+    sh_e = sh.join(
+        cand.select(F.col("earlier_id").alias("doc_id")).distinct(),
+        on="doc_id",
+        how="left_semi",
+    ).select(F.col("doc_id").alias("earlier_id"), "shingle")
+    sh_l = sh.join(
+        cand.select(F.col("later_id").alias("doc_id")).distinct(),
+        on="doc_id",
+        how="left_semi",
+    ).select(F.col("doc_id").alias("later_id"), "shingle")
+    # sizes only for candidate docs (from the already-restricted shingle
+    # frames) — a full-corpus groupBy here would be the operator's only
+    # corpus-scale shuffle, paid for rows the verify never touches
+    inter = (
+        sh_e.join(sh_l, on="shingle")
+        .join(cand, on=["earlier_id", "later_id"], how="left_semi")
+        .groupBy("earlier_id", "later_id")
+        .agg(F.count("*").alias("__i"))
+    )
+    rejected = (
+        inter.join(
+            sh_e.groupBy("earlier_id").agg(F.count("*").alias("__na")),
+            on="earlier_id",
+        )
+        .join(
+            sh_l.groupBy("later_id").agg(F.count("*").alias("__nb")),
+            on="later_id",
+        )
+        .filter(
+            F.round(F.col("__i") / (F.col("__na") + F.col("__nb") - F.col("__i")), 6)
+            >= threshold
+        )
+        .select(F.col("later_id").alias("doc_id"))
+        .distinct()
+    )
+    return seen.filter(F.col("is_batch") == 0).select(
+        "doc_id", F.lit("corpus").alias("origin")
+    ).unionByName(
+        seen.filter(F.col("is_batch") == 1)
+        .join(F.broadcast(rejected), on="doc_id", how="left_anti")
+        .select("doc_id", F.lit("batch").alias("origin"))
+    )
+
+
+def incremental_dedup_summary(
+    merged: DataFrame, batch: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """One-row accounting for an ingest tick: corpus size, batch size,
+    accepted and rejected counts — the numbers an ingest pipeline alerts
+    on (a rejected-rate spike means a feed started re-sending history).
+    Both inputs union into ONE 1-row aggregate — no join of scalar frames
+    (a 1-row crossJoin would spend the registry's frozen BNLJ budget)."""
+    u = merged.select(
+        F.when(F.col("origin") == "corpus", 1).otherwise(0).alias("__c"),
+        F.when(F.col("origin") == "batch", 1).otherwise(0).alias("__a"),
+        F.lit(0).alias("__b"),
+    ).unionByName(
+        batch.select(
+            F.lit(0).alias("__c"), F.lit(0).alias("__a"), F.lit(1).alias("__b")
+        )
+    )
+    return u.agg(
+        F.sum("__c").alias("n_corpus"),
+        F.sum("__b").alias("n_batch"),
+        F.sum("__a").alias("n_accepted"),
+    ).select(
+        "n_corpus",
+        "n_batch",
+        "n_accepted",
+        (F.col("n_batch") - F.col("n_accepted")).alias("n_rejected"),
+    )

@@ -124,6 +124,49 @@ def docs_aug(spark, sf_dir: str):
     return spark.sql(DOCS_AUG_SQL)
 
 
+# Incremental-ingest fixture for the corpus dedup MERGE: the existing
+# corpus is the raw documents table; the incoming batch (ids offset above
+# 3M so arrival precedence == id order) plants every rejection path —
+# near-dup of corpus (%9=0, appended tail), exact copy of corpus (%9=4),
+# genuinely fresh docs (%9=1, reversed text shares no shingles), and an
+# intra-batch near-dup of a fresh arrival (%18=1, the %9=1 text + a tail).
+# Pure dialect-portable SQL — the same text builds the Spark input and the
+# DuckDB-oracle CTE.
+DOCS_INCR_CORPUS_SQL = """
+SELECT doc_id, text FROM documents
+"""
+
+DOCS_INCR_BATCH_SQL = """
+SELECT doc_id + 3000000 AS doc_id, text || ' свежий хвост дубликата' AS text
+FROM documents WHERE doc_id % 9 = 0
+UNION ALL
+SELECT doc_id + 4000000 AS doc_id, text FROM documents WHERE doc_id % 9 = 4
+UNION ALL
+SELECT doc_id + 5000000 AS doc_id,
+  'новый документ номер ' || CAST(doc_id AS STRING) || ' ' || reverse(text) AS text
+FROM documents WHERE doc_id % 9 = 1
+UNION ALL
+SELECT doc_id + 6000000 AS doc_id,
+  'новый документ номер ' || CAST(doc_id AS STRING) || ' ' || reverse(text)
+    || ' поздняя копия' AS text
+FROM documents WHERE doc_id % 18 = 1
+"""
+
+
+def docs_incr_corpus(spark, sf_dir: str):
+    import os
+
+    spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).createOrReplaceTempView("documents")
+    return spark.sql(DOCS_INCR_CORPUS_SQL)
+
+
+def docs_incr_batch(spark, sf_dir: str):
+    import os
+
+    spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).createOrReplaceTempView("documents")
+    return spark.sql(DOCS_INCR_BATCH_SQL)
+
+
 # Documents with deterministic PII planted on every 7th doc (the raw corpus
 # is PII-free word soup, so the redaction operator needs positives).  Pure
 # dialect-portable SQL — the same text builds the Spark input and the

@@ -1626,6 +1626,169 @@ ORACLES["ngram_jaccard_pairs"] = (
 
 
 # --------------------------------------------------------------------------
+# Incremental corpus dedup MERGE (the production ingest tick: dedup an
+# arriving batch against the EXISTING corpus, append survivors) — composes
+# the graded minhash/band/jaccard pieces; plans/feeds.py plants every
+# rejection path (near-dup-of-corpus, exact-copy, fresh, intra-batch dup).
+# --------------------------------------------------------------------------
+def _incr_docs_cte() -> str:
+    from mistocksync_spark.plans.feeds import (
+        DOCS_INCR_BATCH_SQL,
+        DOCS_INCR_CORPUS_SQL,
+    )
+
+    return (
+        "WITH docs AS ("
+        f"SELECT doc_id, text, 0 AS is_batch FROM ({DOCS_INCR_CORPUS_SQL}) "
+        "UNION ALL "
+        f"SELECT doc_id, text, 1 AS is_batch FROM ({DOCS_INCR_BATCH_SQL}))"
+    )
+
+
+# Rejection rule mirrored in SQL: band collision (8 hashes, 2 rows/band)
+# AND exact shingle Jaccard >= 0.5 against any corpus doc or any
+# smaller-id batch doc (seen-set includes rejected arrivals — the
+# prefix-decomposable rule the operator docstring derives).
+_SQL_INCR_TAIL = """
+    , mh AS (
+        SELECT doc_id, seed, MIN(md5(CAST(seed AS STRING) || '|' || shingle)) AS minhash
+        FROM sh, UNNEST(generate_series(0, 7)) AS s(seed)
+        GROUP BY doc_id, seed
+    )
+    , bands AS (
+        SELECT doc_id, seed // 2 AS band, md5(string_agg(minhash, '|' ORDER BY seed)) AS band_key
+        FROM mh GROUP BY doc_id, seed // 2
+    )
+    , br AS (
+        SELECT b.doc_id, b.band, b.band_key, d.is_batch
+        FROM bands b JOIN (SELECT doc_id, is_batch FROM docs) d ON d.doc_id = b.doc_id
+    )
+    , cand AS (
+        SELECT DISTINCT e.doc_id AS earlier_id, l.doc_id AS later_id
+        FROM br e JOIN br l ON e.band = l.band AND e.band_key = l.band_key
+        WHERE l.is_batch = 1 AND (e.is_batch = 0 OR e.doc_id < l.doc_id)
+    )
+    , sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+    , inter AS (
+        SELECT c.earlier_id, c.later_id, COUNT(*) AS cnt
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.earlier_id
+        JOIN sh b ON b.doc_id = c.later_id AND b.shingle = a.shingle
+        GROUP BY c.earlier_id, c.later_id
+    )
+    , rejected AS (
+        SELECT DISTINCT x.later_id
+        FROM inter x
+        JOIN sizes na ON na.doc_id = x.earlier_id
+        JOIN sizes nb ON nb.doc_id = x.later_id
+        WHERE round(CAST(x.cnt AS DOUBLE) / (na.n + nb.n - x.cnt), 6) >= 0.5
+    )
+"""
+
+
+@query("incremental_dedup_merge")
+def incremental_dedup_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One ingest tick: merge the arriving document batch into the existing
+    corpus, rejecting verified near-duplicates of anything already seen
+    (operators/dedup.py:incremental_dedup_merge)."""
+    from mistocksync_spark.operators.dedup import incremental_dedup_merge
+    from mistocksync_spark.plans.feeds import docs_incr_batch, docs_incr_corpus
+
+    return incremental_dedup_merge(
+        docs_incr_corpus(spark, sf_dir), docs_incr_batch(spark, sf_dir)
+    )
+
+
+ORACLES["incremental_dedup_merge"] = (
+    _incr_docs_cte()
+    + _SQL_SHINGLES
+    + _SQL_INCR_TAIL
+    + """
+    SELECT doc_id, 'corpus' AS origin FROM docs WHERE is_batch = 0
+    UNION ALL
+    SELECT d.doc_id, 'batch' AS origin FROM docs d
+    WHERE d.is_batch = 1 AND d.doc_id NOT IN (SELECT later_id FROM rejected)
+    """
+)
+
+
+@query("incremental_dedup_summary")
+def incremental_dedup_summary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tick accounting: corpus/batch/accepted/rejected counts — the
+    rejected-rate is the alerting number of a production ingest (a spike
+    means a feed re-sent history)."""
+    from mistocksync_spark.operators.dedup import (
+        incremental_dedup_merge,
+        incremental_dedup_summary,
+    )
+    from mistocksync_spark.plans.feeds import docs_incr_batch, docs_incr_corpus
+
+    batch = docs_incr_batch(spark, sf_dir)
+    merged = incremental_dedup_merge(docs_incr_corpus(spark, sf_dir), batch)
+    return incremental_dedup_summary(merged, batch)
+
+
+ORACLES["incremental_dedup_summary"] = (
+    _incr_docs_cte()
+    + _SQL_SHINGLES
+    + _SQL_INCR_TAIL
+    + """
+    SELECT
+      (SELECT COUNT(*) FROM docs WHERE is_batch = 0) AS n_corpus,
+      (SELECT COUNT(*) FROM docs WHERE is_batch = 1) AS n_batch,
+      (SELECT COUNT(*) FROM docs WHERE is_batch = 1
+         AND doc_id NOT IN (SELECT later_id FROM rejected)) AS n_accepted,
+      (SELECT COUNT(*) FROM rejected) AS n_rejected
+    """
+)
+
+
+@query("incremental_dedup_stream")
+def incremental_dedup_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming parity for the ingest tick: the batch arrives as two
+    id-ordered parquet files consumed one per micro-batch (foreachBatch
+    MERGE into a versioned state table, the ``price_merge`` pattern); the
+    final accepted corpus must equal the one-shot batch query — oracle
+    shared with ``incremental_dedup_merge``.  The arrival split (corpus-dup
+    arrivals below id 4.5M, fresh + intra-batch-dup arrivals above) is
+    id-ordered, so the operator's prefix-decomposable rule guarantees
+    bit-identical output to the one-shot run."""
+    import os
+    import tempfile
+    import time
+
+    from mistocksync_spark.plans.feeds import docs_incr_batch, docs_incr_corpus
+    from mistocksync_spark.streaming.merge import incremental_corpus_dedup
+
+    work = tempfile.mkdtemp(prefix="incr_dedup_stream_")
+    arrivals = os.path.join(work, "arrivals")
+    os.makedirs(arrivals)
+    batch = docs_incr_batch(spark, sf_dir)
+    # two id-ordered arrival files; ascending mtimes pin the file-source
+    # processing order (FileStreamSource orders by modification time)
+    now = time.time()
+    for i, (lo, hi) in enumerate([(0, 4_500_000), (4_500_000, 10_000_000)]):
+        part_dir = os.path.join(work, f"part{i}")
+        batch.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).coalesce(1).write.parquet(part_dir)
+        src = [f for f in os.listdir(part_dir) if f.endswith(".parquet")][0]
+        dst = os.path.join(arrivals, f"arrivals_{i}.parquet")
+        os.rename(os.path.join(part_dir, src), dst)
+        os.utime(dst, (now - 120 + 60 * i, now - 120 + 60 * i))
+    return incremental_corpus_dedup(
+        spark,
+        docs_incr_corpus(spark, sf_dir),
+        arrivals,
+        os.path.join(work, "state"),
+        os.path.join(work, "ckpt"),
+    )
+
+
+ORACLES["incremental_dedup_stream"] = ORACLES["incremental_dedup_merge"]
+
+
+# --------------------------------------------------------------------------
 # Streaming-shaped batch aggregation over events (tumbling window)
 # --------------------------------------------------------------------------
 @query(

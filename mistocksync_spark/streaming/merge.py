@@ -64,3 +64,86 @@ def incremental_price_merge(
         .start()
     )
     q.awaitTermination(300)
+
+
+def incremental_corpus_dedup(
+    spark: SparkSession,
+    corpus,
+    arrivals_dir: str,
+    state_dir: str,
+    checkpoint: str,
+    threshold: float = 0.5,
+) -> "DataFrame":
+    """Streaming twin of ``operators.dedup.incremental_dedup_merge``: the
+    corpus-ingest tick as a continuously-running pipeline.
+
+    Arrivals land as parquet files in ``arrivals_dir``; each micro-batch is
+    deduped against the ACCUMULATED seen-set (initial corpus + every
+    earlier arrival, accepted or rejected — the same prefix-decomposable
+    rule the batch operator documents) and the state table is appended.
+    Because each document's verdict depends only on documents that precede
+    it, replaying the arrivals in id-ordered micro-batches produces
+    bit-identical accepted sets to the one-shot batch run — that property
+    is what makes the oracle shareable.
+
+    State is a versioned parquet table (``v{k}`` per micro-batch k, v0 =
+    the initial corpus) so each tick reads the previous version and writes
+    the next without read-overwrite hazards; at 100 TB this becomes a
+    Delta/Iceberg MERGE/append with the band signatures stored alongside
+    (the operator docstring notes the stored-state substitution).  Returns
+    the final accepted corpus as (doc_id, origin).
+    """
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mistocksync_spark.operators.dedup import incremental_dedup_merge
+
+    corpus.select(
+        "doc_id", "text", F.lit("corpus").alias("origin"), F.lit(True).alias("accepted")
+    ).write.mode("overwrite").parquet(os.path.join(state_dir, "v0"))
+
+    schema = spark.read.parquet(arrivals_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(arrivals_dir)
+    )
+
+    def apply_batch(batch_df, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        state = s.read.parquet(os.path.join(state_dir, f"v{batch_id}"))
+        merged = incremental_dedup_merge(
+            state.select("doc_id", "text"), batch_df, threshold=threshold
+        )
+        accepted = merged.filter(F.col("origin") == "batch").select("doc_id")
+        new_rows = batch_df.select(
+            "doc_id",
+            "text",
+            F.lit("batch").alias("origin"),
+        ).join(accepted.withColumn("accepted", F.lit(True)), on="doc_id", how="left").fillna(
+            False, subset=["accepted"]
+        )
+        state.unionByName(new_rows).write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"v{batch_id + 1}")
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("incremental_corpus_dedup stream did not finish in 300 s")
+    final = max(
+        glob.glob(os.path.join(state_dir, "v*")),
+        key=lambda p: int(os.path.basename(p)[1:]),
+    )
+    return (
+        spark.read.parquet(final)
+        .filter(F.col("accepted"))
+        .select("doc_id", "origin")
+    )

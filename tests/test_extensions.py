@@ -2535,3 +2535,113 @@ def test_poisson_bootstrap_ci_brackets_mean_and_is_stable(spark):
     assert (r.ci_lo_micro, r.ci_hi_micro, r.mean_micro) == (
         r2.ci_lo_micro, r2.ci_hi_micro, r2.mean_micro,
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental corpus dedup MERGE (round-10: the production ingest tick)
+# --------------------------------------------------------------------------
+def _incr_fixture(spark):
+    """Corpus + batch covering every verdict path: near-dup-of-corpus,
+    exact-copy-of-corpus, fresh, dup-of-accepted-arrival, and
+    dup-of-REJECTED-arrival (the seen-set rule's distinguishing case)."""
+    corpus = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "one two three four five six seven eight nine ten"),
+            (3, "red green blue cyan magenta yellow black white"),
+        ],
+    )
+    batch = _docs(
+        spark,
+        [
+            # near-dup of corpus doc 1 (one token appended) -> rejected
+            (10, "alpha beta gamma delta epsilon zeta eta theta extra"),
+            # exact copy of corpus doc 2 -> rejected
+            (11, "one two three four five six seven eight nine ten"),
+            # fresh -> accepted
+            (12, "totally different words nothing shared here at all ok"),
+            # near-dup of ACCEPTED arrival 12 -> rejected (intra-batch)
+            (13, "totally different words nothing shared here at all ok tail"),
+            # near-dup of REJECTED arrival 10 (and of corpus 1) -> rejected
+            (14, "alpha beta gamma delta epsilon zeta eta theta extra more"),
+        ],
+    )
+    return corpus, batch
+
+
+def test_incremental_dedup_merge_verdict_paths(spark):
+    from mistocksync_spark.operators.dedup import incremental_dedup_merge
+
+    corpus, batch = _incr_fixture(spark)
+    got = {(r.doc_id, r.origin) for r in incremental_dedup_merge(corpus, batch).collect()}
+    assert got == {
+        (1, "corpus"), (2, "corpus"), (3, "corpus"), (12, "batch"),
+    }
+
+
+def test_incremental_dedup_seen_set_includes_rejected(spark):
+    """A doc whose only near-dup partner was itself REJECTED must still be
+    rejected — the prefix-decomposable rule that makes the streaming twin
+    bit-identical."""
+    from mistocksync_spark.operators.dedup import incremental_dedup_merge
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")  # 20 tokens, 18 shingles
+    tail8 = "x1 x2 x3 x4 x5 x6 x7 x8"
+    tail12 = "y1 y2 y3 y4 y5 y6 y7 y8 y9 y10 y11 y12"
+    corpus = _docs(spark, [(1, base)])
+    batch = _docs(
+        spark,
+        [
+            # jaccard vs corpus = 18/26 = 0.692 -> rejected
+            (10, base + " " + tail8),
+            # jaccard vs corpus = 18/38 = 0.474 (< 0.5, NOT a corpus dup)
+            # but vs the REJECTED doc 10 = 26/38 = 0.684 -> must still be
+            # rejected because the seen set keeps rejected arrivals
+            (11, base + " " + tail8 + " " + tail12),
+        ],
+    )
+    got = {r.doc_id for r in
+           incremental_dedup_merge(corpus, batch).filter("origin = 'batch'").collect()}
+    assert got == set()
+
+
+def test_incremental_dedup_summary_accounting(spark):
+    from mistocksync_spark.operators.dedup import (
+        incremental_dedup_merge,
+        incremental_dedup_summary,
+    )
+
+    corpus, batch = _incr_fixture(spark)
+    merged = incremental_dedup_merge(corpus, batch)
+    row = incremental_dedup_summary(merged, batch).collect()[0]
+    assert (row.n_corpus, row.n_batch, row.n_accepted, row.n_rejected) == (3, 5, 1, 4)
+
+
+def test_incremental_corpus_dedup_stream_equals_batch(spark, tmp_path):
+    """Two id-ordered micro-batches through the foreachBatch MERGE must
+    produce the same accepted corpus as the one-shot batch operator."""
+    import os
+    import time
+
+    from mistocksync_spark.operators.dedup import incremental_dedup_merge
+    from mistocksync_spark.streaming.merge import incremental_corpus_dedup
+
+    corpus, batch = _incr_fixture(spark)
+    arrivals = tmp_path / "arrivals"
+    arrivals.mkdir()
+    now = time.time()
+    for i, ids in enumerate([(10, 11, 12), (13, 14)]):
+        part = tmp_path / f"part{i}"
+        batch.filter(F.col("doc_id").isin(*ids)).coalesce(1).write.parquet(str(part))
+        src = next(f for f in os.listdir(part) if f.endswith(".parquet"))
+        dst = arrivals / f"arrivals_{i}.parquet"
+        os.rename(part / src, dst)
+        os.utime(dst, (now - 120 + 60 * i,) * 2)
+    streamed = incremental_corpus_dedup(
+        spark, corpus, str(arrivals), str(tmp_path / "state"), str(tmp_path / "ckpt")
+    )
+    got = {(r.doc_id, r.origin) for r in streamed.collect()}
+    want = {(r.doc_id, r.origin) for r in incremental_dedup_merge(corpus, batch).collect()}
+    assert got == want and (12, "batch") in got

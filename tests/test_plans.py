@@ -247,3 +247,16 @@ def test_registry_wide_no_cartesian_bnlj_budget(spark, sf_dir):
                 f"{name}: {got} BNLJ > budget {bnlj_budget.get(name, 0)}"
             )
     assert not failures, failures
+
+
+def test_incremental_dedup_merge_broadcasts_small_sides(spark):
+    """The ingest-tick MERGE must keep every corpus-scale relation on the
+    streaming side of its joins: candidate/rejected sets are broadcast,
+    the verify never plans the full shingle self-join, and no nested loop
+    appears anywhere."""
+    plan = _plan(spark, "incremental_dedup_merge")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # final accepted-side anti-join builds the (small) rejected frame
+    assert "LeftAnti, BuildRight" in plan
+    assert "BroadcastHashJoin" in plan
