@@ -130,7 +130,7 @@ def code_match(
     supplier_variants: DataFrame,
     base_variants: DataFrame,
     match_type: str = "product_code",
-    broadcast_supplier: bool = True,
+    broadcast_lookups: bool = True,
 ) -> DataFrame:
     """Join supplier and base variants on the derived code and keep the best
     base variant per supplier variant (ref main.py:2429-2536).
@@ -159,29 +159,38 @@ def code_match(
     b3 = base_variants.groupBy("code", "base_capacity").agg(agg_min.alias("o3"))
     b4 = base_variants.groupBy("code").agg(agg_min.alias("o4"))
 
-    sv = F.broadcast(supplier_variants) if broadcast_supplier else supplier_variants
-    s = sv.alias("s")
+    # Hint the LOOKUP sides: they are the aggregated (small) relations AND
+    # the only legal build sides — the supplier side is the PRESERVED side
+    # of the three left joins, so a broadcast hint there is silently
+    # dropped (HintErrorLogger: "build left for left outer join") while
+    # the executed plan builds right anyway.  Hinting the build side makes
+    # the stated plan the executed plan (r10; the r8/r9 report-sheet
+    # lesson applied here).
+    def _bc(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if broadcast_lookups else df
+
+    s = supplier_variants.alias("s")
     cand = (
         s.join(
-            b1.alias("b1"),
+            _bc(b1.alias("b1")),
             (F.col("s.code") == F.col("b1.code"))
             & (F.col("s.supplier_color") == F.col("b1.base_color"))
             & F.col("s.supplier_capacity").eqNullSafe(F.col("b1.base_capacity")),
             "left",
         )
         .join(
-            b2.alias("b2"),
+            _bc(b2.alias("b2")),
             (F.col("s.code") == F.col("b2.code"))
             & (F.col("s.supplier_color") == F.col("b2.base_color")),
             "left",
         )
         .join(
-            b3.alias("b3"),
+            _bc(b3.alias("b3")),
             (F.col("s.code") == F.col("b3.code"))
             & F.col("s.supplier_capacity").eqNullSafe(F.col("b3.base_capacity")),
             "left",
         )
-        .join(b4.alias("b4"), F.col("s.code") == F.col("b4.code"), "inner")
+        .join(_bc(b4.alias("b4")), F.col("s.code") == F.col("b4.code"), "inner")
     )
     tier = (
         F.when(F.col("o1").isNotNull(), 1)

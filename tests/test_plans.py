@@ -260,3 +260,13 @@ def test_incremental_dedup_merge_broadcasts_small_sides(spark):
     # final accepted-side anti-join builds the (small) rejected frame
     assert "LeftAnti, BuildRight" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_new_items_anti_join_broadcasts_matched_keys(spark):
+    """r10: the supplier-side broadcast hint on the LEFT ANTI join was
+    illegal (cannot build the preserved side) and silently dropped; the
+    anti-join now builds the supplier-bounded matched-key set, so the
+    base table is never shuffled and no hint is discarded."""
+    plan = _plan(spark, "new_items")
+    assert "LeftAnti, BuildRight" in plan
+    assert "SortMergeJoin" not in plan

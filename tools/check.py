@@ -44,8 +44,20 @@ def table_hash(rows, columns):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:]]
+    # --spark-only: run and time only the Spark side (no DuckDB compare) —
+    # the scale-sweep mode: above ~sf0.1 some oracles are legitimately
+    # infeasible (DuckDB has no tiered-lookup rewrite, so e.g. the
+    # code-match oracle materializes supplier×base pairs per code and was
+    # OOM-killed at 91 GB on the first sf1 sweep), while correctness is
+    # already hash-proven at sf0.01.
+    spark_only = "--spark-only" in args
+    if spark_only:
+        args.remove("--spark-only")
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+
+    import os
 
     import duckdb
 
@@ -54,6 +66,12 @@ def main():
 
     spark = get_spark("check")
     con = duckdb.connect()
+    # Bound the oracle side so a pair-quadratic oracle FAILS (recorded,
+    # sweep continues) instead of OOM-killing the whole sweep: DuckDB
+    # spills to disk up to the cap, then raises.
+    mem = os.environ.get("SPARK_GRAFT_DUCK_MEM", "24GB")
+    con.execute(f"SET memory_limit='{mem}'")
+    con.execute("SET temp_directory='/tmp/duck_spill'")
     for t in [
         "region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "events", "documents", "embeddings",
@@ -77,18 +95,40 @@ def main():
             failures.append(name)
             print(f"FAIL {name}: spark error: {e}")
             continue
+        spark_sec = time.monotonic() - t0
+        if spark_only:
+            print(f"ok   {name}: rows={len(srows)} (spark-only) [{spark_sec:.2f}s]")
+            if len(srows) == 0:
+                print("     WARNING: zero rows")
+            continue
         if name not in oracles:
             print(f"ok   {name}: rows={len(srows)} (no oracle, rows-only) [{time.monotonic()-t0:.2f}s]")
             if len(srows) == 0:
                 print(f"     WARNING: zero rows")
             continue
         try:
-            res = con.execute(oracles[name])
-            orows = res.fetchall()
-            ocols = [d[0] for d in res.description]
+            # optional per-oracle watchdog (scale sweeps): interrupt DuckDB
+            # after SPARK_GRAFT_ORACLE_TIMEOUT seconds so one spilling
+            # quadratic oracle cannot stall the whole registry run
+            import threading
+
+            t_orc = float(os.environ.get("SPARK_GRAFT_ORACLE_TIMEOUT", "0") or 0)
+            timer = threading.Timer(t_orc, con.interrupt) if t_orc else None
+            if timer:
+                timer.start()
+            try:
+                res = con.execute(oracles[name])
+                orows = res.fetchall()
+                ocols = [d[0] for d in res.description]
+            finally:
+                if timer:
+                    timer.cancel()
         except Exception as e:
             failures.append(name)
-            print(f"FAIL {name}: duckdb error: {e}")
+            print(
+                f"FAIL {name}: duckdb error: {e} "
+                f"[spark side OK: {spark_sec:.2f}s rows={len(srows)}]"
+            )
             continue
         problems = []
         if len(srows) != len(orows):
