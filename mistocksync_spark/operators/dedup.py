@@ -840,6 +840,13 @@ def incremental_dedup_merge(
     the stored-state substitution changes only the two scan sources, not
     the joins).
     """
+    # Multi-consumer frames are materialized ONCE behind lazy
+    # localCheckpoints (the code_match pattern): Catalyst does not share
+    # common subplans, so without the boundaries every reuse of
+    # seen/sh/br/cand re-plans the whole upstream shingle→minhash→band
+    # pipeline — the first un-checkpointed draft of this operator planned
+    # 508 exchanges / 184 broadcast joins; with the boundaries the digest
+    # is a handful of exchanges over the materialized frames.
     seen = corpus.select(
         F.col(id_col).alias("doc_id"),
         F.col(text_col).alias("text"),
@@ -850,11 +857,13 @@ def incremental_dedup_merge(
             F.col(text_col).alias("text"),
             F.lit(1).alias("is_batch"),
         )
+    ).localCheckpoint(eager=False)
+    sh = shingle_table(seen, text_col="text", id_col="doc_id", n=n).localCheckpoint(
+        eager=False
     )
-    sh = shingle_table(seen, text_col="text", id_col="doc_id", n=n)
     bands = lsh_bands(minhash_signatures(sh, num_hashes), rows_per_band)
     rank = seen.select("doc_id", "is_batch")
-    br = bands.join(rank, on="doc_id")
+    br = bands.join(rank, on="doc_id").localCheckpoint(eager=False)
     earlier = br.select(
         "band",
         "band_key",
@@ -872,6 +881,7 @@ def incremental_dedup_merge(
         )
         .select("earlier_id", "later_id")
         .distinct()
+        .localCheckpoint(eager=False)
     )
     # Verify: restrict shingles to candidate DOCS before the intersection
     # join (candidate-proportional, not corpus-proportional).
