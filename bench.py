@@ -76,6 +76,10 @@ def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     cold_samples = int(os.environ.get("SPARK_GRAFT_BENCH_SAMPLES", "3"))
+    # SPARK_GRAFT_BENCH_SET=headline: time only the frozen headline set
+    # (scale-ladder passes above sf0.1 — the full extension sweep there is
+    # hours, while the headline set is the gated number).
+    headline_only = os.environ.get("SPARK_GRAFT_BENCH_SET", "") == "headline"
 
     from mistocksync_spark.plans.queries import QUERIES
     from mistocksync_spark.session import get_spark
@@ -233,6 +237,8 @@ def main():
         ]
         if q in QUERIES
     ]
+    if headline_only:
+        scale_paths, extensions = [], []
 
     spark = get_spark("bench", cpus=int(cpus))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -321,7 +327,9 @@ def main():
         "value_warm": total_warm,
     }
     print(json.dumps(blob))
-    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json")
+    out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_out.json"
+    )
     try:
         with open(out_path, "w") as f:
             json.dump(blob, f, indent=1)
