@@ -144,6 +144,7 @@ def main():
             "rare_token_score",
             "event_transitions_stream",
             "incremental_dedup_merge",
+            "incremental_dedup_merge_stateful",
             "incremental_dedup_summary",
             "incremental_dedup_stream",
             "embedding_quantize",

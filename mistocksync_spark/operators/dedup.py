@@ -793,6 +793,33 @@ def lsh_pair_quality(
     )
 
 
+def corpus_signature_state(
+    corpus: DataFrame,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The stored dedup signature state a production corpus maintains
+    between ingest ticks: one (doc_id, band, band_key) row per corpus
+    document and band — exactly the earlier-side relation
+    ``incremental_dedup_merge`` needs for candidate generation, so a tick
+    reads this table instead of re-sketching the whole corpus.  Appended
+    per tick with the accepted arrivals' bands; at 100 TB this is a
+    bucketed table on (band, band_key) and the candidate join is
+    shuffle-free on the corpus side.  Candidate VERIFICATION re-shingles
+    only the candidate documents from the corpus store (bounded by the
+    candidate count), so shingle sets are not stored."""
+    sh = shingle_table(
+        corpus.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),
+        text_col="text",
+        id_col="doc_id",
+        n=n,
+    )
+    return lsh_bands(minhash_signatures(sh, num_hashes), rows_per_band)
+
+
 def incremental_dedup_merge(
     corpus: DataFrame,
     batch: DataFrame,
@@ -802,6 +829,7 @@ def incremental_dedup_merge(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    corpus_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental corpus dedup MERGE — the shape of a production ingest
     tick: dedup an incoming ``batch`` of documents against an EXISTING
@@ -834,11 +862,19 @@ def incremental_dedup_merge(
     ``exact_jaccard_for_pairs`` pays (at 100 TB the corpus shingle table
     dwarfs the candidate set; restricting docs first keeps the verify
     proportional to candidates).  Rejected ids are a small frame,
-    broadcast into the final anti-join.  At 100 TB the corpus bands and
-    shingle sizes would be a STORED signature table appended per tick
-    (this operator recomputes them so the semantics are self-contained;
-    the stored-state substitution changes only the two scan sources, not
-    the joins).
+    broadcast into the final anti-join.
+
+    ``corpus_bands`` is the stored-state substitution, executed: pass a
+    ``corpus_signature_state`` table (built with the SAME num_hashes /
+    rows_per_band / n) and the tick never re-sketches the corpus — only
+    the batch is shingled/minhashed, candidates come from joining the
+    batch's bands against the stored table, and corpus candidate docs
+    are re-shingled for verification only where candidates exist (a
+    candidate-bounded fetch from the corpus store).  Band keys are
+    deterministic per document, so both paths produce bit-identical
+    output (pytest-asserted); at 100 TB the state path is the one that
+    runs — the self-contained path exists so the semantics are closed
+    over the two input tables.
     """
     # Multi-consumer frames are materialized ONCE behind lazy
     # localCheckpoints (the code_match pattern): Catalyst does not share
@@ -847,32 +883,54 @@ def incremental_dedup_merge(
     # pipeline — the first un-checkpointed draft of this operator planned
     # 508 exchanges / 184 broadcast joins; with the boundaries the digest
     # is a handful of exchanges over the materialized frames.
-    seen = corpus.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(text_col).alias("text"),
-        F.lit(0).alias("is_batch"),
-    ).unionByName(
-        batch.select(
-            F.col(id_col).alias("doc_id"),
-            F.col(text_col).alias("text"),
-            F.lit(1).alias("is_batch"),
+    corpus_docs = corpus.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+    batch_docs = batch.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+    if corpus_bands is None:
+        seen = corpus_docs.withColumn("is_batch", F.lit(0)).unionByName(
+            batch_docs.withColumn("is_batch", F.lit(1))
+        ).localCheckpoint(eager=False)
+        sh = shingle_table(seen, text_col="text", id_col="doc_id", n=n).localCheckpoint(
+            eager=False
         )
-    ).localCheckpoint(eager=False)
-    sh = shingle_table(seen, text_col="text", id_col="doc_id", n=n).localCheckpoint(
-        eager=False
-    )
-    bands = lsh_bands(minhash_signatures(sh, num_hashes), rows_per_band)
-    rank = seen.select("doc_id", "is_batch")
-    br = bands.join(rank, on="doc_id").localCheckpoint(eager=False)
-    earlier = br.select(
-        "band",
-        "band_key",
-        F.col("doc_id").alias("earlier_id"),
-        F.col("is_batch").alias("earlier_batch"),
-    )
-    later = br.filter(F.col("is_batch") == 1).select(
-        "band", "band_key", F.col("doc_id").alias("later_id")
-    )
+        bands = lsh_bands(minhash_signatures(sh, num_hashes), rows_per_band)
+        rank = seen.select("doc_id", "is_batch")
+        br = bands.join(rank, on="doc_id").localCheckpoint(eager=False)
+        earlier = br.select(
+            "band",
+            "band_key",
+            F.col("doc_id").alias("earlier_id"),
+            F.col("is_batch").alias("earlier_batch"),
+        )
+        later = br.filter(F.col("is_batch") == 1).select(
+            "band", "band_key", F.col("doc_id").alias("later_id")
+        )
+    else:
+        bsh = shingle_table(
+            batch_docs, text_col="text", id_col="doc_id", n=n
+        ).localCheckpoint(eager=False)
+        bbands = lsh_bands(
+            minhash_signatures(bsh, num_hashes), rows_per_band
+        ).localCheckpoint(eager=False)
+        earlier = corpus_bands.select(
+            "band",
+            "band_key",
+            F.col("doc_id").alias("earlier_id"),
+            F.lit(0).alias("earlier_batch"),
+        ).unionByName(
+            bbands.select(
+                "band",
+                "band_key",
+                F.col("doc_id").alias("earlier_id"),
+                F.lit(1).alias("earlier_batch"),
+            )
+        )
+        later = bbands.select(
+            "band", "band_key", F.col("doc_id").alias("later_id")
+        )
     cand = (
         earlier.join(later, on=["band", "band_key"])
         .filter(
@@ -885,16 +943,36 @@ def incremental_dedup_merge(
     )
     # Verify: restrict shingles to candidate DOCS before the intersection
     # join (candidate-proportional, not corpus-proportional).
-    sh_e = sh.join(
-        cand.select(F.col("earlier_id").alias("doc_id")).distinct(),
-        on="doc_id",
-        how="left_semi",
-    ).select(F.col("doc_id").alias("earlier_id"), "shingle")
-    sh_l = sh.join(
-        cand.select(F.col("later_id").alias("doc_id")).distinct(),
-        on="doc_id",
-        how="left_semi",
-    ).select(F.col("doc_id").alias("later_id"), "shingle")
+    if corpus_bands is None:
+        sh_e = sh.join(
+            cand.select(F.col("earlier_id").alias("doc_id")).distinct(),
+            on="doc_id",
+            how="left_semi",
+        ).select(F.col("doc_id").alias("earlier_id"), "shingle")
+        sh_l = sh.join(
+            cand.select(F.col("later_id").alias("doc_id")).distinct(),
+            on="doc_id",
+            how="left_semi",
+        ).select(F.col("doc_id").alias("later_id"), "shingle")
+    else:
+        # state path: re-shingle ONLY the candidate corpus docs (fetch by
+        # id from the corpus store); batch shingles are already in bsh
+        e_ids = cand.select(F.col("earlier_id").alias("doc_id")).distinct()
+        sh_e = (
+            shingle_table(
+                corpus_docs.join(e_ids, on="doc_id", how="left_semi"),
+                text_col="text",
+                id_col="doc_id",
+                n=n,
+            )
+            .unionByName(bsh.join(e_ids, on="doc_id", how="left_semi"))
+            .select(F.col("doc_id").alias("earlier_id"), "shingle")
+        )
+        sh_l = bsh.join(
+            cand.select(F.col("later_id").alias("doc_id")).distinct(),
+            on="doc_id",
+            how="left_semi",
+        ).select(F.col("doc_id").alias("later_id"), "shingle")
     # sizes only for candidate docs (from the already-restricted shingle
     # frames) — a full-corpus groupBy here would be the operator's only
     # corpus-scale shuffle, paid for rows the verify never touches
@@ -920,11 +998,15 @@ def incremental_dedup_merge(
         .select(F.col("later_id").alias("doc_id"))
         .distinct()
     )
-    return seen.filter(F.col("is_batch") == 0).select(
+    if corpus_bands is None:
+        kept_corpus = seen.filter(F.col("is_batch") == 0)
+        kept_batch = seen.filter(F.col("is_batch") == 1)
+    else:
+        kept_corpus, kept_batch = corpus_docs, batch_docs
+    return kept_corpus.select(
         "doc_id", F.lit("corpus").alias("origin")
     ).unionByName(
-        seen.filter(F.col("is_batch") == 1)
-        .join(F.broadcast(rejected), on="doc_id", how="left_anti")
+        kept_batch.join(F.broadcast(rejected), on="doc_id", how="left_anti")
         .select("doc_id", F.lit("batch").alias("origin"))
     )
 

@@ -1712,6 +1712,30 @@ ORACLES["incremental_dedup_merge"] = (
 )
 
 
+@query("incremental_dedup_merge_stateful")
+def incremental_dedup_merge_stateful_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same ingest tick through the STORED-STATE path: candidates come
+    from a precomputed corpus_signature_state band table (what a 100 TB
+    corpus persists between ticks) and only candidate corpus docs are
+    re-shingled for verification.  Band keys are deterministic per doc,
+    so this must hash-match the self-contained query — oracle shared with
+    ``incremental_dedup_merge``."""
+    from mistocksync_spark.operators.dedup import (
+        corpus_signature_state,
+        incremental_dedup_merge,
+    )
+    from mistocksync_spark.plans.feeds import docs_incr_batch, docs_incr_corpus
+
+    corpus = docs_incr_corpus(spark, sf_dir)
+    state = corpus_signature_state(corpus).localCheckpoint(eager=False)
+    return incremental_dedup_merge(
+        corpus, docs_incr_batch(spark, sf_dir), corpus_bands=state
+    )
+
+
+ORACLES["incremental_dedup_merge_stateful"] = ORACLES["incremental_dedup_merge"]
+
+
 @query("incremental_dedup_summary")
 def incremental_dedup_summary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tick accounting: corpus/batch/accepted/rejected counts — the

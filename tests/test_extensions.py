@@ -2645,3 +2645,32 @@ def test_incremental_corpus_dedup_stream_equals_batch(spark, tmp_path):
     got = {(r.doc_id, r.origin) for r in streamed.collect()}
     want = {(r.doc_id, r.origin) for r in incremental_dedup_merge(corpus, batch).collect()}
     assert got == want and (12, "batch") in got
+
+
+def test_incremental_dedup_stateful_path_matches_self_contained(spark):
+    """The stored-state path (precomputed corpus band table + candidate-
+    bounded corpus re-shingle) must be bit-identical to the self-contained
+    path — band keys are deterministic per document."""
+    from mistocksync_spark.operators.dedup import (
+        corpus_signature_state,
+        incremental_dedup_merge,
+    )
+
+    corpus, batch = _incr_fixture(spark)
+    state = corpus_signature_state(corpus)
+    got = {(r.doc_id, r.origin)
+           for r in incremental_dedup_merge(corpus, batch, corpus_bands=state).collect()}
+    want = {(r.doc_id, r.origin)
+            for r in incremental_dedup_merge(corpus, batch).collect()}
+    assert got == want and (12, "batch") in got
+
+
+def test_corpus_signature_state_schema_and_determinism(spark):
+    from mistocksync_spark.operators.dedup import corpus_signature_state
+
+    corpus, _ = _incr_fixture(spark)
+    s1 = corpus_signature_state(corpus)
+    assert set(s1.columns) == {"doc_id", "band", "band_key"}
+    rows1 = {tuple(r) for r in s1.collect()}
+    rows2 = {tuple(r) for r in corpus_signature_state(corpus.repartition(7)).collect()}
+    assert rows1 == rows2 and len(rows1) == 3 * 4  # 3 docs x 4 bands
