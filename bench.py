@@ -147,6 +147,8 @@ def main():
             "incremental_dedup_merge_stateful",
             "incremental_dedup_summary",
             "incremental_dedup_stream",
+            "incremental_embedding_dedup",
+            "incremental_embedding_dedup_stateful",
             "embedding_quantize",
             "events_value_histogram",
             "lineitem_profile",

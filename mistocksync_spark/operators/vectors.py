@@ -488,6 +488,107 @@ def cosine_near_dup_pairs_brute(
     return pairs.mapInPandas(score, schema=out_schema)
 
 
+def incremental_embedding_dedup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    threshold: float = 0.99,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+    nbits: int = 96,
+    nbands: int = 8,
+    corpus_bands: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental EMBEDDING dedup MERGE — the vector-side ingest tick
+    (sibling of ``operators.dedup.incremental_dedup_merge``): reject an
+    arriving vector iff its exact cosine ≥ ``threshold`` against any
+    corpus vector or any smaller-id arrival, WHETHER OR NOT that earlier
+    arrival survived (the prefix-decomposable seen-set rule — id-ordered
+    micro-batches reproduce the one-shot answer bit-for-bit).  Ids must
+    be unique across corpus ∪ batch.  Output: (vec_id, origin).
+
+    Plan: banded SimHash signatures over both sides (``signature_bands``
+    — one numpy matmul per Arrow batch), candidates = band equi-join
+    whose probe side is the batch and whose precedence filter keeps
+    "earlier collides with later-arrival" pairs, exact ``unrolled_dot``
+    cosine rescore on the candidate-restricted vector fetch (LSH only
+    proposes, never decides), rejected ids broadcast into the final
+    anti-join.  ``corpus_bands`` is the stored-state substitution: pass a
+    persisted ``signature_bands`` table (same nbits/nbands) and the tick
+    never re-signs the corpus — band values are deterministic per vector,
+    so both paths are bit-identical (pytest-asserted).  Recall follows
+    ``cosine_near_dup_pairs``: sign-identical duplicates (exact or
+    positively scaled copies) collide in EVERY band, so true duplicate
+    ingests are always caught; boundary-cosine pairs carry the documented
+    1-(1-(1-p)^r)^b band survival, graded by the near-dup recall harness
+    on the same signature family.
+    """
+    if dim is None:
+        dim = inferred_dim(corpus, vec_col)
+    cd = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("emb"))
+    bd = batch.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("emb"))
+    if corpus_bands is None:
+        corpus_bands = signature_bands(
+            cd, dim, nbits=nbits, nbands=nbands, vec_col="emb", id_col="vec_id"
+        )
+    bbands = signature_bands(
+        bd, dim, nbits=nbits, nbands=nbands, vec_col="emb", id_col="vec_id"
+    ).localCheckpoint(eager=False)
+    earlier = corpus_bands.select(
+        "band_id",
+        "band_val",
+        F.col("vec_id").alias("earlier_id"),
+        F.lit(0).alias("earlier_batch"),
+    ).unionByName(
+        bbands.select(
+            "band_id",
+            "band_val",
+            F.col("vec_id").alias("earlier_id"),
+            F.lit(1).alias("earlier_batch"),
+        )
+    )
+    later = bbands.select("band_id", "band_val", F.col("vec_id").alias("later_id"))
+    cand = (
+        earlier.join(later, on=["band_id", "band_val"])
+        .filter(
+            (F.col("earlier_batch") == 0)
+            | (F.col("earlier_id") < F.col("later_id"))
+        )
+        .select("earlier_id", "later_id")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    allv = cd.unionByName(bd).select(
+        "vec_id", _to_double(F.col("emb")).alias("v"), norm(F.col("emb")).alias("nrm")
+    )
+    av = allv.join(
+        cand.select(F.col("earlier_id").alias("vec_id")).distinct(),
+        on="vec_id",
+        how="left_semi",
+    ).select(F.col("vec_id").alias("earlier_id"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    bv = allv.join(
+        cand.select(F.col("later_id").alias("vec_id")).distinct(),
+        on="vec_id",
+        how="left_semi",
+    ).select(F.col("vec_id").alias("later_id"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    dotab = unrolled_dot(F.col("va"), F.col("vb"), dim)
+    sim = F.when(
+        F.col("na") * F.col("nb") > 0, dotab / (F.col("na") * F.col("nb"))
+    ).otherwise(F.lit(0.0))
+    rejected = (
+        cand.join(av, on="earlier_id")
+        .join(bv, on="later_id")
+        .filter(sim >= threshold)
+        .select(F.col("later_id").alias("vec_id"))
+        .distinct()
+    )
+    return cd.select("vec_id", F.lit("corpus").alias("origin")).unionByName(
+        bd.join(F.broadcast(rejected), on="vec_id", how="left_anti").select(
+            "vec_id", F.lit("batch").alias("origin")
+        )
+    )
+
+
 def deterministic_centroids(
     df: DataFrame, n_centroids: int = 16, vec_col: str = "embedding", id_col: str = "vec_id"
 ) -> list[list[float]]:

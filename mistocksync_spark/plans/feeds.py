@@ -280,6 +280,62 @@ def emb_aug(spark, sf_dir: str):
     return emb.select("vec_id", "embedding").unionByName(exact).unionByName(scaled)
 
 
+# Incremental-ingest fixture for the embedding dedup MERGE: corpus = the
+# raw vectors; the arriving batch (ids above 1M, so arrival precedence ==
+# id order) plants each verdict path — exact copies (%20) and positively
+# scaled copies (%30) of corpus vectors (cos = 1 -> rejected vs corpus),
+# NEGATED copies (%11=5; cos = -1 with everything corpus-side -> fresh,
+# accepted), and a scaled copy of a negated arrival (%22=5; cos = 1 with
+# the earlier +3M arrival only -> intra-batch rejection).
+def emb_incr_corpus(spark, sf_dir: str):
+    import os
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return emb.select("vec_id", "embedding")
+
+
+def emb_incr_batch(spark, sf_dir: str):
+    import os
+
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    exact = emb.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    scaled = emb.filter(F.col("vec_id") % 30 == 0).select(
+        (F.col("vec_id") + 2000000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x.cast("float") * 2).alias("embedding"),
+    )
+    negated = emb.filter(F.col("vec_id") % 11 == 5).select(
+        (F.col("vec_id") + 3000000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x.cast("float") * -1).alias("embedding"),
+    )
+    neg_scaled = emb.filter(F.col("vec_id") % 22 == 5).select(
+        (F.col("vec_id") + 4000000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x.cast("float") * -3).alias("embedding"),
+    )
+    return exact.unionByName(scaled).unionByName(negated).unionByName(neg_scaled)
+
+
+EMB_INCR_CTE_DUCKDB = """
+WITH emb AS (
+  SELECT vec_id, embedding, 0 AS is_batch FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, embedding, 1 FROM embeddings WHERE vec_id % 20 = 0
+  UNION ALL
+  SELECT vec_id + 2000000, list_transform(embedding, x -> CAST(x AS FLOAT) * 2), 1
+  FROM embeddings WHERE vec_id % 30 = 0
+  UNION ALL
+  SELECT vec_id + 3000000, list_transform(embedding, x -> CAST(x AS FLOAT) * -1), 1
+  FROM embeddings WHERE vec_id % 11 = 5
+  UNION ALL
+  SELECT vec_id + 4000000, list_transform(embedding, x -> CAST(x AS FLOAT) * -3), 1
+  FROM embeddings WHERE vec_id % 22 = 5
+)
+"""
+
+
 # Documents with URLs planted (a per-doc unique page on a rotating set of
 # 20 domains every 4th doc; a blocklisted domain on every 9th-pattern doc)
 # so the URL-audit / domain-histogram operators have positives.

@@ -2260,6 +2260,73 @@ ORACLES["embedding_near_dup_recall"] = f"""
 """
 
 
+@query("incremental_embedding_dedup")
+def incremental_embedding_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-side ingest tick: merge arriving embeddings into the corpus,
+    rejecting exact-cosine≥0.99 duplicates of anything already seen
+    (operators/vectors.py:incremental_embedding_dedup; the feed plants
+    exact/scaled corpus dups, fresh negated vectors, and an intra-batch
+    scaled dup of a fresh arrival)."""
+    from mistocksync_spark.operators.vectors import incremental_embedding_dedup
+    from mistocksync_spark.plans.feeds import emb_incr_batch, emb_incr_corpus
+
+    return incremental_embedding_dedup(
+        emb_incr_corpus(spark, sf_dir), emb_incr_batch(spark, sf_dir)
+    )
+
+
+@query("incremental_embedding_dedup_stateful")
+def incremental_embedding_dedup_stateful_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same vector ingest tick through the STORED-STATE path: the
+    corpus band table comes precomputed (what a production vector store
+    persists between ticks); band values are deterministic per vector, so
+    this must hash-match the self-contained query — oracle shared."""
+    from mistocksync_spark.operators.vectors import (
+        incremental_embedding_dedup,
+        inferred_dim,
+        signature_bands,
+    )
+    from mistocksync_spark.plans.feeds import emb_incr_batch, emb_incr_corpus
+
+    corpus = emb_incr_corpus(spark, sf_dir)
+    dim = inferred_dim(corpus, "embedding")
+    state = signature_bands(corpus, dim).localCheckpoint(eager=False)
+    return incremental_embedding_dedup(
+        corpus, emb_incr_batch(spark, sf_dir), dim=dim, corpus_bands=state
+    )
+
+
+def _sql_incremental_embedding_dedup() -> str:
+    from mistocksync_spark.plans.feeds import EMB_INCR_CTE_DUCKDB
+
+    return (
+        EMB_INCR_CTE_DUCKDB
+        + f"""
+    , withn AS (
+        SELECT vec_id, embedding, is_batch,
+               {_SQL_NORM.format(a='embedding')} AS nrm
+        FROM emb
+    )
+    , rejected AS (
+        SELECT DISTINCT l.vec_id
+        FROM withn l JOIN withn e
+          ON l.is_batch = 1 AND (e.is_batch = 0 OR e.vec_id < l.vec_id)
+        WHERE CASE WHEN e.nrm * l.nrm > 0
+              THEN {_SQL_DOT_VAR.format(a='e.embedding', b='l.embedding')} / (e.nrm * l.nrm)
+              ELSE 0.0 END >= 0.99
+    )
+    SELECT vec_id, 'corpus' AS origin FROM emb WHERE is_batch = 0
+    UNION ALL
+    SELECT vec_id, 'batch' AS origin FROM emb
+    WHERE is_batch = 1 AND vec_id NOT IN (SELECT vec_id FROM rejected)
+    """
+    )
+
+
+ORACLES["incremental_embedding_dedup"] = _sql_incremental_embedding_dedup()
+ORACLES["incremental_embedding_dedup_stateful"] = ORACLES["incremental_embedding_dedup"]
+
+
 @query("embedding_contamination")
 def embedding_contamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space decontamination: the planted duplicate vectors

@@ -2674,3 +2674,43 @@ def test_corpus_signature_state_schema_and_determinism(spark):
     rows1 = {tuple(r) for r in s1.collect()}
     rows2 = {tuple(r) for r in corpus_signature_state(corpus.repartition(7)).collect()}
     assert rows1 == rows2 and len(rows1) == 3 * 4  # 3 docs x 4 bands
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_incremental_embedding_dedup_verdict_paths(spark):
+    from mistocksync_spark.operators.vectors import incremental_embedding_dedup
+
+    corpus = _emb(spark, [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])])
+    batch = _emb(
+        spark,
+        [
+            (10, [2.0, 0.0, 0.0, 0.0]),    # scaled copy of corpus 1 -> rejected
+            (11, [0.0, 1.0, 0.0, 0.0]),    # exact copy of corpus 2 -> rejected
+            (12, [0.0, 0.0, 1.0, 0.0]),    # orthogonal -> fresh, accepted
+            (13, [0.0, 0.0, 3.0, 0.0]),    # scaled copy of ACCEPTED 12 -> rejected
+            (14, [-1.0, 0.0, 0.0, 0.0]),   # negated corpus 1 (cos=-1) -> accepted
+            (15, [-5.0, 0.0, 0.0, 0.0]),   # scaled copy of accepted 14 -> rejected
+        ],
+    )
+    got = {(r.vec_id, r.origin)
+           for r in incremental_embedding_dedup(corpus, batch, dim=4).collect()}
+    assert got == {(1, "corpus"), (2, "corpus"), (12, "batch"), (14, "batch")}
+
+
+def test_incremental_embedding_dedup_stateful_matches(spark):
+    from mistocksync_spark.operators.vectors import (
+        incremental_embedding_dedup,
+        signature_bands,
+    )
+
+    corpus = _emb(spark, [(1, [1.0, 0.0, 0.5, 0.0]), (2, [0.0, 1.0, 0.0, 0.25])])
+    batch = _emb(spark, [(10, [2.0, 0.0, 1.0, 0.0]), (11, [0.0, 0.0, 0.0, 1.0])])
+    state = signature_bands(corpus, 4)
+    got = {(r.vec_id, r.origin) for r in
+           incremental_embedding_dedup(corpus, batch, dim=4, corpus_bands=state).collect()}
+    want = {(r.vec_id, r.origin) for r in
+            incremental_embedding_dedup(corpus, batch, dim=4).collect()}
+    assert got == want == {(1, "corpus"), (2, "corpus"), (11, "batch")}
