@@ -86,23 +86,34 @@ def incremental_corpus_dedup(
     bit-identical accepted sets to the one-shot batch run — that property
     is what makes the oracle shareable.
 
-    State is a versioned parquet table (``v{k}`` per micro-batch k, v0 =
-    the initial corpus) so each tick reads the previous version and writes
-    the next without read-overwrite hazards; at 100 TB this becomes a
-    Delta/Iceberg MERGE/append with the band signatures stored alongside
-    (the operator docstring notes the stored-state substitution).  Returns
-    the final accepted corpus as (doc_id, origin).
+    State is a versioned pair of parquet tables (``v{k}/docs`` +
+    ``v{k}/bands`` per micro-batch k, v0 = the initial corpus): each tick
+    reads the previous version and writes the next (no read-overwrite
+    hazard), and the BANDS table is the persisted
+    ``corpus_signature_state`` — the tick runs the MERGE's stored-state
+    path, so the accumulated corpus is never re-shingled/re-minhashed;
+    only the arriving batch is sketched and its bands (accepted AND
+    rejected — the seen set keeps both) are appended.  This is exactly
+    the 100 TB ingest shape: at scale the two tables become Delta/Iceberg
+    appends bucketed on (band, band_key).  Returns the final accepted
+    corpus as (doc_id, origin).
     """
     import glob
     import os
 
     from pyspark.sql import functions as F
 
-    from mistocksync_spark.operators.dedup import incremental_dedup_merge
+    from mistocksync_spark.operators.dedup import (
+        corpus_signature_state,
+        incremental_dedup_merge,
+    )
 
     corpus.select(
         "doc_id", "text", F.lit("corpus").alias("origin"), F.lit(True).alias("accepted")
-    ).write.mode("overwrite").parquet(os.path.join(state_dir, "v0"))
+    ).write.mode("overwrite").parquet(os.path.join(state_dir, "v0", "docs"))
+    corpus_signature_state(corpus).write.mode("overwrite").parquet(
+        os.path.join(state_dir, "v0", "bands")
+    )
 
     schema = spark.read.parquet(arrivals_dir).schema
     stream = (
@@ -113,9 +124,13 @@ def incremental_corpus_dedup(
 
     def apply_batch(batch_df, batch_id: int) -> None:
         s = batch_df.sparkSession
-        state = s.read.parquet(os.path.join(state_dir, f"v{batch_id}"))
+        docs = s.read.parquet(os.path.join(state_dir, f"v{batch_id}", "docs"))
+        bands = s.read.parquet(os.path.join(state_dir, f"v{batch_id}", "bands"))
         merged = incremental_dedup_merge(
-            state.select("doc_id", "text"), batch_df, threshold=threshold
+            docs.select("doc_id", "text"),
+            batch_df,
+            threshold=threshold,
+            corpus_bands=bands,
         )
         accepted = merged.filter(F.col("origin") == "batch").select("doc_id")
         new_rows = batch_df.select(
@@ -125,9 +140,12 @@ def incremental_corpus_dedup(
         ).join(accepted.withColumn("accepted", F.lit(True)), on="doc_id", how="left").fillna(
             False, subset=["accepted"]
         )
-        state.unionByName(new_rows).write.mode("overwrite").parquet(
-            os.path.join(state_dir, f"v{batch_id + 1}")
+        docs.unionByName(new_rows).write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"v{batch_id + 1}", "docs")
         )
+        bands.unionByName(corpus_signature_state(batch_df)).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(state_dir, f"v{batch_id + 1}", "bands"))
 
     q = (
         stream.writeStream.foreachBatch(apply_batch)
@@ -143,7 +161,7 @@ def incremental_corpus_dedup(
         key=lambda p: int(os.path.basename(p)[1:]),
     )
     return (
-        spark.read.parquet(final)
+        spark.read.parquet(os.path.join(final, "docs"))
         .filter(F.col("accepted"))
         .select("doc_id", "origin")
     )
