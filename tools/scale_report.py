@@ -20,8 +20,11 @@ import sys
 def parse(path: str) -> dict[str, tuple[str, float, int]]:
     """name -> (verdict, seconds, rows); tolerates \\r progress noise."""
     out = {}
-    pat = re.compile(
-        r"(PASS|FAIL|ok)\s+(\w+):.*?rows=(\d+).*?\[(?:spark side OK: )?([0-9.]+)s"
+    # PASS/ok lines: "... rows=N ... [12.34s]"; oracle-failure lines:
+    # "FAIL q: duckdb error: ... [spark side OK: 12.34s rows=N]"
+    pat = re.compile(r"(PASS|ok)\s+(\w+):.*?rows=(\d+).*?\[([0-9.]+)s")
+    pat_fail = re.compile(
+        r"FAIL\s+(\w+):.*?\[spark side OK: ([0-9.]+)s rows=(\d+)\]"
     )
     for raw in open(path, errors="replace"):
         for line in raw.replace("\r", "\n").splitlines():
@@ -29,6 +32,11 @@ def parse(path: str) -> dict[str, tuple[str, float, int]]:
             if m:
                 v, name, rows, sec = m.groups()
                 out[name] = (v, float(sec), int(rows))
+                continue
+            m = pat_fail.search(line)
+            if m:
+                name, sec, rows = m.groups()
+                out[name] = ("FAIL(oracle)", float(sec), int(rows))
     return out
 
 
