@@ -126,11 +126,21 @@ def base_code_variants(
     )
 
 
+#: "auto" broadcast gate for code_match: hint the lookup aggregates only
+#: when the measured row count of the largest one (b1: distinct
+#: (code, color, capacity) combos) is at most this.  5M rows of the
+#: 4-column lookup is ~300 MB as broadcast rows — far inside Spark's 8 GB
+#: executor broadcast ceiling, far outside anything AQE would pick on its
+#: own stats (which are unusable here: the variant explode inflates the
+#: optimizer's size estimate to ~1e19 bytes regardless of actual data).
+BROADCAST_LOOKUP_CAP_ROWS = 5_000_000
+
+
 def code_match(
     supplier_variants: DataFrame,
     base_variants: DataFrame,
     match_type: str = "product_code",
-    broadcast_lookups: bool = True,
+    broadcast_lookups: bool | str = True,
 ) -> DataFrame:
     """Join supplier and base variants on the derived code and keep the best
     base variant per supplier variant (ref main.py:2429-2536).
@@ -150,11 +160,30 @@ def code_match(
     does not share common subplans across joins, so without it the
     unified-code regex extraction — the most expensive expression in the
     pipeline — would re-run five times per query.
+
+    ``broadcast_lookups`` — CARDINALITY ASSUMPTION (r10 advisory): the
+    b1–b4 lookup aggregates are bounded by the number of DISTINCT
+    (code, color, capacity) combinations in the base catalog, which grows
+    with the catalog.  ``True`` (default, correct for any
+    catalog whose distinct-combo footprint fits an executor — every
+    benched scale through sf1, where b1 tops out at ~200k rows / tens of
+    MB) force-broadcasts all four; at 8 GB+ of distinct combos the hint
+    would OOM the driver instead of degrading.  ``False`` drops the hints
+    entirely (optimizer picks build sides from stats).  ``"auto"``
+    MEASURES the largest lookup (b1's distinct-combo count) with one
+    count job and broadcasts only at or below
+    ``BROADCAST_LOOKUP_CAP_ROWS`` — the mode a 100 TB deployment should
+    run.  Catalyst's own stats cannot make this call (the variant explode
+    inflates the plan size estimate to ~1e19 bytes at any scale), and the
+    count is not wasted work: it materializes the base-variant checkpoint
+    that all five downstream consumers read anyway.
     """
     base_variants = base_variants.localCheckpoint(eager=False)
     supplier_variants = supplier_variants.localCheckpoint(eager=False)
     agg_min = F.min("base_variant_order")
     b1 = base_variants.groupBy("code", "base_color", "base_capacity").agg(agg_min.alias("o1"))
+    if broadcast_lookups == "auto":
+        broadcast_lookups = b1.count() <= BROADCAST_LOOKUP_CAP_ROWS
     b2 = base_variants.groupBy("code", "base_color").agg(agg_min.alias("o2"))
     b3 = base_variants.groupBy("code", "base_capacity").agg(agg_min.alias("o3"))
     b4 = base_variants.groupBy("code").agg(agg_min.alias("o4"))

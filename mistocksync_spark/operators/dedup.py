@@ -852,6 +852,13 @@ def incremental_dedup_merge(
     Output: (doc_id, origin) — every corpus doc (origin='corpus') plus
     every accepted batch doc (origin='batch').
 
+    PRECONDITION: ``id_col`` must be unique across corpus ∪ batch (the
+    same contract as ``incremental_embedding_dedup``).  A collision
+    silently merges the two documents' shingle sets in the self-contained
+    path and diverges differently in the stored-state path — wrong
+    verdicts with no error.  A production ingest assigns globally-unique
+    monotone ids at arrival time, which satisfies this by construction.
+
     Plan (one band equi-join + one candidate-bounded verify, no
     quadratics): shingle -> minhash -> band over corpus UNION batch in a
     single pass; candidates = band self-join restricted to pairs whose

@@ -101,6 +101,15 @@ def exact_article_match(
         F.col(base_order).alias("base_index"),
     )
 
+    # Lazy localCheckpoints: sup_kv and base_kv each feed TWO consumers
+    # (the inner join below, plus the matched-key set / anti-join), and
+    # Catalyst does not share common subplans across joins — without the
+    # checkpoint the base-table scan + regex normalization + dedupe
+    # shuffle re-ran once per consumer (r10 advisory).  Checkpointing the
+    # INPUTS (not the joined frame) keeps the joins visible in the final
+    # plan, so the broadcast-strategy plan tests still see them.
+    sup_kv = sup_kv.localCheckpoint(eager=False)
+    base_kv = base_kv.localCheckpoint(eager=False)
     left = F.broadcast(sup_kv) if broadcast_supplier else sup_kv
     joined = left.join(base_kv, on="article", how="inner")
 

@@ -2297,6 +2297,21 @@ def incremental_embedding_dedup_stateful_q(spark: SparkSession, sf_dir: str) -> 
 
 
 def _sql_incremental_embedding_dedup() -> str:
+    """Oracle for incremental_embedding_dedup — exact all-pairs cosine.
+
+    FIXTURE-DEPENDENT PARITY (r10 advisory): the Spark operator only
+    rejects pairs that collide in ≥1 SimHash band before the exact-cosine
+    rescore, while this oracle considers EVERY pair at cos >= 0.99.  The
+    two agree because the incremental feed (EMB_INCR_CTE_DUCKDB) plants
+    sign-identical duplicates (exact / positively-scaled / negated-pair
+    copies), which collide in ALL bands by construction, and the natural
+    corpus has no cos >= 0.99 pair (10 well-separated Gaussian clusters,
+    within-cluster sims ~0.9).  A natural pair at the 0.99 boundary would
+    miss all 8 bands with prob ~1e-3 per pair and break parity
+    nondeterministically; mirroring the banding in SQL would mean
+    inlining the 96x64 hyperplane matrix, so the restriction is
+    documented here instead and boundary recall is graded separately by
+    ``embedding_near_dup_recall``."""
     from mistocksync_spark.plans.feeds import EMB_INCR_CTE_DUCKDB
 
     return (

@@ -58,6 +58,7 @@ def main():
     only = set(args[1:])
 
     import os
+    import threading
 
     import duckdb
 
@@ -65,20 +66,25 @@ def main():
     from mistocksync_spark.session import get_spark
 
     spark = get_spark("check")
-    con = duckdb.connect()
-    # Bound the oracle side so a pair-quadratic oracle FAILS (recorded,
-    # sweep continues) instead of OOM-killing the whole sweep: DuckDB
-    # spills to disk up to the cap, then raises.
-    mem = os.environ.get("SPARK_GRAFT_DUCK_MEM", "24GB")
-    con.execute(f"SET memory_limit='{mem}'")
-    con.execute("SET temp_directory='/tmp/duck_spill'")
-    for t in [
-        "region", "nation", "customer", "supplier", "part", "orders",
-        "lineitem", "events", "documents", "embeddings",
-    ]:
-        con.execute(
-            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+
+    def _connect():
+        # Bound the oracle side so a pair-quadratic oracle FAILS (recorded,
+        # sweep continues) instead of OOM-killing the whole sweep: DuckDB
+        # spills to disk up to the cap, then raises.
+        c = duckdb.connect()
+        mem = os.environ.get("SPARK_GRAFT_DUCK_MEM", "24GB")
+        c.execute(f"SET memory_limit='{mem}'")
+        c.execute("SET temp_directory='/tmp/duck_spill'")
+        for t in [
+            "region", "nation", "customer", "supplier", "part", "orders",
+            "lineitem", "events", "documents", "embeddings",
+        ]:
+            c.execute(
+                f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        return c
+
+    con = _connect()
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
@@ -106,21 +112,37 @@ def main():
             if len(srows) == 0:
                 print(f"     WARNING: zero rows")
             continue
-        try:
-            # optional per-oracle watchdog (scale sweeps): interrupt DuckDB
-            # after SPARK_GRAFT_ORACLE_TIMEOUT seconds so one spilling
-            # quadratic oracle cannot stall the whole registry run
-            import threading
+        # optional per-oracle watchdog (scale sweeps): interrupt DuckDB
+        # after SPARK_GRAFT_ORACLE_TIMEOUT seconds so one spilling
+        # quadratic oracle cannot stall the whole registry run.  The
+        # interrupt is lock-guarded (r10 advisory): without the guard a
+        # timer firing between fetchall() returning and timer.cancel()
+        # would flag the shared connection and poison the NEXT oracle with
+        # a spurious InterruptException; and if the interrupt DID fire we
+        # reconnect, since a consumed-or-pending interrupt flag on the old
+        # connection is not worth reasoning about.
+        t_orc = float(os.environ.get("SPARK_GRAFT_ORACLE_TIMEOUT", "0") or 0)
+        state = {"done": False, "fired": False}
+        state_lock = threading.Lock()
 
-            t_orc = float(os.environ.get("SPARK_GRAFT_ORACLE_TIMEOUT", "0") or 0)
-            timer = threading.Timer(t_orc, con.interrupt) if t_orc else None
-            if timer:
-                timer.start()
+        def _interrupt(c=con, st=state):
+            with state_lock:
+                if st["done"]:
+                    return
+                st["fired"] = True
+                c.interrupt()
+
+        timer = threading.Timer(t_orc, _interrupt) if t_orc else None
+        if timer:
+            timer.start()
+        try:
             try:
                 res = con.execute(oracles[name])
                 orows = res.fetchall()
                 ocols = [d[0] for d in res.description]
             finally:
+                with state_lock:
+                    state["done"] = True
                 if timer:
                     timer.cancel()
         except Exception as e:
@@ -129,7 +151,11 @@ def main():
                 f"FAIL {name}: duckdb error: {e} "
                 f"[spark side OK: {spark_sec:.2f}s rows={len(srows)}]"
             )
+            if state["fired"]:
+                con = _connect()
             continue
+        if state["fired"]:
+            con = _connect()
         problems = []
         if len(srows) != len(orows):
             problems.append(f"rowcount spark={len(srows)} duckdb={len(orows)}")
