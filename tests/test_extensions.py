@@ -2714,3 +2714,60 @@ def test_incremental_embedding_dedup_stateful_matches(spark):
     want = {(r.vec_id, r.origin) for r in
             incremental_embedding_dedup(corpus, batch, dim=4).collect()}
     assert got == want == {(1, "corpus"), (2, "corpus"), (11, "batch")}
+
+
+def test_incremental_dedup_five_ticks_persisted_state(spark, tmp_path):
+    """Round-11 verdict ask #4: N=5 sequential ticks through a PERSISTED,
+    appended corpus_signature_state (parquet round-trip each tick, nothing
+    carried in memory) must be bit-identical to the one-shot MERGE over
+    the same arrivals — the prefix-decomposable seen-set rule beyond the
+    2-batch streaming twin.  The fixture plants a cross-TICK rejected-dup
+    chain (doc 31 dups doc 21; 21 was itself rejected in an earlier tick
+    as a dup of corpus doc 1), the case where a non-decomposable rule
+    would flip a verdict between the ticked and one-shot runs."""
+    from mistocksync_spark.operators.dedup import (
+        corpus_signature_state,
+        incremental_dedup_merge,
+    )
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    tail8 = "x1 x2 x3 x4 x5 x6 x7 x8"
+    tail12 = "y1 y2 y3 y4 y5 y6 y7 y8 y9 y10 y11 y12"
+    corpus = _docs(spark, [
+        (1, base),
+        (2, "one two three four five six seven eight nine ten"),
+    ])
+    arrivals = [
+        (11, "fresh first words nothing shared here at all ok one"),       # accept
+        (21, base + " " + tail8),                                          # reject: dup of corpus 1
+        (22, "one two three four five six seven eight nine ten"),          # reject: exact corpus 2
+        (31, base + " " + tail8 + " " + tail12),                           # reject: dup of REJECTED 21
+        (41, "fresh first words nothing shared here at all ok one too"),   # reject: dup of accepted 11
+        (51, "completely novel closing sentence with unique tokens only"), # accept
+    ]
+    ticks = [arrivals[0:1], arrivals[1:3], arrivals[3:4], arrivals[4:5], arrivals[5:6]]
+
+    state = str(tmp_path / "state")
+    corpus.write.parquet(f"{state}/v0/docs")
+    corpus_signature_state(corpus).write.parquet(f"{state}/v0/bands")
+    accepted = set()
+    for k, rows in enumerate(ticks):
+        batch = _docs(spark, rows)
+        sdocs = spark.read.parquet(f"{state}/v{k}/docs")
+        sbands = spark.read.parquet(f"{state}/v{k}/bands")
+        merged = incremental_dedup_merge(sdocs, batch, corpus_bands=sbands)
+        accepted |= {r.doc_id for r in merged.filter("origin = 'batch'").collect()}
+        sdocs.unionByName(batch).write.parquet(f"{state}/v{k + 1}/docs")
+        sbands.unionByName(corpus_signature_state(batch)).write.parquet(
+            f"{state}/v{k + 1}/bands"
+        )
+    oneshot = {
+        r.doc_id
+        for r in incremental_dedup_merge(corpus, _docs(spark, arrivals))
+        .filter("origin = 'batch'")
+        .collect()
+    }
+    assert accepted == oneshot == {11, 51}
+    # state grew by exactly the arrivals (every arrival joins the seen set)
+    assert spark.read.parquet(f"{state}/v5/docs").count() == 2 + len(arrivals)

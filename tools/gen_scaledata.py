@@ -17,7 +17,31 @@ Row-count model (fitted to sf0.001/0.01/0.1):
     events 1_000_000*sf (users 15_000*sf)
     documents max(500, 50_000*sf)   embeddings max(500, 20_000*sf)
 
-Usage: python tools/gen_scaledata.py [sf] [outdir]
+Usage: python tools/gen_scaledata.py [sf] [outdir] [--zipf]
+
+--zipf (round 11): realistic, CORPUS-SCALING vocabulary mode.  The default
+mode draws document tokens uniformly from a CLOSED 31-word vocabulary, so
+shingle-bucket occupancy grows linearly with the corpus and every
+candidate-volume dedup operator goes quadratic for *data* reasons (the
+r10 sweep measured MinHash candidates 34x / SimHash pairs 65x on 10x docs
+while verified outputs stayed ~linear).  Real text doesn't behave that
+way: vocabulary grows with the corpus (Heaps' law, V ~ k*N^0.5) and token
+frequencies are Zipf-distributed, so per-shingle bucket occupancy stays
+~flat as the corpus grows.  --zipf models exactly that:
+
+  - documents: tokens drawn Zipf-Mandelbrot (s=1.07, q=2.7 — standard
+    English fits) over a pseudo-word vocabulary sized by Heaps' law from
+    the expected token count (>=10^4 types at sf1, the r10 verdict ask);
+    the planted exact/near-dup pairs are unchanged.
+  - embeddings: cluster count scales with the corpus (one cluster per
+    ~200 vectors) instead of the fixed 10, keeping cluster density — and
+    hence genuine near-neighbor volume per vector — constant across sf.
+  - part names: adjective/noun pools scale ~sqrt(n_part), so distinct
+    name count grows with the catalog and per-name repetition stays flat
+    (a real catalog's shape), instead of 64 names repeated n/64 times.
+
+Schema is identical to the default mode; only the value distributions
+change.  Used for the SCALE_r11 candidate-volume re-measurement.
 """
 
 from __future__ import annotations
@@ -48,6 +72,33 @@ LANG_W = [0.41, 0.14, 0.15, 0.15, 0.15]
 
 DAY_US = 86_400_000_000
 
+# --zipf pseudo-word alphabet: CV syllables, 85 combos/syllable, 2-4
+# syllables => ~52M possible words, so uniqueness never stalls.
+_CONS = "bcdfghjklmnprstvz"
+_VOWS = "aeiou"
+
+
+def _pseudo_words(rng: np.random.Generator, count: int, taken=()) -> list[str]:
+    """``count`` distinct deterministic pseudo-words (lowercase, letter-only
+    so the tokenizers/shinglers treat them exactly like the base VOCAB)."""
+    words: list[str] = []
+    seen = set(taken)
+    while len(words) < count:
+        k = count - len(words)
+        n_syll = rng.integers(2, 5, k)
+        ci = rng.integers(0, len(_CONS), int(n_syll.sum()))
+        vi = rng.integers(0, len(_VOWS), int(n_syll.sum()))
+        off = 0
+        for ns in n_syll:
+            w = "".join(
+                _CONS[ci[off + j]] + _VOWS[vi[off + j]] for j in range(ns)
+            )
+            off += ns
+            if w not in seen:
+                seen.add(w)
+                words.append(w)
+    return words
+
 
 def _ts_us(arr_us: np.ndarray) -> pa.Array:
     return pa.array(arr_us.astype("int64"), type=pa.int64()).cast(
@@ -61,7 +112,7 @@ def _write(outdir: str, name: str, table: pa.Table) -> None:
     print(f"  {name}: {table.num_rows} rows -> {path}", flush=True)
 
 
-def generate(sf: float, outdir: str) -> None:
+def generate(sf: float, outdir: str, zipf: bool = False) -> None:
     rng = np.random.default_rng(SEED)
     os.makedirs(outdir, exist_ok=True)
 
@@ -112,12 +163,19 @@ def generate(sf: float, outdir: str) -> None:
     }))
 
     pk = np.arange(n_part, dtype="int64")
+    adj, noun = list(ADJ), list(NOUN)
+    if zipf:
+        # name diversity grows ~sqrt(catalog): distinct names ~ n_part/32,
+        # per-name repetition stays flat across sf instead of n_part/64.
+        n_pool = max(8, int(round(8 * (n_part / 2000.0) ** 0.5)))
+        adj = adj + _pseudo_words(rng, n_pool - 8, taken=adj)
+        noun = noun + _pseudo_words(rng, n_pool - 8, taken=adj + noun)
     _write(outdir, "part", pa.table({
         "p_partkey": pa.array(pk),
         "p_name": [
-            f"{ADJ[a]} {NOUN[b]}"
-            for a, b in zip(rng.integers(0, 8, n_part),
-                            rng.integers(0, 8, n_part))
+            f"{adj[a]} {noun[b]}"
+            for a, b in zip(rng.integers(0, len(adj), n_part),
+                            rng.integers(0, len(noun), n_part))
         ],
         "p_brand": [f"Brand#{i}" for i in rng.integers(0, 25, n_part)],
         "p_type": pa.array(np.array(PTYPES)[rng.integers(0, 6, n_part)]),
@@ -190,11 +248,28 @@ def generate(sf: float, outdir: str) -> None:
     # documents: word-salad over the driver vocabulary, 10..100 words,
     # ~0.2% exact dups + ~0.2% one-word-mutated near-dups so the dedup /
     # LSH / simhash operators have real positives to find at scale.
-    vocab = np.array(VOCAB)
     n_words = rng.integers(10, 101, n_doc)
-    texts = [
-        " ".join(vocab[rng.integers(0, len(vocab), k)]) for k in n_words
-    ]
+    if zipf:
+        # Heaps-sized vocabulary (V = 18*sqrt(N), >=2000): sf1's ~2.75M
+        # tokens give ~30k types; Zipf-Mandelbrot token draw (s=1.07,
+        # q=2.7).  Shingle space then grows with the corpus and bucket
+        # occupancy stays ~flat — the real-text statistics the
+        # candidate-volume dedup family banks on at 100 TB.
+        total = int(n_words.sum())
+        v_size = max(2000, int(18 * total ** 0.5))
+        vocab = np.array(_pseudo_words(rng, v_size))
+        ranks = np.arange(1, v_size + 1, dtype="float64")
+        p = 1.0 / (ranks + 2.7) ** 1.07
+        p /= p.sum()
+        toks = vocab[rng.choice(v_size, total, p=p)]
+        bounds = np.cumsum(n_words)[:-1]
+        texts = [" ".join(chunk) for chunk in np.split(toks, bounds)]
+        print(f"  (zipf vocab: {v_size} types over {total} tokens)", flush=True)
+    else:
+        vocab = np.array(VOCAB)
+        texts = [
+            " ".join(vocab[rng.integers(0, len(vocab), k)]) for k in n_words
+        ]
     n_pair = max(4, n_doc // 500)
     for i in range(n_pair):
         src, dst = rng.integers(0, n_doc, 2)
@@ -213,10 +288,15 @@ def generate(sf: float, outdir: str) -> None:
             np.array([len(t) for t in texts], dtype="int64")),
     }))
 
-    # embeddings: 10 Gaussian clusters in 64-d (label == cluster), same
-    # coordinate scale as the driver tables (|x| < ~0.58).
-    centers = rng.normal(0.0, 0.15, (10, 64))
-    label = rng.integers(0, 10, n_emb, dtype="int32")
+    # embeddings: Gaussian clusters in 64-d (label == cluster), same
+    # coordinate scale as the driver tables (|x| < ~0.58).  Default: the
+    # driver's fixed 10 clusters; --zipf: one cluster per ~200 vectors so
+    # cluster density — and genuine near-neighbor volume per vector —
+    # stays constant as the corpus grows (fixed-count clusters make the
+    # within-cluster pair count quadratic in sf, a data artifact).
+    n_clusters = max(10, n_emb // 200) if zipf else 10
+    centers = rng.normal(0.0, 0.15, (n_clusters, 64))
+    label = rng.integers(0, n_clusters, n_emb, dtype="int32")
     emb = (centers[label] + rng.normal(0.0, 0.08, (n_emb, 64))).clip(
         -0.577, 0.577).astype("float32")
     _write(outdir, "embeddings", pa.table({
@@ -229,11 +309,16 @@ def generate(sf: float, outdir: str) -> None:
 
 
 def main() -> None:
-    sf = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
-    outdir = (sys.argv[2] if len(sys.argv) > 2
-              else f"/root/repo/.scaledata/sf{sf:g}")
-    print(f"generating sf={sf:g} -> {outdir}", flush=True)
-    generate(sf, outdir)
+    args = [a for a in sys.argv[1:]]
+    zipf = "--zipf" in args
+    if zipf:
+        args.remove("--zipf")
+    sf = float(args[0]) if args else 1.0
+    prefix = "zipf-" if zipf else ""
+    outdir = (args[1] if len(args) > 1
+              else f"/root/repo/.scaledata/{prefix}sf{sf:g}")
+    print(f"generating sf={sf:g} zipf={zipf} -> {outdir}", flush=True)
+    generate(sf, outdir, zipf=zipf)
     print("done", flush=True)
 
 
