@@ -486,29 +486,44 @@ def _sql_code_cascade(
         FROM sup_new WHERE name IS NOT NULL AND {code_of('name')} IS NOT NULL
     )
     , base_var AS ({base_var})
-    , pairs AS (
+    -- Tiered pre-aggregated lookups (round-11 sf1-oracle rewrite): the
+    -- previous formulation materialized every supplier x base pair per
+    -- code and row_number'd it, which goes quadratic on skewed codes and
+    -- interrupted at sf1.  This is the SAME decomposition the Spark plan
+    -- runs (operators/codematch.py code_match): min base_variant_order
+    -- per tier-eligibility group, winner = COALESCE over tiers, one 1:1
+    -- payload fetch — pair-free at any skew, identical output (the
+    -- row_number form picked min (tier, order); within the best tier the
+    -- group min IS that pair).
+    , b1 AS (SELECT code, base_color, base_capacity, min(base_variant_order) AS o1
+             FROM base_var GROUP BY code, base_color, base_capacity)
+    , b2 AS (SELECT code, base_color, min(base_variant_order) AS o2
+             FROM base_var GROUP BY code, base_color)
+    , b3 AS (SELECT code, base_capacity, min(base_variant_order) AS o3
+             FROM base_var GROUP BY code, base_capacity)
+    , b4 AS (SELECT code, min(base_variant_order) AS o4 FROM base_var GROUP BY code)
+    , chosen AS (
         SELECT s.code, s.supplier_variant_order, s.supplier_name, s.supplier_price,
                s.supplier_article, s.supplier_color, s.supplier_capacity,
-               b.base_variant_order, b.matched_in, b.base_index, b.base_name,
-               b.base_article, b.base_color, b.base_capacity, b.base_price,
-               CASE WHEN s.supplier_color = b.base_color AND s.supplier_capacity IS NOT DISTINCT FROM b.base_capacity THEN 1
-                    WHEN s.supplier_color = b.base_color THEN 2
-                    WHEN s.supplier_capacity IS NOT DISTINCT FROM b.base_capacity THEN 3
-                    ELSE 4 END AS tier
-        FROM sup_var s JOIN base_var b ON s.code = b.code
+               CASE WHEN b1.o1 IS NOT NULL THEN 1 WHEN b2.o2 IS NOT NULL THEN 2
+                    WHEN b3.o3 IS NOT NULL THEN 3 ELSE 4 END AS tier,
+               COALESCE(b1.o1, b2.o2, b3.o3, b4.o4) AS base_variant_order
+        FROM sup_var s
+        JOIN b4 ON s.code = b4.code
+        LEFT JOIN b1 ON s.code = b1.code AND s.supplier_color = b1.base_color
+                    AND s.supplier_capacity IS NOT DISTINCT FROM b1.base_capacity
+        LEFT JOIN b2 ON s.code = b2.code AND s.supplier_color = b2.base_color
+        LEFT JOIN b3 ON s.code = b3.code AND s.supplier_capacity IS NOT DISTINCT FROM b3.base_capacity
     )
-    , best AS (
-        SELECT *, row_number() OVER (PARTITION BY code, supplier_variant_order ORDER BY tier, base_variant_order) AS rn
-        FROM pairs
-    )
-    SELECT code, supplier_name, base_name, supplier_price, base_price,
-           supplier_article, base_article, supplier_color, base_color,
-           supplier_capacity, base_capacity, base_index, matched_in,
-           '{match_type}' AS match_type, tier <= 2 AS color_match,
-           (tier = 1 OR tier = 3) AS capacity_match,
-           CASE WHEN base_price > 0 THEN (supplier_price - base_price) / base_price * 100.0 ELSE 0.0 END AS price_change_percent,
-           supplier_variant_order
-    FROM best WHERE rn = 1
+    SELECT c.code, c.supplier_name, b.base_name, c.supplier_price, b.base_price,
+           c.supplier_article, b.base_article, c.supplier_color, b.base_color,
+           c.supplier_capacity, b.base_capacity, b.base_index, b.matched_in,
+           '{match_type}' AS match_type, c.tier <= 2 AS color_match,
+           (c.tier = 1 OR c.tier = 3) AS capacity_match,
+           CASE WHEN b.base_price > 0 THEN (c.supplier_price - b.base_price) / b.base_price * 100.0 ELSE 0.0 END AS price_change_percent,
+           c.supplier_variant_order
+    FROM chosen c JOIN base_var b
+      ON c.code = b.code AND c.base_variant_order = b.base_variant_order
     """
     )
 
@@ -630,7 +645,7 @@ def _sql_new_for_base(
         basd=basd,
         sup_article=sup_article,
         base_price_col=base_price_col,
-    ).rsplit("SELECT code,", 1)[0]
+    ).rsplit("SELECT c.code,", 1)[0]
     code_name = _sql_unified_code("name")
     base_parts = [
         f"SELECT {code_name} AS code FROM base_feed WHERE name IS NOT NULL AND {code_name} IS NOT NULL"
@@ -644,17 +659,17 @@ def _sql_new_for_base(
     return (
         head
         + f"""
-    , bracket_found AS (SELECT DISTINCT supplier_article FROM best WHERE rn = 1)
+    , bracket_found AS (SELECT DISTINCT supplier_article FROM chosen)
     , sup_var2 AS (
         SELECT {code_name} AS code, row_id AS supplier_variant_order,
                CAST({sup_article} AS STRING) AS supplier_article
         FROM sup_new WHERE name IS NOT NULL AND {code_name} IS NOT NULL
     )
     , base_var2 AS ({base_var2})
-    , pairs2 AS (
-        SELECT s.supplier_article FROM sup_var2 s JOIN base_var2 b ON s.code = b.code
+    , code_found AS (
+        SELECT DISTINCT s.supplier_article FROM sup_var2 s
+        WHERE s.code IN (SELECT code FROM base_var2)
     )
-    , code_found AS (SELECT DISTINCT supplier_article FROM pairs2)
     SELECT n.article, n.supplier_price AS price, n.supplier_name AS name, n.supplier_index
     FROM {supd} n
     LEFT JOIN {basd} bb USING (article)
@@ -1569,10 +1584,19 @@ ORACLES["minhash_estimate_quality"] = (
         GROUP BY c.doc_a, c.doc_b
     )
     , sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+    -- candidate-bounded exact intersection (round-11 sf1-oracle rewrite,
+    -- mirroring the Spark verify): the previous full shingle self-join
+    -- computed intersections for EVERY co-bucketed doc pair and
+    -- interrupted at sf1; only candidate pairs' intersections are ever
+    -- read, so restrict the join to them — identical output.
+    , cdocs AS (SELECT doc_a AS doc_id FROM cand UNION SELECT doc_b FROM cand)
+    , shc AS (SELECT * FROM sh WHERE doc_id IN (SELECT doc_id FROM cdocs))
     , inter AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        GROUP BY a.doc_id, b.doc_id
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+        FROM cand c
+        JOIN shc a ON a.doc_id = c.doc_a
+        JOIN shc b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+        GROUP BY c.doc_a, c.doc_b
     )
     SELECT e.doc_a, e.doc_b, e.est_jaccard,
            COALESCE(round(CAST(x.i AS DOUBLE) / (na.n + nb.n - x.i), 6), 0.0) AS jaccard
@@ -2153,6 +2177,22 @@ def _sql_simhash_sig() -> str:
         SELECT doc_id, SUM(CASE WHEN s >= 0 THEN 1::BIGINT << b ELSE 0 END) AS simhash
         FROM votes GROUP BY doc_id
     )
+    -- banded candidates (round-11 sf1-oracle rewrite): 4 bands x 15 bits,
+    -- the same pigeonhole the Spark plan uses — any pair at Hamming <= 3
+    -- shares at least one full band, so the equi-join + exact bit_count
+    -- filter returns the EXACT all-pairs result without the O(n^2) scan
+    -- that interrupted at sf1.
+    , sigb AS (
+        SELECT doc_id, simhash, band, (simhash >> (band * 15)) & 32767 AS band_key
+        FROM sig, UNNEST(generate_series(0, 3)) AS bb(band)
+    )
+    , spairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               bit_count(xor(a.simhash, b.simhash)) AS hamming
+        FROM sigb a JOIN sigb b
+          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    )
     """
 
 
@@ -2167,12 +2207,7 @@ def simhash_dedup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["simhash_dedup_pairs"] = (
     _docs_cte()
     + _sql_simhash_sig()
-    + """
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           bit_count(xor(a.simhash, b.simhash)) AS hamming
-    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
-    """
+    + " SELECT doc_a, doc_b, hamming FROM spairs"
 )
 
 
@@ -3209,14 +3244,9 @@ def _dedup_clusters_oracle() -> str:
         _docs_cte().replace("WITH ", "WITH RECURSIVE ", 1)
         + _sql_simhash_sig()
         + """
-    , pairs AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
-    )
     , edges AS (
-        SELECT doc_a AS s, doc_b AS d FROM pairs
-        UNION ALL SELECT doc_b, doc_a FROM pairs
+        SELECT doc_a AS s, doc_b AS d FROM spairs
+        UNION ALL SELECT doc_b, doc_a FROM spairs
     )
     , walk(node, reach) AS (
         SELECT s, d FROM edges
