@@ -149,6 +149,8 @@ def main():
             "incremental_dedup_stream",
             "incremental_embedding_dedup",
             "incremental_embedding_dedup_stateful",
+            "embedding_topk_ivf_stored",
+            "embedding_topk_ivf_stored_recall",
             "embedding_quantize",
             "events_value_histogram",
             "lineitem_profile",

@@ -747,6 +747,78 @@ def ivf_topk(
     return scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()).limit(k)
 
 
+def ivf_index_tables(
+    df: DataFrame,
+    n_centroids: int = 16,
+    iterations: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Build the IVF index as two PERSISTABLE tables — the serving-side
+    complement of the stored-state dedup MERGE (round-11): a production
+    corpus trains once per index tick and writes
+
+      centroids (centroid long, center array<double>)   — k rows
+      inverted  (vec_id, centroid)                      — one row/vector
+
+    then every probe session reads the tables instead of re-training or
+    re-assigning.  ``ivf_train``'s micro-int accumulation makes the
+    trained centroids bit-deterministic, so a parquet round-trip of these
+    tables is lossless (array<double> round-trips exactly) and the stored
+    probe is bit-identical to the in-memory one (pytest-asserted; the
+    ``embedding_topk_ivf_stored_recall`` twin holds the stored path to the
+    same SQL-replayed k-means oracle as the trained tier).  At 100 TB the
+    inverted table is written PARTITIONED BY centroid so a probe is a
+    partition-pruned scan; the centroids table is k rows — driver-bounded
+    by construction."""
+    spark = df.sparkSession
+    cents = ivf_train(
+        df, n_centroids=n_centroids, iterations=iterations,
+        vec_col=vec_col, id_col=id_col,
+    )
+    centroids_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)],
+        "centroid long, center array<double>",
+    )
+    inverted = ivf_assign(df, cents, vec_col=vec_col, id_col=id_col)
+    return centroids_df, inverted
+
+
+def ivf_topk_stored(
+    df: DataFrame,
+    centroids_tbl: DataFrame,
+    inverted_tbl: DataFrame,
+    query_vec: list[float],
+    k: int = 20,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe a PERSISTED IVF index (``ivf_index_tables`` output read back
+    from storage): no training, no assignment pass, no Python stage — the
+    serving path.  The k-row centroids table is collected (bounded fetch,
+    the broadcast-build analogue), probes picked with the same
+    argsort-descending tie order as ``ivf_topk``, candidates come from the
+    inverted table filtered to the probed centroids (partition-pruned when
+    the table is partitioned by centroid), and the exact cosine rescore is
+    the codegen'd JVM expression."""
+    import numpy as np
+
+    rows = sorted(centroids_tbl.collect(), key=lambda r: r.centroid)
+    C = np.asarray([r.center for r in rows], dtype="float64")
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    q = np.asarray(query_vec, dtype="float64")
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probes = [int(rows[i].centroid) for i in (Cn @ qn).argsort()[::-1][:n_probe]]
+
+    cand_ids = inverted_tbl.filter(F.col("centroid").isin(probes)).select("vec_id")
+    base = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__vec"))
+    candidates = base.join(F.broadcast(cand_ids), on="vec_id", how="inner")
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = candidates.select("vec_id", cosine(F.col("__vec"), qcol).alias("cos_sim"))
+    return scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()).limit(k)
+
+
 def quantize_int8(df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
     """Symmetric per-vector int8 scalar quantization — the standard 4×
     memory compression for ANN serving (scale = 127 / max|x|, code =

@@ -3024,6 +3024,87 @@ def embedding_topk_ivf_trained_recall_q(spark: SparkSession, sf_dir: str) -> Dat
     )
 
 
+@query("embedding_topk_ivf_stored")
+def embedding_topk_ivf_stored_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-index serving tick (round-11): train the IVF quantizer,
+    WRITE centroids + inverted lists as parquet tables, read them back,
+    and answer the probe purely from the stored tables — no re-training,
+    no assignment pass, no Python stage in the probe plan.  Rows-only by
+    design (the ANN result is graded through the hash-checked
+    ``embedding_topk_ivf_stored_recall`` twin, which holds this exact
+    path to the SQL-replayed k-means oracle)."""
+    import hashlib
+
+    from mistocksync_spark.operators.vectors import (
+        ivf_index_tables,
+        ivf_topk_stored,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents_df, inverted = ivf_index_tables(emb, iterations=2)
+    root = (
+        "/tmp/spark_graft_ivf_index/"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    )
+    cents_df.write.mode("overwrite").parquet(f"{root}/centroids")
+    inverted.write.mode("overwrite").parquet(f"{root}/inverted")
+    return ivf_topk_stored(
+        emb,
+        spark.read.parquet(f"{root}/centroids"),
+        spark.read.parquet(f"{root}/inverted"),
+        _query_vec(spark, sf_dir),
+        k=20,
+    )
+
+
+@query("embedding_topk_ivf_stored_recall", _sql_ivf_trained_recall())
+def embedding_topk_ivf_stored_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-graded recall@20 of the PERSISTED-index probe vs brute force.
+    Shares the trained tier's oracle (the SQL replay of the 2-iteration
+    k-means + probe + top-k): the stored path must be bit-identical to
+    the in-memory trained path through the parquet round-trip, so any
+    persistence-introduced drift — truncated centroid, lost inverted-list
+    row, probe-order change — is a graded hash failure."""
+    import hashlib
+
+    from mistocksync_spark.operators.vectors import (
+        brute_force_topk,
+        ivf_index_tables,
+        ivf_topk_stored,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = _query_vec(spark, sf_dir)
+    cents_df, inverted = ivf_index_tables(emb, iterations=2)
+    root = (
+        "/tmp/spark_graft_ivf_index/"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    )
+    cents_df.write.mode("overwrite").parquet(f"{root}/centroids")
+    inverted.write.mode("overwrite").parquet(f"{root}/inverted")
+    ivf = ivf_topk_stored(
+        emb,
+        spark.read.parquet(f"{root}/centroids"),
+        spark.read.parquet(f"{root}/inverted"),
+        qv,
+        k=20,
+    ).select("vec_id")
+    brute = brute_force_topk(emb, qv, k=20).select("vec_id")
+    return (
+        brute.agg(F.count("*").cast("long").alias("n_exact"))
+        .crossJoin(ivf.agg(F.count("*").cast("long").alias("n_ann")))
+        .crossJoin(
+            brute.join(ivf, "vec_id").agg(F.count("*").cast("long").alias("n_hits"))
+        )
+        .select(
+            "n_exact",
+            "n_ann",
+            "n_hits",
+            (F.col("n_hits").cast("double") / F.col("n_exact")).alias("recall_at_k"),
+        )
+    )
+
+
 def _sql_pq_recall(m: int = 8, kc: int = 16, iterations: int = 2, topk: int = 20) -> str:
     """Oracle for the PQ tier: replays codebook training (per-subspace
     L2 k-means over NORMALIZED vectors with micro-int accumulation — the

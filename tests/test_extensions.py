@@ -2771,3 +2771,36 @@ def test_incremental_dedup_five_ticks_persisted_state(spark, tmp_path):
     assert accepted == oneshot == {11, 51}
     # state grew by exactly the arrivals (every arrival joins the seen set)
     assert spark.read.parquet(f"{state}/v5/docs").count() == 2 + len(arrivals)
+
+
+def test_ivf_stored_index_matches_trained_probe(spark, sf_dir, tmp_path):
+    """Round-11: the persisted-index serving path (centroids + inverted
+    lists written to parquet, probed from the tables) must be bit-identical
+    to the in-memory trained probe, and the probe plan must contain NO
+    Python stage (the assignment pass lives at index-build time, not
+    serving time)."""
+    from mistocksync_spark.operators.vectors import (
+        ivf_index_tables,
+        ivf_topk,
+        ivf_topk_stored,
+        ivf_train,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+
+    cents_df, inverted = ivf_index_tables(emb, iterations=2)
+    cents_df.write.parquet(str(tmp_path / "centroids"))
+    inverted.write.parquet(str(tmp_path / "inverted"))
+    stored = ivf_topk_stored(
+        emb,
+        spark.read.parquet(str(tmp_path / "centroids")),
+        spark.read.parquet(str(tmp_path / "inverted")),
+        q,
+        k=10,
+    )
+    trained = ivf_topk(emb, q, k=10, centroids=ivf_train(emb, iterations=2))
+    assert [tuple(r) for r in stored.collect()] == [tuple(r) for r in trained.collect()]
+    plan = stored._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan  # candidate-id build side broadcast
