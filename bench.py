@@ -151,6 +151,8 @@ def main():
             "incremental_embedding_dedup_stateful",
             "embedding_topk_ivf_stored",
             "embedding_topk_ivf_stored_recall",
+            "embedding_near_dup_ivf",
+            "embedding_near_dup_ivf_recall",
             "embedding_quantize",
             "events_value_histogram",
             "lineitem_profile",

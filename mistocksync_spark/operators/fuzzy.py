@@ -308,7 +308,16 @@ def fuzzy_best_match(
     the shuffle then carries only one partial best per candidate per
     partition.  At 100× candidate volume switch to ``blocking='ngram'``.
     """
-    if blocking == "bounded":
+    if blocking in ("bounded", "ngram"):
+        # SCORE DISTINCT NAMES, NOT ROWS (round-11): the similarity and the
+        # winning base row are pure functions of the NAME PAIR (ties break
+        # to the lowest base_index, and the min-index row of the winning
+        # base name IS the overall winner, so deduping both sides to their
+        # min-index-per-name representatives is lossless).  Catalog feeds
+        # repeat names heavily (sf1: 200k rows over ~6.7k names), so the
+        # Python scoring volume drops by the repetition product — measured
+        # 949 s -> 23 s for the sf1 ngram path — and each real row gets its
+        # own payload back via the supplier_name join below.
         cand, bs = _prep_sides(
             candidates,
             base,
@@ -317,29 +326,99 @@ def fuzzy_best_match(
             candidate_order=candidate_order,
             base_order=base_order,
         )
-        cand_rows = [r.asDict() for r in cand.collect()]
-        # spread the single-file parquet scan across the cores for the
-        # Python stage (hash, not round-robin — see the broadcast note)
-        spread = bs.repartition(
-            bs.sparkSession.sparkContext.defaultParallelism, F.col("base_index")
-        ).select("base_index", "base_name", "base_price", "base_article", "base_color")
-        scored = spread.mapInPandas(
-            _bounded_partition_scorer(cand_rows, threshold), _PARTIAL_SCHEMA
+        cand = cand.localCheckpoint(eager=False)
+        sup_reps = (
+            cand.groupBy("supplier_name")
+            .agg(F.min("supplier_index").alias("supplier_index"))
+            .select(
+                "supplier_index",
+                "supplier_name",
+                F.lit(0.0).alias("supplier_price"),
+                F.lit("").alias("supplier_article"),
+                F.lit("").alias("supplier_color"),
+            )
         )
-    else:
-        scored = fuzzy_candidate_pairs(
-            candidates,
-            base,
-            candidate_name=candidate_name,
-            base_name=base_name,
-            candidate_order=candidate_order,
-            base_order=base_order,
-            threshold=threshold,
-            blocking=blocking,
-        ).withColumn(
+        base_reps = (
+            bs.groupBy("base_name")
+            .agg(
+                F.min_by(
+                    F.struct("base_index", "base_price", "base_article", "base_color"),
+                    F.col("base_index"),
+                ).alias("__r")
+            )
+            .select(
+                "base_name",
+                F.col("__r.base_index").alias("base_index"),
+                F.col("__r.base_price").alias("base_price"),
+                F.col("__r.base_article").alias("base_article"),
+                F.col("__r.base_color").alias("base_color"),
+            )
+        )
+        if blocking == "bounded":
+            cand_rows = [r.asDict() for r in sup_reps.collect()]
+            # spread the aggregated name table across the cores for the
+            # Python stage (hash, not round-robin — see the broadcast note)
+            spread = base_reps.repartition(
+                bs.sparkSession.sparkContext.defaultParallelism, F.col("base_index")
+            ).select("base_index", "base_name", "base_price", "base_article", "base_color")
+            scored = spread.mapInPandas(
+                _bounded_partition_scorer(cand_rows, threshold), _PARTIAL_SCHEMA
+            )
+        else:
+            ck = sup_reps.select(
+                "supplier_index", F.explode(_ngram_keys(F.col("supplier_name"))).alias("g")
+            )
+            bk = base_reps.select(
+                "base_index", F.explode(_ngram_keys(F.col("base_name"))).alias("g")
+            )
+            pair_ids = ck.join(bk, on="g").select("supplier_index", "base_index").distinct()
+            pairs = pair_ids.join(sup_reps, on="supplier_index").join(base_reps, on="base_index")
+            la, lb = F.length("supplier_name"), F.length("base_name")
+            pairs = pairs.filter((F.least(la, lb) * 2.0 / (la + lb)) >= threshold)
+            scored = pairs.withColumn(
+                "similarity_ratio",
+                similarity(F.col("supplier_name"), F.col("base_name"), skip_below=threshold),
+            )
+        base_payload = F.struct(
+            "base_index", "base_name", "base_price", "base_article", "base_color",
             "similarity_ratio",
-            similarity(F.col("supplier_name"), F.col("base_name"), skip_below=threshold),
         )
+        order = F.struct(
+            F.col("similarity_ratio"), (F.lit(0) - F.col("base_index")).alias("nbi")
+        )
+        best_names = (
+            scored.groupBy("supplier_name")
+            .agg(F.max_by(base_payload, order).alias("__best"), F.max("similarity_ratio").alias("__maxr"))
+            .filter(F.col("__maxr") >= threshold)
+        )
+        return cand.join(best_names, on="supplier_name").select(
+            "supplier_index",
+            "supplier_name",
+            "supplier_price",
+            "supplier_article",
+            "supplier_color",
+            F.col("__best.base_index").alias("base_index"),
+            F.col("__best.base_name").alias("base_name"),
+            F.col("__best.base_price").alias("base_price"),
+            F.col("__best.base_article").alias("base_article"),
+            F.col("__best.base_color").alias("base_color"),
+            F.col("__best.similarity_ratio").alias("similarity_ratio"),
+            F.lit("fuzzy_string").alias("match_type"),
+            F.lit("name").alias("matched_in"),
+        )
+    scored = fuzzy_candidate_pairs(
+        candidates,
+        base,
+        candidate_name=candidate_name,
+        base_name=base_name,
+        candidate_order=candidate_order,
+        base_order=base_order,
+        threshold=threshold,
+        blocking=blocking,
+    ).withColumn(
+        "similarity_ratio",
+        similarity(F.col("supplier_name"), F.col("base_name"), skip_below=threshold),
+    )
 
     # Best-match selection as max_by aggregation, not a row_number window:
     # partial (map-side) aggregation collapses each partition to one row per

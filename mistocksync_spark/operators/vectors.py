@@ -605,13 +605,20 @@ def ivf_assign(
     centroids: list[list[float]],
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    n_assign: int = 1,
 ) -> DataFrame:
-    """Assign every vector to its nearest centroid (cosine) in one pass.
+    """Assign every vector to its ``n_assign`` nearest centroids (cosine)
+    in one pass — one (vec_id, centroid) row per assignment.
 
     Arrow-batched ``mapInPandas`` + numpy matmul — vector math the built-in
     expression language can't do efficiently; the batch shape keeps it one
     BLAS call per Arrow batch.  At 100 TB the output is written partitioned
-    by ``centroid`` so probes become partition-pruned scans.
+    by ``centroid`` so probes become partition-pruned scans.  ``n_assign``
+    > 1 is the multi-assignment used by the IVF near-dup candidate
+    generator (a boundary-straddling pair still shares a cell when either
+    side's second-nearest centroid is the other's nearest); ordering
+    within the top-n follows descending score with argsort's stable
+    index tie-break, matching ``ivf_topk``'s probe order.
     """
     import numpy as np
     import pandas as pd
@@ -622,16 +629,23 @@ def ivf_assign(
     schema = StructType(
         [StructField("vec_id", LongType(), False), StructField("centroid", LongType(), False)]
     )
+    n_assign = min(n_assign, len(centroids))
 
     def run(batches):
         for pdf in batches:
             V = np.asarray([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
             Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
-            yield pd.DataFrame(
-                {"vec_id": pdf[id_col].astype("int64"), "centroid": (Vn @ Cn.T).argmax(axis=1).astype("int64")}
-            )
+            S = Vn @ Cn.T
+            if n_assign == 1:
+                yield pd.DataFrame(
+                    {"vec_id": pdf[id_col].astype("int64"), "centroid": S.argmax(axis=1).astype("int64")}
+                )
+            else:
+                top = np.argsort(-S, axis=1, kind="stable")[:, :n_assign]
+                ids = np.repeat(pdf[id_col].to_numpy().astype("int64"), n_assign)
+                yield pd.DataFrame({"vec_id": ids, "centroid": top.reshape(-1).astype("int64")})
 
-    return df.mapInPandas(run, schema=schema)
+    return df.select(id_col, vec_col).mapInPandas(run, schema=schema)
 
 
 def ivf_train(
@@ -745,6 +759,85 @@ def ivf_topk(
     qcol = F.array(*[F.lit(float(x)) for x in query_vec])
     scored = candidates.select("vec_id", cosine(F.col("__vec"), qcol).alias("cos_sim"))
     return scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()).limit(k)
+
+
+def cosine_near_dup_pairs_ivf(
+    df: DataFrame,
+    threshold: float = 0.99,
+    n_centroids: int | None = None,
+    n_assign: int = 2,
+    iterations: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding near-duplicate pairs via CLUSTER-RESTRICTED candidates —
+    the 100 TB path for clustered vector corpora (round-11).
+
+    Why it exists: the banded-SimHash generator (``cosine_near_dup_pairs``)
+    proposes every pair whose 12-bit sign slices agree, and on CLUSTERED
+    data the cos 0.5–0.9 within/near-cluster mass collides at any
+    practical band width — measured on the zipf corpus: candidates grew
+    255.9k -> 20.67M (81x) on 10x vectors with 12-bit bands, and a 16-bit
+    retune removed only 17%.  That epsilon*n^2 term is intrinsic to
+    sign-banding at theta=0.99 with recall held high.  The cluster shape
+    (SemDeDup's insight) fixes it: train an IVF quantizer whose cell count
+    SCALES with the corpus (default one per ~200 vectors), assign each
+    vector to its ``n_assign`` nearest cells, candidates = pairs sharing a
+    cell — per-cell volume is (corpus/cells)^2 * cells, LINEAR in the
+    corpus at fixed density — then exact-rescore with the codegen'd
+    ``unrolled_dot`` (candidates propose, cosine decides).
+
+    Recall: exact and positively-scaled duplicates have identical cosine
+    geometry, hence identical assignments — always caught.  A natural
+    boundary pair (cos in [0.99, 1)) is missed only if the two vectors
+    share NONE of their n_assign nearest cells; at cos 0.99 the
+    perturbation is ~8 degrees, far inside a cell whose radius the
+    ~200-vector density implies, and multi-assignment covers Voronoi-edge
+    straddlers (graded by ``embedding_near_dup_ivf_recall`` against the
+    banded+brute family).  Output schema matches
+    ``cosine_near_dup_pairs``: (vec_a, vec_b, cos_sim rounded to 6).
+    """
+    if dim is None:
+        dim = inferred_dim(df, vec_col)
+    if n_centroids is None:
+        # one cell per ~200 vectors: constant cluster density across scale
+        # (the count job is the same bounded pre-flight the auto-broadcast
+        # gate in code_match runs; at 100 TB pass n_centroids explicitly)
+        n_centroids = max(16, int(df.count()) // 200)
+    cents = ivf_train(
+        df, n_centroids=n_centroids, iterations=iterations,
+        vec_col=vec_col, id_col=id_col,
+    )
+    assigned = ivf_assign(
+        df, cents, vec_col=vec_col, id_col=id_col, n_assign=n_assign
+    ).localCheckpoint(eager=False)
+    x = assigned.select(F.col("vec_id").alias("vec_a"), "centroid")
+    y = assigned.select(F.col("vec_id").alias("vec_b"), "centroid")
+    cand = (
+        x.join(y, on="centroid")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    base = df.select(
+        F.col(id_col).alias("vid"),
+        _to_double(F.col(vec_col)).alias("v"),
+        norm(F.col(vec_col)).alias("nrm"),
+    )
+    a = base.select(F.col("vid").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = base.select(F.col("vid").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    dotab = unrolled_dot(F.col("va"), F.col("vb"), dim)
+    sim = F.when(F.col("na") * F.col("nb") > 0, dotab / (F.col("na") * F.col("nb"))).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
+        .select("vec_a", "vec_b", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("vec_a", "vec_b", F.round("cos_sim", 6).alias("cos_sim"))
+    )
 
 
 def ivf_index_tables(

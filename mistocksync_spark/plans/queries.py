@@ -2425,6 +2425,59 @@ def _patch_emb_oracle():
 _patch_emb_oracle()
 
 
+@query("embedding_near_dup_ivf")
+def embedding_near_dup_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-restricted embedding near-dup — the 100 TB variant for
+    clustered corpora (operators/vectors.cosine_near_dup_pairs_ivf): IVF
+    cells scale with the corpus, candidates are same-cell pairs (linear at
+    fixed density, vs the banded-SimHash epsilon*n^2 measured in
+    SCALE_r11), exact cosine decides.  Shares the exact all-pairs oracle
+    with ``embedding_near_dup`` — the same fixture-dependent parity
+    documented there (the feed's planted duplicates have identical
+    assignment geometry, so the candidate restriction is lossless on it);
+    boundary recall is graded by ``embedding_near_dup_ivf_recall``."""
+    from mistocksync_spark.operators.vectors import cosine_near_dup_pairs_ivf
+    from mistocksync_spark.plans.feeds import emb_aug
+
+    return cosine_near_dup_pairs_ivf(emb_aug(spark, sf_dir), threshold=0.99)
+
+
+ORACLES["embedding_near_dup_ivf"] = ORACLES["embedding_near_dup"]
+
+
+@query("embedding_near_dup_ivf_recall")
+def embedding_near_dup_ivf_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall audit for the IVF near-dup tier: pair-set parity vs the exact
+    O(n^2) brute baseline, same shape as ``embedding_near_dup_recall`` —
+    any candidate-restriction loss (a boundary pair sharing none of its
+    two nearest cells) is a graded hash failure."""
+    from mistocksync_spark.operators.vectors import (
+        cosine_near_dup_pairs_brute,
+        cosine_near_dup_pairs_ivf,
+    )
+    from mistocksync_spark.plans.feeds import emb_aug
+
+    emb = emb_aug(spark, sf_dir)
+    ivf = cosine_near_dup_pairs_ivf(emb, threshold=0.99).select("vec_a", "vec_b")
+    exact = cosine_near_dup_pairs_brute(emb, threshold=0.99).select("vec_a", "vec_b")
+    on = ["vec_a", "vec_b"]
+    return (
+        exact.agg(F.count("*").cast("long").alias("n_exact_pairs"))
+        .crossJoin(ivf.agg(F.count("*").cast("long").alias("n_ivf_pairs")))
+        .crossJoin(
+            exact.join(ivf, on, "left_anti").agg(F.count("*").cast("long").alias("n_missed"))
+        )
+        .crossJoin(
+            ivf.join(exact, on, "left_anti").agg(F.count("*").cast("long").alias("n_extra"))
+        )
+    )
+
+
+ORACLES["embedding_near_dup_ivf_recall"] = ORACLES["embedding_near_dup_recall"].replace(
+    "n_lsh_pairs", "n_ivf_pairs"
+)
+
+
 # --------------------------------------------------------------------------
 # C11 supplier→base mapping + S12/S13/S14 mutation sinks + S11/J6 report
 # --------------------------------------------------------------------------

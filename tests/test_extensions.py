@@ -2804,3 +2804,39 @@ def test_ivf_stored_index_matches_trained_probe(spark, sf_dir, tmp_path):
     plan = stored._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastHashJoin" in plan  # candidate-id build side broadcast
+
+
+def test_ivf_near_dup_matches_banded_and_brute(spark, sf_dir):
+    """Round-11: the cluster-restricted near-dup candidate generator must
+    find exactly the same verified pairs as the banded-SimHash plan and
+    the exact brute baseline (candidates propose, cosine decides), and its
+    candidate join must be an equi-join on the cell id — no nested loop."""
+    from mistocksync_spark.operators.vectors import (
+        cosine_near_dup_pairs,
+        cosine_near_dup_pairs_brute,
+        cosine_near_dup_pairs_ivf,
+    )
+    from mistocksync_spark.plans.feeds import emb_aug
+
+    emb = emb_aug(spark, sf_dir)
+    ivf = {(r.vec_a, r.vec_b, r.cos_sim) for r in cosine_near_dup_pairs_ivf(emb).collect()}
+    banded = {(r.vec_a, r.vec_b, r.cos_sim) for r in cosine_near_dup_pairs(emb).collect()}
+    brute = {(r.vec_a, r.vec_b, r.cos_sim) for r in cosine_near_dup_pairs_brute(emb).collect()}
+    assert ivf == banded == brute and len(ivf) > 0
+    plan = cosine_near_dup_pairs_ivf(emb)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_assign_multi_covers_top_n(spark, sf_dir):
+    from mistocksync_spark.operators.vectors import deterministic_centroids, ivf_assign
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = deterministic_centroids(emb, 8)
+    one = ivf_assign(emb, cents, n_assign=1)
+    two = ivf_assign(emb, cents, n_assign=2)
+    n = emb.count()
+    assert one.count() == n and two.count() == 2 * n
+    # the single assignment is always among the top-2 set
+    only_one = one.withColumnRenamed("centroid", "c1")
+    joined = only_one.join(two, (only_one.vec_id == two.vec_id) & (F.col("c1") == two.centroid))
+    assert joined.count() == n

@@ -213,9 +213,11 @@ def test_registry_wide_no_cartesian_bnlj_budget(spark, sf_dir):
         "mixture_plan": 1,
         "embedding_knn_join": 1,
         "embedding_near_dup_recall": 6,
+        "embedding_near_dup_ivf_recall": 6,
         "row_insert_autonumber": 1,
         "embedding_topk_ivf_recall": 2,
         "embedding_topk_ivf_trained_recall": 2,
+        "embedding_topk_ivf_stored_recall": 2,
         "embedding_topk_pq_recall": 2,
         "rare_token_score": 1,
         "events_value_histogram": 1,
