@@ -1558,11 +1558,17 @@ ORACLES["minhash_lsh_pairs"] = (
     """
 )
 
+# MATERIALIZED hints (round-11 sf1-oracle rewrite, part 2): sh/mh/cand/shc
+# are each referenced 2-4 times below and DuckDB inlines CTEs by default,
+# re-hashing the 2.6M-shingle x 8-seed minhash table per reference — the
+# residual 300 s interrupt after the candidate-bounded rewrite.  Forcing
+# one evaluation each runs the sf1 oracle in ~15 s.  Values unchanged
+# (hash-verified at sf0.01).
 ORACLES["minhash_estimate_quality"] = (
     _docs_cte()
-    + _SQL_SHINGLES
+    + _SQL_SHINGLES.replace(", sh AS (", ", sh AS MATERIALIZED (")
     + """
-    , mh AS (
+    , mh AS MATERIALIZED (
         SELECT doc_id, seed, MIN(md5(CAST(seed AS STRING) || '|' || shingle)) AS minhash
         FROM sh, UNNEST(generate_series(0, 7)) AS s(seed)
         GROUP BY doc_id, seed
@@ -1571,7 +1577,7 @@ ORACLES["minhash_estimate_quality"] = (
         SELECT doc_id, seed // 2 AS band, md5(string_agg(minhash, '|' ORDER BY seed)) AS band_key
         FROM mh GROUP BY doc_id, seed // 2
     )
-    , cand AS (
+    , cand AS MATERIALIZED (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
     )
@@ -1590,7 +1596,7 @@ ORACLES["minhash_estimate_quality"] = (
     -- interrupted at sf1; only candidate pairs' intersections are ever
     -- read, so restrict the join to them — identical output.
     , cdocs AS (SELECT doc_a AS doc_id FROM cand UNION SELECT doc_b FROM cand)
-    , shc AS (SELECT * FROM sh WHERE doc_id IN (SELECT doc_id FROM cdocs))
+    , shc AS MATERIALIZED (SELECT * FROM sh WHERE doc_id IN (SELECT doc_id FROM cdocs))
     , inter AS (
         SELECT c.doc_a, c.doc_b, COUNT(*) AS i
         FROM cand c
@@ -5030,8 +5036,11 @@ def dedup_graph_clustering_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# pairs is referenced four times below; MATERIALIZED stops DuckDB from
+# re-running the whole minhash pipeline per reference (see
+# minhash_estimate_quality) — the entry's sf1 interrupt closure.
 ORACLES["dedup_graph_clustering"] = f"""
-    WITH pairs AS ({ORACLES["minhash_lsh_pairs"]})
+    WITH pairs AS MATERIALIZED ({ORACLES["minhash_lsh_pairs"]})
     , ends AS (SELECT doc_a AS doc_id FROM pairs UNION ALL SELECT doc_b FROM pairs)
     , deg AS (SELECT doc_id, COUNT(*) AS degree FROM ends GROUP BY doc_id)
     , w AS (SELECT CAST(SUM(degree * (degree - 1) // 2) AS BIGINT) AS n_wedges FROM deg)
