@@ -217,6 +217,7 @@ def test_registry_rows_only_set_is_closed():
         "doc_length_quantiles_approx",
         "embedding_topk_ivf",
         "embedding_topk_ivf_trained",
+        "embedding_topk_ivf_stored",
         "embedding_topk_pq",
     }
     missing = set(QUERIES) - set(ORACLES)
