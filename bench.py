@@ -153,6 +153,7 @@ def main():
             "embedding_topk_ivf_stored_recall",
             "embedding_near_dup_ivf",
             "embedding_near_dup_ivf_recall",
+            "incremental_embedding_dedup_ivf",
             "embedding_quantize",
             "events_value_histogram",
             "lineitem_profile",

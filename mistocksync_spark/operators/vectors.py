@@ -589,6 +589,107 @@ def incremental_embedding_dedup(
     )
 
 
+def incremental_embedding_dedup_ivf(
+    corpus: DataFrame,
+    batch: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.99,
+    n_assign: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+    corpus_cells: DataFrame | None = None,
+) -> DataFrame:
+    """Vector ingest tick with IVF-CELL candidates against a FROZEN
+    quantizer — the structural fix for the banded tick's candidate growth
+    (SCALE_r11 measured the signature-band tick at 24.7x on 10x clustered
+    vectors; same-cell candidates are linear at fixed cell density).
+
+    Decision rule is IDENTICAL to ``incremental_embedding_dedup`` (reject
+    an arrival iff exact cosine >= threshold against any corpus vector or
+    smaller-id arrival, rejected arrivals stay in the seen set, ids unique
+    across corpus ∪ batch); only the CANDIDATE GENERATOR differs:
+    ``centroids`` is the quantizer trained ONCE at index-build time and
+    frozen (``ivf_train`` / ``ivf_index_tables`` — the same table a
+    serving stack already persists), every side is assigned to its
+    ``n_assign`` nearest cells, and candidates are cell-sharing pairs.
+    ``corpus_cells`` is the stored-state substitution: pass the persisted
+    (vec_id, centroid) inverted table (built with the SAME centroids and
+    n_assign) and the tick never re-assigns the corpus — only the arriving
+    batch runs the one-matmul assignment pass.  Assignments under a frozen
+    quantizer are deterministic per vector, so the stored and
+    self-contained paths are bit-identical (pytest-asserted).
+
+    Recall contract: exact and positively-scaled duplicates have identical
+    cosine geometry, hence identical cell assignments — always caught.  A
+    natural boundary pair is missed only if it shares none of its
+    n_assign nearest cells (the ``embedding_near_dup_ivf_recall`` gate
+    family); production corpora re-train the quantizer on index-rebuild
+    ticks, not ingest ticks, exactly as modeled here."""
+    if dim is None:
+        dim = inferred_dim(corpus, vec_col)
+    cd = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("emb"))
+    bd = batch.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("emb"))
+    if corpus_cells is None:
+        corpus_cells = ivf_assign(
+            cd, centroids, vec_col="emb", id_col="vec_id", n_assign=n_assign
+        )
+    bcells = ivf_assign(
+        bd, centroids, vec_col="emb", id_col="vec_id", n_assign=n_assign
+    ).localCheckpoint(eager=False)
+    earlier = corpus_cells.select(
+        "centroid",
+        F.col("vec_id").alias("earlier_id"),
+        F.lit(0).alias("earlier_batch"),
+    ).unionByName(
+        bcells.select(
+            "centroid",
+            F.col("vec_id").alias("earlier_id"),
+            F.lit(1).alias("earlier_batch"),
+        )
+    )
+    later = bcells.select("centroid", F.col("vec_id").alias("later_id"))
+    cand = (
+        earlier.join(later, on="centroid")
+        .filter(
+            (F.col("earlier_batch") == 0)
+            | (F.col("earlier_id") < F.col("later_id"))
+        )
+        .select("earlier_id", "later_id")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    allv = cd.unionByName(bd).select(
+        "vec_id", _to_double(F.col("emb")).alias("v"), norm(F.col("emb")).alias("nrm")
+    )
+    av = allv.join(
+        cand.select(F.col("earlier_id").alias("vec_id")).distinct(),
+        on="vec_id",
+        how="left_semi",
+    ).select(F.col("vec_id").alias("earlier_id"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    bv = allv.join(
+        cand.select(F.col("later_id").alias("vec_id")).distinct(),
+        on="vec_id",
+        how="left_semi",
+    ).select(F.col("vec_id").alias("later_id"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    dotab = unrolled_dot(F.col("va"), F.col("vb"), dim)
+    sim = F.when(
+        F.col("na") * F.col("nb") > 0, dotab / (F.col("na") * F.col("nb"))
+    ).otherwise(F.lit(0.0))
+    rejected = (
+        cand.join(av, on="earlier_id")
+        .join(bv, on="later_id")
+        .filter(sim >= threshold)
+        .select(F.col("later_id").alias("vec_id"))
+        .distinct()
+    )
+    return cd.select("vec_id", F.lit("corpus").alias("origin")).unionByName(
+        bd.join(F.broadcast(rejected), on="vec_id", how="left_anti").select(
+            "vec_id", F.lit("batch").alias("origin")
+        )
+    )
+
+
 def deterministic_centroids(
     df: DataFrame, n_centroids: int = 16, vec_col: str = "embedding", id_col: str = "vec_id"
 ) -> list[list[float]]:

@@ -2383,6 +2383,48 @@ ORACLES["incremental_embedding_dedup"] = _sql_incremental_embedding_dedup()
 ORACLES["incremental_embedding_dedup_stateful"] = ORACLES["incremental_embedding_dedup"]
 
 
+@query("incremental_embedding_dedup_ivf")
+def incremental_embedding_dedup_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vector ingest tick through the IVF-CELL candidate generator and
+    the PERSISTED index state (round-11): the quantizer is trained once on
+    the corpus and frozen, the corpus inverted table is written to parquet
+    and read back (the serving stack's own table — see
+    ``embedding_topk_ivf_stored``), and the tick assigns only the arriving
+    batch.  Decision rule and oracle are identical to
+    ``incremental_embedding_dedup`` (exact all-pairs cosine, the same
+    fixture-dependent parity documented there); this entry grades the
+    candidate-generator swap that keeps tick cost linear on clustered
+    corpora (SCALE_r11 §2c)."""
+    import hashlib
+
+    from mistocksync_spark.operators.vectors import (
+        incremental_embedding_dedup_ivf,
+        ivf_assign,
+        ivf_train,
+    )
+    from mistocksync_spark.plans.feeds import emb_incr_batch, emb_incr_corpus
+
+    corpus = emb_incr_corpus(spark, sf_dir)
+    n_cells = max(16, corpus.count() // 200)
+    cents = ivf_train(corpus, n_centroids=n_cells, iterations=2)
+    root = (
+        "/tmp/spark_graft_ivf_incr/"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    )
+    ivf_assign(corpus, cents, n_assign=2).write.mode("overwrite").parquet(
+        f"{root}/cells"
+    )
+    return incremental_embedding_dedup_ivf(
+        corpus,
+        emb_incr_batch(spark, sf_dir),
+        cents,
+        corpus_cells=spark.read.parquet(f"{root}/cells"),
+    )
+
+
+ORACLES["incremental_embedding_dedup_ivf"] = ORACLES["incremental_embedding_dedup"]
+
+
 @query("embedding_contamination")
 def embedding_contamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space decontamination: the planted duplicate vectors

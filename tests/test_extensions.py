@@ -2840,3 +2840,44 @@ def test_ivf_assign_multi_covers_top_n(spark, sf_dir):
     only_one = one.withColumnRenamed("centroid", "c1")
     joined = only_one.join(two, (only_one.vec_id == two.vec_id) & (F.col("c1") == two.centroid))
     assert joined.count() == n
+
+
+def test_incremental_embedding_dedup_ivf_matches_banded(spark, tmp_path):
+    """Round-11: the IVF-cell tick under a frozen quantizer must reproduce
+    the banded tick's verdicts on every fixture path (scaled corpus dup,
+    exact corpus dup, fresh, dup-of-accepted, negated, dup-of-accepted-
+    negated), and the stored-cells parquet round-trip must be
+    bit-identical to the self-contained path."""
+    from mistocksync_spark.operators.vectors import (
+        incremental_embedding_dedup,
+        incremental_embedding_dedup_ivf,
+        ivf_assign,
+        ivf_train,
+    )
+
+    corpus = _emb(spark, [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])])
+    batch = _emb(
+        spark,
+        [
+            (10, [2.0, 0.0, 0.0, 0.0]),
+            (11, [0.0, 1.0, 0.0, 0.0]),
+            (12, [0.0, 0.0, 1.0, 0.0]),
+            (13, [0.0, 0.0, 3.0, 0.0]),
+            (14, [-1.0, 0.0, 0.0, 0.0]),
+            (15, [-5.0, 0.0, 0.0, 0.0]),
+        ],
+    )
+    cents = ivf_train(corpus, n_centroids=2, iterations=2, vec_col="embedding")
+    want = {(r.vec_id, r.origin)
+            for r in incremental_embedding_dedup(corpus, batch, dim=4).collect()}
+    got = {(r.vec_id, r.origin)
+           for r in incremental_embedding_dedup_ivf(corpus, batch, cents, dim=4).collect()}
+    assert got == want == {(1, "corpus"), (2, "corpus"), (12, "batch"), (14, "batch")}
+
+    ivf_assign(corpus, cents, n_assign=2).write.parquet(str(tmp_path / "cells"))
+    stored = {(r.vec_id, r.origin)
+              for r in incremental_embedding_dedup_ivf(
+                  corpus, batch, cents, dim=4,
+                  corpus_cells=spark.read.parquet(str(tmp_path / "cells")),
+              ).collect()}
+    assert stored == got
