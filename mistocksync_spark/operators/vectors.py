@@ -851,7 +851,10 @@ def ivf_topk(
     Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
     q = np.asarray(query_vec, dtype="float64")
     qn = q / max(np.linalg.norm(q), 1e-12)
-    probes = [int(i) for i in (Cn @ qn).argsort()[::-1][:n_probe]]
+    # stable argsort of the NEGATED scores breaks exact ties to the LOWEST
+    # centroid index — same order as ivf_assign's multi-assignment and the
+    # recall oracles' ORDER BY score DESC, cidx ASC (r11 advisory)
+    probes = [int(i) for i in np.argsort(-(Cn @ qn), kind="stable")[:n_probe]]
 
     base = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__vec"))
     assigned = ivf_assign(base, cents, vec_col="__vec")
@@ -1003,7 +1006,12 @@ def ivf_topk_stored(
     Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
     q = np.asarray(query_vec, dtype="float64")
     qn = q / max(np.linalg.norm(q), 1e-12)
-    probes = [int(rows[i].centroid) for i in (Cn @ qn).argsort()[::-1][:n_probe]]
+    # ties to the LOWEST centroid index, matching ivf_topk/ivf_assign and
+    # the recall oracles (r11 advisory)
+    probes = [
+        int(rows[i].centroid)
+        for i in np.argsort(-(Cn @ qn), kind="stable")[:n_probe]
+    ]
 
     cand_ids = inverted_tbl.filter(F.col("centroid").isin(probes)).select("vec_id")
     base = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__vec"))

@@ -1564,9 +1564,19 @@ ORACLES["minhash_lsh_pairs"] = (
 # residual 300 s interrupt after the candidate-bounded rewrite.  Forcing
 # one evaluation each runs the sf1 oracle in ~15 s.  Values unchanged
 # (hash-verified at sf0.01).
+def _hinted(sql: str, old: str, new: str) -> str:
+    """``str.replace`` that FAILS LOUDLY when the target text is absent —
+    a silent no-op here would quietly reintroduce the ~300 s sf1 CTE
+    re-evaluation the MATERIALIZED hint exists to prevent (r11 advisory)."""
+    out = sql.replace(old, new)
+    if out == sql:
+        raise AssertionError(f"materialization hint target {old!r} not found")
+    return out
+
+
 ORACLES["minhash_estimate_quality"] = (
     _docs_cte()
-    + _SQL_SHINGLES.replace(", sh AS (", ", sh AS MATERIALIZED (")
+    + _hinted(_SQL_SHINGLES, ", sh AS (", ", sh AS MATERIALIZED (")
     + """
     , mh AS MATERIALIZED (
         SELECT doc_id, seed, MIN(md5(CAST(seed AS STRING) || '|' || shingle)) AS minhash
@@ -3143,9 +3153,11 @@ def embedding_topk_ivf_stored_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     cents_df, inverted = ivf_index_tables(emb, iterations=2)
+    # the query name is part of the path so sibling entries (the recall
+    # twin) never overwrite this entry's tables mid-read (r11 advisory)
     root = (
         "/tmp/spark_graft_ivf_index/"
-        + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+        + hashlib.md5(f"embedding_topk_ivf_stored:{sf_dir}".encode()).hexdigest()[:10]
     )
     cents_df.write.mode("overwrite").parquet(f"{root}/centroids")
     inverted.write.mode("overwrite").parquet(f"{root}/inverted")
@@ -3179,7 +3191,9 @@ def embedding_topk_ivf_stored_recall_q(spark: SparkSession, sf_dir: str) -> Data
     cents_df, inverted = ivf_index_tables(emb, iterations=2)
     root = (
         "/tmp/spark_graft_ivf_index/"
-        + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+        + hashlib.md5(
+            f"embedding_topk_ivf_stored_recall:{sf_dir}".encode()
+        ).hexdigest()[:10]
     )
     cents_df.write.mode("overwrite").parquet(f"{root}/centroids")
     inverted.write.mode("overwrite").parquet(f"{root}/inverted")

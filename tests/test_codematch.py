@@ -117,9 +117,7 @@ def test_broadcast_lookups_auto_mode(spark):
     sv = supplier_code_variants(sup, bracket_code, "article_vitya")
     bv = base_code_variants(base, bracket_code, "price_vitya_usd")
     out = code_match(sv, bv, match_type="bracket_code", broadcast_lookups="auto")
-    plan = out._sc._jvm.PythonSQLUtils.explainString(
-        out._jdf.queryExecution(), "formatted"
-    ) if False else out._jdf.queryExecution().executedPlan().toString()
+    plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     rows = out.collect()
     assert len(rows) == 1 and rows[0].base_article == "b2"
