@@ -218,6 +218,7 @@ def main():
             "q17_small_quantity_revenue",
             "q20_dominant_supplier",
             "semantic_dedup",
+            "semantic_dedup_scaled",
             "dsir_weights",
             "purchase_view_join_stream",
             "bpe_pair_counts",

@@ -6738,13 +6738,16 @@ def q20_dominant_supplier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DSIR-shaped importance weighting — LLM-pipeline operators with full
 # bit-deterministic SQL replays.
 # --------------------------------------------------------------------------
-def _sql_semantic_dedup(n_clusters: int = 16, threshold: float = 0.99) -> str:
+def _sql_semantic_dedup(
+    n_clusters: int | str = 16, threshold: float = 0.99
+) -> str:
     """Full SQL replay of ``operators/vectors.semantic_dedup``: the
     lowest-id centroid pick, the strict-fold assignment argmax (ties to
     the lowest centroid index), the in-cluster pair scoring, and the
     lower-id-wins drop set — every arithmetic step the Spark plan
     performs, so the hash check is exact by construction (no numpy
-    anywhere on either side)."""
+    anywhere on either side).  ``n_clusters`` may be a SQL expression
+    (the scaled twin passes a corpus-proportional subquery LIMIT)."""
     from mistocksync_spark.plans.feeds import EMB_AUG_SQL_DUCKDB
 
     cos_ec = _sql_cos("e.embedding", "c.cv")
@@ -6794,6 +6797,28 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mistocksync_spark.plans.feeds import emb_aug
 
     return semantic_dedup(emb_aug(spark, sf_dir))
+
+
+@query(
+    "semantic_dedup_scaled",
+    _sql_semantic_dedup(n_clusters="(SELECT GREATEST(16, COUNT(*) // 200) FROM ea)"),
+)
+def semantic_dedup_scaled_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with a CORPUS-PROPORTIONAL cluster count (r11 verdict ask
+    #7): the fixed-k tier's O(n²/k) in-cluster scoring is the method's own
+    bound and measured 39.5× on 10× data at k=16 (SCALE_r11); holding
+    cluster DENSITY constant instead (k = max(16, n/200) — the same rule
+    ``cosine_near_dup_pairs_ivf`` uses) keeps per-cluster pair volume flat
+    as the corpus grows, the linear-path answer for this family.  The
+    cluster count comes from one bounded count job (the documented
+    pre-flight; at 100 TB pass n_clusters explicitly); the oracle derives
+    the same k with a subquery LIMIT, so the hash check covers the
+    dynamic-k plumbing end-to-end."""
+    from mistocksync_spark.operators.vectors import semantic_dedup
+    from mistocksync_spark.plans.feeds import emb_aug
+
+    emb = emb_aug(spark, sf_dir)
+    return semantic_dedup(emb, n_clusters=max(16, int(emb.count()) // 200))
 
 
 @query(
