@@ -242,6 +242,7 @@ def main():
             "lineitem_key_skew",
             "doc_split_summary",
             "lsh_pair_quality",
+            "vector_pair_quality",
             "events_bootstrap_ci",
         ]
         if q in QUERIES

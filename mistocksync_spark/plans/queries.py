@@ -2536,6 +2536,184 @@ ORACLES["embedding_near_dup_ivf_recall"] = ORACLES["embedding_near_dup_recall"].
 )
 
 
+def _sql_vector_pair_quality(
+    nbits: int = 96, nbands: int = 8, iterations: int = 2, threshold: float = 0.99
+) -> str:
+    """Oracle for ``vector_pair_quality``: independently re-derives all
+    THREE pair sets in SQL — exact pairs (all-pairs strict-fold cosine),
+    banded-SimHash candidates (the ``_hyperplane`` family replayed as
+    ``sin(0.5 + b*1013 + i*9.173)`` with a strict-left-fold sign dot; no
+    matrix literals needed because the hyperplanes are a closed form), and
+    IVF-cell candidates (the ``ivf_train`` k-means replay from the trained-
+    recall oracle, generalized to a corpus-proportional k and a rank<=2
+    multi-assignment) — then the counts, ppm recalls and the recommendation
+    CASE.
+
+    Cross-engine margin (same contract as ``ivf_train``): the sign bits
+    and assignment argmax compare BLAS-accumulated numpy scores against
+    strict-fold SQL scores, and libm ``sin`` differs from DuckDB's by
+    1 ulp on ~0.1% of hyperplane cells — agreement rests on scores sitting
+    far from 0/argmax ties relative to ~1e-13 accumulation error, which
+    holds on real embeddings; a knife-edge flip means quantize-before-
+    compare on both sides, not an arithmetic bug."""
+    from mistocksync_spark.plans.feeds import EMB_AUG_SQL_DUCKDB
+
+    r = nbits // nbands
+    k_sql = "(SELECT GREATEST(16, COUNT(*) // 200) FROM ea)"
+    dot_ec = _SQL_DOT_VAR.format(a="e.embedding", b="c.cv")
+    score = f"CASE WHEN c.nrm > 0 THEN {dot_ec} / c.nrm ELSE 0.0 END"
+    blocks = [
+        f"ea AS ({EMB_AUG_SQL_DUCKDB})",
+        (
+            "withn AS (SELECT vec_id, embedding, "
+            f"{_SQL_NORM.format(a='embedding')} AS nrm FROM ea)"
+        ),
+        f"""epairs AS MATERIALIZED (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM withn a JOIN withn b ON a.vec_id < b.vec_id
+        WHERE CASE WHEN a.nrm * b.nrm > 0
+              THEN {_SQL_DOT_VAR.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm)
+              ELSE 0.0 END >= {threshold})""",
+        f"""hbits AS (
+        SELECT vec_id, t.b,
+               CASE WHEN list_reduce(list_transform(generate_series(1, len(embedding)),
+                    i -> CAST(embedding[i] AS DOUBLE) * sin(0.5 + t.b*1013.0 + (i-1)*9.173)),
+                    (acc, x) -> acc + x) >= 0
+                    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+        FROM ea, UNNEST(generate_series(0, {nbits - 1})) AS t(b))""",
+        f"""hbands AS (
+        SELECT vec_id, b // {r} AS band_id,
+               CAST(SUM(bit << (b % {r})) AS BIGINT) AS band_val
+        FROM hbits GROUP BY vec_id, b // {r})""",
+        """bcand AS MATERIALIZED (
+        SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+        FROM hbands x JOIN hbands y
+          ON x.band_id = y.band_id AND x.band_val = y.band_val
+         AND x.vec_id < y.vec_id)""",
+        (
+            "cents0 AS (SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cidx, "
+            f"embedding AS cv, {_SQL_NORM.format(a='embedding')} AS nrm "
+            f"FROM ea ORDER BY vec_id ASC LIMIT {k_sql})"
+        ),
+        (
+            "u AS (SELECT vec_id, unnest(embedding) AS val, "
+            "unnest(generate_series(1, len(embedding))) AS dim FROM ea)"
+        ),
+    ]
+    prev = "cents0"
+    for it in range(1, iterations + 1):
+        blocks.append(
+            f"""assign{it} AS (
+        SELECT vec_id, cidx FROM (
+            SELECT e.vec_id, c.cidx,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id ORDER BY {score} DESC, c.cidx ASC
+                   ) AS rnk
+            FROM ea e, {prev} c
+        ) WHERE rnk = 1)"""
+        )
+        blocks.append(
+            f"""cm{it} AS (
+        SELECT a.cidx, u.dim,
+               CAST(SUM(CAST(floor(CAST(u.val AS DOUBLE) * 1000000 + 0.5) AS HUGEINT)) AS DOUBLE)
+                   / 1000000.0 / COUNT(*) AS mval
+        FROM assign{it} a JOIN u USING (vec_id)
+        GROUP BY a.cidx, u.dim)"""
+        )
+        blocks.append(
+            f"""cents{it} AS (
+        SELECT cidx, cv, {_SQL_NORM.format(a='cv')} AS nrm FROM (
+            SELECT p.cidx, COALESCE(l.cv, CAST(p.cv AS DOUBLE[])) AS cv
+            FROM {prev} p LEFT JOIN (
+                SELECT cidx, list(mval ORDER BY dim) AS cv FROM cm{it} GROUP BY cidx
+            ) l USING (cidx)))"""
+        )
+        prev = f"cents{it}"
+    blocks.append(
+        f"""assignT AS (
+        SELECT vec_id, cidx FROM (
+            SELECT e.vec_id, c.cidx,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id ORDER BY {score} DESC, c.cidx ASC
+                   ) AS rnk
+            FROM ea e, {prev} c
+        ) WHERE rnk <= 2)"""
+    )
+    blocks.append(
+        """icand AS MATERIALIZED (
+        SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+        FROM assignT x JOIN assignT y
+          ON x.cidx = y.cidx AND x.vec_id < y.vec_id)"""
+    )
+    blocks.append(
+        """stats AS (
+        SELECT (SELECT COUNT(*) FROM epairs) AS n_exact_pairs,
+               (SELECT COUNT(*) FROM bcand) AS n_banded_cand,
+               (SELECT COUNT(*) FROM icand) AS n_ivf_cand,
+               (SELECT COUNT(*) FROM epairs e LEFT JOIN bcand c
+                   ON e.vec_a = c.vec_a AND e.vec_b = c.vec_b
+                   WHERE c.vec_a IS NULL) AS banded_missed,
+               (SELECT COUNT(*) FROM epairs e LEFT JOIN icand c
+                   ON e.vec_a = c.vec_a AND e.vec_b = c.vec_b
+                   WHERE c.vec_a IS NULL) AS ivf_missed)"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(blocks)
+        + """
+    SELECT n_exact_pairs, n_banded_cand, n_ivf_cand, banded_missed, ivf_missed,
+           CASE WHEN n_exact_pairs > 0
+                THEN ((n_exact_pairs - banded_missed) * 1000000) // n_exact_pairs
+           END AS banded_recall_ppm,
+           CASE WHEN n_exact_pairs > 0
+                THEN ((n_exact_pairs - ivf_missed) * 1000000) // n_exact_pairs
+           END AS ivf_recall_ppm,
+           CASE WHEN banded_missed = 0 AND ivf_missed = 0
+                     AND n_banded_cand <= n_ivf_cand THEN 'banded'
+                WHEN banded_missed = 0 AND ivf_missed = 0 THEN 'ivf'
+                WHEN banded_missed = 0 THEN 'banded'
+                WHEN ivf_missed = 0 THEN 'ivf'
+                WHEN ((n_exact_pairs - banded_missed) * 1000000) // n_exact_pairs
+                     >= ((n_exact_pairs - ivf_missed) * 1000000) // n_exact_pairs
+                     THEN 'banded'
+                ELSE 'ivf' END AS recommended_generator
+    FROM stats
+    """
+    )
+
+
+@query("vector_pair_quality", _sql_vector_pair_quality())
+def vector_pair_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight candidate-generator audit for the embedding near-dup
+    family (operators/vectors.vector_pair_quality, r11 verdict ask #3):
+    banded-SimHash vs IVF-cell candidate volume, miss counts and ppm
+    recall against the exact-threshold pair set, plus the deterministic
+    generator recommendation — the vector-side analogue of
+    ``lsh_pair_quality``, so the banded/IVF plan choice SCALE_r11 proved
+    worth 81×-vs-14× in candidates is made by a graded operator BEFORE a
+    100 TB run commits.  On the planted-duplicate driver feed both
+    generators are lossless and banding (fewer candidates at this
+    density, no index build) wins; on the zipf clustered corpus the same
+    operator recommends IVF (SCALE_r12.md)."""
+    from mistocksync_spark.operators.vectors import (
+        banded_candidate_pairs,
+        cosine_near_dup_pairs_brute,
+        ivf_candidate_pairs,
+        ivf_train,
+        vector_pair_quality,
+    )
+    from mistocksync_spark.plans.feeds import emb_aug
+
+    emb = emb_aug(spark, sf_dir)
+    n_cells = max(16, int(emb.count()) // 200)
+    cents = ivf_train(emb, n_centroids=n_cells, iterations=2)
+    return vector_pair_quality(
+        banded_candidate_pairs(emb),
+        ivf_candidate_pairs(emb, cents, n_assign=2),
+        cosine_near_dup_pairs_brute(emb, threshold=0.99).select("vec_a", "vec_b"),
+    )
+
+
 # --------------------------------------------------------------------------
 # C11 supplier→base mapping + S12/S13/S14 mutation sinks + S11/J6 report
 # --------------------------------------------------------------------------

@@ -2500,6 +2500,42 @@ def test_lsh_pair_quality_counts(spark):
     assert r2.n_exact == 0 and r2.recall_ppm is None and r2.precision_ppm == 0
 
 
+def test_vector_pair_quality_counts_and_recommendation(spark):
+    from mistocksync_spark.operators.vectors import vector_pair_quality
+
+    def pairs(*ps):
+        return spark.createDataFrame(list(ps), "vec_a long, vec_b long")
+
+    exact = pairs((1, 2), (3, 4))
+    # both lossless -> fewer candidates wins (banded here)
+    r = vector_pair_quality(
+        pairs((1, 2), (3, 4), (5, 6)),
+        pairs((1, 2), (3, 4), (5, 6), (7, 8)),
+        exact,
+    ).collect()[0]
+    assert (r.n_exact_pairs, r.n_banded_cand, r.n_ivf_cand) == (2, 3, 4)
+    assert (r.banded_missed, r.ivf_missed) == (0, 0)
+    assert r.banded_recall_ppm == 1_000_000 and r.ivf_recall_ppm == 1_000_000
+    assert r.recommended_generator == "banded"
+    # only IVF lossless -> ivf wins even with more candidates
+    r2 = vector_pair_quality(
+        pairs((1, 2)),
+        pairs((1, 2), (3, 4), (5, 6), (7, 8)),
+        exact,
+    ).collect()[0]
+    assert (r2.banded_missed, r2.ivf_missed) == (1, 0)
+    assert r2.banded_recall_ppm == 500_000
+    assert r2.recommended_generator == "ivf"
+    # both lossy -> higher recall wins; empty exact -> NULL ppm, no error
+    r3 = vector_pair_quality(pairs((1, 2)), pairs((9, 10)), exact).collect()[0]
+    assert (r3.banded_recall_ppm, r3.ivf_recall_ppm) == (500_000, 0)
+    assert r3.recommended_generator == "banded"
+    r4 = vector_pair_quality(
+        pairs((1, 2)), pairs((1, 2)), exact.limit(0)
+    ).collect()[0]
+    assert r4.banded_recall_ppm is None and r4.recommended_generator == "banded"
+
+
 def test_run_stream_restores_shuffle_partitions_on_failure(spark):
     """_run_stream scopes spark.sql.shuffle.partitions down for the
     stream and must restore the session value even when starting the

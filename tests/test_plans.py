@@ -214,6 +214,9 @@ def test_registry_wide_no_cartesian_bnlj_budget(spark, sf_dir):
         "embedding_knn_join": 1,
         "embedding_near_dup_recall": 6,
         "embedding_near_dup_ivf_recall": 6,
+        # 4 1-row stat crossJoins + the exact-side brute nested loop shared
+        # across its two consumers (same class as the recall twins above)
+        "vector_pair_quality": 7,
         "row_insert_autonumber": 1,
         "embedding_topk_ivf_recall": 2,
         "embedding_topk_ivf_trained_recall": 2,
