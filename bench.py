@@ -151,6 +151,8 @@ def main():
             "incremental_embedding_dedup_stateful",
             "embedding_topk_ivf_stored",
             "embedding_topk_ivf_stored_recall",
+            "ivf_index_rebuild",
+            "ivf_recall_drift",
             "embedding_near_dup_ivf",
             "embedding_near_dup_ivf_recall",
             "incremental_embedding_dedup_ivf",

@@ -1086,6 +1086,67 @@ def ivf_index_tables(
     return centroids_df, inverted
 
 
+def ivf_index_rebuild(
+    grown: DataFrame,
+    old_inverted: DataFrame,
+    n_centroids: int | None = None,
+    iterations: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The index-REBUILD tick the frozen-quantizer ingest path defers to
+    (r11 verdict ask #2; the ``incremental_embedding_dedup_ivf`` contract
+    says "production re-trains on index-rebuild ticks" — this is that
+    tick): re-train the quantizer on the GROWN corpus (original corpus +
+    the ingest ticks' accepted arrivals), rebuild BOTH index tables, and
+    emit the cell-population diff against the old inverted table.
+
+    Returns ``(centroids_df, inverted_df, diff_df)``; the caller rewrites
+    the two persisted tables from the first two (versioned, as
+    ``merge_ladder``-style state), and ``diff_df`` — one row per centroid,
+    (centroid, n_old, n_new, n_delta) — is the rebuild audit: how cell
+    occupancy moved under the re-trained quantizer, the readout that says
+    whether the old quantizer had drifted (a healthy rebuild shifts mass
+    roughly proportionally; a drifted one concentrates it).
+
+    Cost shape: one k-means train (``iterations`` corpus passes of
+    map-side k×dim partials) + one assignment pass + two k-bounded
+    aggregates — the same linear cost as the initial build, paid once per
+    rebuild cadence, vs the per-tick assignment-only cost of the ingest
+    path (SCALE_r11 measured 3.1× per-tick).  ``n_centroids`` defaults to
+    corpus-proportional (one cell per ~200 vectors, the
+    ``cosine_near_dup_pairs_ivf`` rule), so rebuilds also GROW the cell
+    count as the corpus grows — constant cell density is what keeps probe
+    cost flat."""
+    if n_centroids is None:
+        n_centroids = max(16, int(grown.count()) // 200)
+    cents_df, inverted = ivf_index_tables(
+        grown,
+        n_centroids=n_centroids,
+        iterations=iterations,
+        vec_col=vec_col,
+        id_col=id_col,
+    )
+    old_counts = old_inverted.groupBy("centroid").agg(
+        F.count("*").cast("long").alias("n_old")
+    )
+    new_counts = inverted.groupBy("centroid").agg(
+        F.count("*").cast("long").alias("n_new")
+    )
+    diff = (
+        old_counts.join(new_counts, "centroid", "full_outer")
+        .select(
+            "centroid",
+            F.coalesce("n_old", F.lit(0)).alias("n_old"),
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+            (F.coalesce("n_new", F.lit(0)) - F.coalesce("n_old", F.lit(0))).alias(
+                "n_delta"
+            ),
+        )
+    )
+    return cents_df, inverted, diff
+
+
 def ivf_topk_stored(
     df: DataFrame,
     centroids_tbl: DataFrame,

@@ -318,6 +318,40 @@ def emb_incr_batch(spark, sf_dir: str):
     return exact.unionByName(scaled).unionByName(negated).unionByName(neg_scaled)
 
 
+# Index-lifecycle fixture (r11 verdict ask #2): the SERVING corpus before
+# an index rebuild is the ~90% slice (vec_id % 10 != 7); the arrivals are
+# the held-out ~10%.  The natural corpus has no cos >= 0.99 pair (the
+# documented emb_incr fixture property), so every arrival is ACCEPTED by
+# the ingest tick — the grown corpus is simply their union, and the
+# held-out vectors sit INSIDE existing clusters, which is exactly the
+# stale-quantizer story the recall-drift gate must catch (a stale index
+# cannot return an un-indexed arrival that belongs in the true top-k).
+EMB_DRIFT_CORPUS_SQL = (
+    "SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 != 7"
+)
+EMB_DRIFT_ARRIVALS_SQL = (
+    "SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 7"
+)
+
+
+def emb_drift_corpus(spark, sf_dir: str):
+    import os
+
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return emb.filter(F.col("vec_id") % 10 != 7).select("vec_id", "embedding")
+
+
+def emb_drift_arrivals(spark, sf_dir: str):
+    import os
+
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return emb.filter(F.col("vec_id") % 10 == 7).select("vec_id", "embedding")
+
+
 EMB_INCR_CTE_DUCKDB = """
 WITH emb AS (
   SELECT vec_id, embedding, 0 AS is_batch FROM embeddings

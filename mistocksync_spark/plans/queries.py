@@ -2240,6 +2240,18 @@ _SQL_DOT_VAR = (
     "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (acc, x) -> acc + x)"
 )
 
+
+def _sql_cos(a: str, b: str) -> str:
+    """Guarded cosine fragment matching operators/vectors.cosine — the
+    strict left-fold dot/norm pair proven bit-identical cross-engine by
+    the embedding_topk family."""
+    na = _SQL_NORM.format(a=a)
+    nb = _SQL_NORM.format(a=b)
+    return (
+        f"CASE WHEN {na} * {nb} > 0 "
+        f"THEN {_SQL_DOT.format(a=a, b=b)} / ({na} * {nb}) ELSE 0.0 END"
+    )
+
 ORACLES["embedding_near_dup"] = f"""
     WITH emb AS ({{emb_aug}}),
     withn AS (
@@ -2536,6 +2548,67 @@ ORACLES["embedding_near_dup_ivf_recall"] = ORACLES["embedding_near_dup_recall"].
 )
 
 
+def _sql_assign_block(name: str, src: str, cents: str, max_rank: int = 1) -> str:
+    """One k-means ASSIGNMENT CTE: every ``src`` vector's ``max_rank``
+    nearest centroids of ``cents`` under the ivf_train score (dot/|c|,
+    ties to the lowest centroid index — numpy argmax-first / stable
+    argsort order)."""
+    dot_ec = _SQL_DOT_VAR.format(a="e.embedding", b="c.cv")
+    score = f"CASE WHEN c.nrm > 0 THEN {dot_ec} / c.nrm ELSE 0.0 END"
+    cond = "= 1" if max_rank == 1 else f"<= {max_rank}"
+    return f"""{name} AS (
+        SELECT vec_id, cidx FROM (
+            SELECT e.vec_id, c.cidx,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id ORDER BY {score} DESC, c.cidx ASC
+                   ) AS rnk
+            FROM {src} e, {cents} c
+        ) WHERE rnk {cond})"""
+
+
+def _sql_kmeans_blocks(
+    src: str, pfx: str, k_sql: str, iterations: int
+) -> tuple[list[str], str]:
+    """CTE blocks replaying ``ivf_train`` over the ``src`` CTE (vec_id,
+    embedding) — lowest-id seeds, per-iteration argmax assignment +
+    micro-int centroid means, empty cells keeping the previous centroid
+    (the determinism contract documented on ivf_train).  Names carry
+    ``pfx`` so one statement can replay TWO quantizers (the rebuild/drift
+    oracles).  Returns (blocks, final_cents_cte_name)."""
+    blocks = [
+        (
+            f"{pfx}cents0 AS (SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cidx, "
+            f"embedding AS cv, {_SQL_NORM.format(a='embedding')} AS nrm "
+            f"FROM {src} ORDER BY vec_id ASC LIMIT {k_sql})"
+        ),
+        (
+            f"{pfx}u AS (SELECT vec_id, unnest(embedding) AS val, "
+            f"unnest(generate_series(1, len(embedding))) AS dim FROM {src})"
+        ),
+    ]
+    prev = f"{pfx}cents0"
+    for it in range(1, iterations + 1):
+        blocks.append(_sql_assign_block(f"{pfx}assign{it}", src, prev, 1))
+        blocks.append(
+            f"""{pfx}cm{it} AS (
+        SELECT a.cidx, u.dim,
+               CAST(SUM(CAST(floor(CAST(u.val AS DOUBLE) * 1000000 + 0.5) AS HUGEINT)) AS DOUBLE)
+                   / 1000000.0 / COUNT(*) AS mval
+        FROM {pfx}assign{it} a JOIN {pfx}u u USING (vec_id)
+        GROUP BY a.cidx, u.dim)"""
+        )
+        blocks.append(
+            f"""{pfx}cents{it} AS (
+        SELECT cidx, cv, {_SQL_NORM.format(a='cv')} AS nrm FROM (
+            SELECT p.cidx, COALESCE(l.cv, CAST(p.cv AS DOUBLE[])) AS cv
+            FROM {prev} p LEFT JOIN (
+                SELECT cidx, list(mval ORDER BY dim) AS cv FROM {pfx}cm{it} GROUP BY cidx
+            ) l USING (cidx)))"""
+        )
+        prev = f"{pfx}cents{it}"
+    return blocks, prev
+
+
 def _sql_vector_pair_quality(
     nbits: int = 96, nbands: int = 8, iterations: int = 2, threshold: float = 0.99
 ) -> str:
@@ -2590,55 +2663,10 @@ def _sql_vector_pair_quality(
         FROM hbands x JOIN hbands y
           ON x.band_id = y.band_id AND x.band_val = y.band_val
          AND x.vec_id < y.vec_id)""",
-        (
-            "cents0 AS (SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cidx, "
-            f"embedding AS cv, {_SQL_NORM.format(a='embedding')} AS nrm "
-            f"FROM ea ORDER BY vec_id ASC LIMIT {k_sql})"
-        ),
-        (
-            "u AS (SELECT vec_id, unnest(embedding) AS val, "
-            "unnest(generate_series(1, len(embedding))) AS dim FROM ea)"
-        ),
     ]
-    prev = "cents0"
-    for it in range(1, iterations + 1):
-        blocks.append(
-            f"""assign{it} AS (
-        SELECT vec_id, cidx FROM (
-            SELECT e.vec_id, c.cidx,
-                   row_number() OVER (
-                       PARTITION BY e.vec_id ORDER BY {score} DESC, c.cidx ASC
-                   ) AS rnk
-            FROM ea e, {prev} c
-        ) WHERE rnk = 1)"""
-        )
-        blocks.append(
-            f"""cm{it} AS (
-        SELECT a.cidx, u.dim,
-               CAST(SUM(CAST(floor(CAST(u.val AS DOUBLE) * 1000000 + 0.5) AS HUGEINT)) AS DOUBLE)
-                   / 1000000.0 / COUNT(*) AS mval
-        FROM assign{it} a JOIN u USING (vec_id)
-        GROUP BY a.cidx, u.dim)"""
-        )
-        blocks.append(
-            f"""cents{it} AS (
-        SELECT cidx, cv, {_SQL_NORM.format(a='cv')} AS nrm FROM (
-            SELECT p.cidx, COALESCE(l.cv, CAST(p.cv AS DOUBLE[])) AS cv
-            FROM {prev} p LEFT JOIN (
-                SELECT cidx, list(mval ORDER BY dim) AS cv FROM cm{it} GROUP BY cidx
-            ) l USING (cidx)))"""
-        )
-        prev = f"cents{it}"
-    blocks.append(
-        f"""assignT AS (
-        SELECT vec_id, cidx FROM (
-            SELECT e.vec_id, c.cidx,
-                   row_number() OVER (
-                       PARTITION BY e.vec_id ORDER BY {score} DESC, c.cidx ASC
-                   ) AS rnk
-            FROM ea e, {prev} c
-        ) WHERE rnk <= 2)"""
-    )
+    km_blocks, prev = _sql_kmeans_blocks("ea", "", k_sql, iterations)
+    blocks += km_blocks
+    blocks.append(_sql_assign_block("assignT", "ea", prev, max_rank=2))
     blocks.append(
         """icand AS MATERIALIZED (
         SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
@@ -2711,6 +2739,231 @@ def vector_pair_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         banded_candidate_pairs(emb),
         ivf_candidate_pairs(emb, cents, n_assign=2),
         cosine_near_dup_pairs_brute(emb, threshold=0.99).select("vec_a", "vec_b"),
+    )
+
+
+def _sql_ivf_rebuild_diff(iterations: int = 2) -> str:
+    """Oracle for ``ivf_index_rebuild``: replays BOTH quantizers — the
+    stale one (k-means on the serving corpus) and the rebuilt one (k-means
+    on corpus + accepted arrivals), each with its own corpus-proportional
+    k — then the per-centroid population diff of the two inverted tables."""
+    from mistocksync_spark.plans.feeds import (
+        EMB_DRIFT_ARRIVALS_SQL,
+        EMB_DRIFT_CORPUS_SQL,
+    )
+
+    blocks = [
+        f"corp AS ({EMB_DRIFT_CORPUS_SQL})",
+        f"grown AS ({EMB_DRIFT_CORPUS_SQL} UNION ALL {EMB_DRIFT_ARRIVALS_SQL})",
+    ]
+    ob, ocents = _sql_kmeans_blocks(
+        "corp", "o", "(SELECT GREATEST(16, COUNT(*) // 200) FROM corp)", iterations
+    )
+    nb, ncents = _sql_kmeans_blocks(
+        "grown", "n", "(SELECT GREATEST(16, COUNT(*) // 200) FROM grown)", iterations
+    )
+    blocks += ob + nb
+    blocks.append(_sql_assign_block("oassignF", "corp", ocents, 1))
+    blocks.append(_sql_assign_block("nassignF", "grown", ncents, 1))
+    return (
+        "WITH "
+        + ",\n    ".join(blocks)
+        + """
+    SELECT CAST(COALESCE(o.cidx, n.cidx) AS BIGINT) AS centroid,
+           COALESCE(o.cnt, 0) AS n_old,
+           COALESCE(n.cnt, 0) AS n_new,
+           COALESCE(n.cnt, 0) - COALESCE(o.cnt, 0) AS n_delta
+    FROM (SELECT cidx, COUNT(*) AS cnt FROM oassignF GROUP BY cidx) o
+    FULL OUTER JOIN
+         (SELECT cidx, COUNT(*) AS cnt FROM nassignF GROUP BY cidx) n
+      ON o.cidx = n.cidx
+    """
+    )
+
+
+@query("ivf_index_rebuild", _sql_ivf_rebuild_diff())
+def ivf_index_rebuild_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The index-rebuild tick (operators/vectors.ivf_index_rebuild, r11
+    verdict ask #2): the serving index is built and PERSISTED on the
+    drift-fixture corpus (v1 tables), the accepted arrivals grow the
+    corpus (on this fixture every arrival is accepted — no cos >= 0.99
+    pair straddles the split, the documented emb_incr property), and the
+    rebuild re-trains with corpus-proportional k, REWRITES both tables
+    (v2) and returns the per-centroid population diff — the audit row set
+    the oracle re-derives by replaying both quantizers."""
+    import hashlib
+
+    from mistocksync_spark.operators.vectors import (
+        ivf_index_rebuild,
+        ivf_index_tables,
+    )
+    from mistocksync_spark.plans.feeds import emb_drift_arrivals, emb_drift_corpus
+
+    corpus = emb_drift_corpus(spark, sf_dir)
+    root = (
+        "/tmp/spark_graft_ivf_rebuild/"
+        + hashlib.md5(f"ivf_index_rebuild:{sf_dir}".encode()).hexdigest()[:10]
+    )
+    k_old = max(16, int(corpus.count()) // 200)
+    cents_v1, inv_v1 = ivf_index_tables(corpus, n_centroids=k_old, iterations=2)
+    cents_v1.write.mode("overwrite").parquet(f"{root}/v1/centroids")
+    inv_v1.write.mode("overwrite").parquet(f"{root}/v1/inverted")
+    grown = corpus.unionByName(emb_drift_arrivals(spark, sf_dir))
+    cents_v2, inv_v2, diff = ivf_index_rebuild(
+        grown, spark.read.parquet(f"{root}/v1/inverted"), iterations=2
+    )
+    cents_v2.write.mode("overwrite").parquet(f"{root}/v2/centroids")
+    inv_v2.write.mode("overwrite").parquet(f"{root}/v2/inverted")
+    return diff
+
+
+def _sql_ivf_recall_drift(iterations: int = 2, n_probe: int = 4, topk: int = 20) -> str:
+    """Oracle for ``ivf_recall_drift``: replays the STALE index probe (the
+    corpus-trained quantizer serving the GROWN corpus — arrivals absent
+    from its inverted lists by construction) and the REBUILT index probe
+    side by side against brute-force top-k on the grown corpus."""
+    from mistocksync_spark.plans.feeds import (
+        EMB_DRIFT_ARRIVALS_SQL,
+        EMB_DRIFT_CORPUS_SQL,
+    )
+
+    blocks = [
+        f"corp AS ({EMB_DRIFT_CORPUS_SQL})",
+        f"grown AS ({EMB_DRIFT_CORPUS_SQL} UNION ALL {EMB_DRIFT_ARRIVALS_SQL})",
+        "q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)",
+    ]
+    ob, ocents = _sql_kmeans_blocks(
+        "corp", "o", "(SELECT GREATEST(16, COUNT(*) // 200) FROM corp)", iterations
+    )
+    nb, ncents = _sql_kmeans_blocks(
+        "grown", "n", "(SELECT GREATEST(16, COUNT(*) // 200) FROM grown)", iterations
+    )
+    blocks += ob + nb
+    dot_qc = _SQL_DOT_VAR.format(a="q.qv", b="c.cv")
+    qscore = f"CASE WHEN c.nrm > 0 THEN {dot_qc} / c.nrm ELSE 0.0 END"
+    blocks.append(_sql_assign_block("oassignF", "corp", ocents, 1))
+    blocks.append(
+        f"""oprobes AS (
+        SELECT cidx FROM (
+            SELECT c.cidx, {qscore} AS cs FROM {ocents} c, q
+        ) ORDER BY cs DESC, cidx ASC LIMIT {n_probe})"""
+    )
+    blocks.append(
+        f"""stale AS (
+        SELECT e.vec_id FROM corp e
+        JOIN oassignF a USING (vec_id) JOIN oprobes p ON a.cidx = p.cidx, q
+        ORDER BY {_sql_cos('e.embedding', 'q.qv')} DESC, e.vec_id ASC LIMIT {topk})"""
+    )
+    blocks.append(_sql_assign_block("nassignF", "grown", ncents, 1))
+    blocks.append(
+        f"""nprobes AS (
+        SELECT cidx FROM (
+            SELECT c.cidx, {qscore} AS cs FROM {ncents} c, q
+        ) ORDER BY cs DESC, cidx ASC LIMIT {n_probe})"""
+    )
+    blocks.append(
+        f"""rebuilt AS (
+        SELECT e.vec_id FROM grown e
+        JOIN nassignF a USING (vec_id) JOIN nprobes p ON a.cidx = p.cidx, q
+        ORDER BY {_sql_cos('e.embedding', 'q.qv')} DESC, e.vec_id ASC LIMIT {topk})"""
+    )
+    blocks.append(
+        f"""brute AS (
+        SELECT vec_id FROM (
+            SELECT e.vec_id, {_sql_cos('e.embedding', 'q.qv')} AS cs FROM grown e, q
+        ) ORDER BY cs DESC, vec_id ASC LIMIT {topk})"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(blocks)
+        + """
+    SELECT (SELECT COUNT(*) FROM brute) AS n_exact,
+           (SELECT COUNT(*) FROM brute JOIN stale USING (vec_id)) AS n_stale_hits,
+           (SELECT COUNT(*) FROM brute JOIN rebuilt USING (vec_id)) AS n_rebuilt_hits,
+           CAST((SELECT COUNT(*) FROM brute JOIN stale USING (vec_id)) AS DOUBLE)
+               / (SELECT COUNT(*) FROM brute) AS stale_recall_at_k,
+           CAST((SELECT COUNT(*) FROM brute JOIN rebuilt USING (vec_id)) AS DOUBLE)
+               / (SELECT COUNT(*) FROM brute) AS rebuilt_recall_at_k
+    """
+    )
+
+
+@query("ivf_recall_drift", _sql_ivf_recall_drift())
+def ivf_recall_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recall-DRIFT gate the frozen-quantizer assumption needs (r11
+    verdict ask #2): recall@20 of the STALE persisted index (trained and
+    inverted on the pre-arrival corpus, probed over the grown corpus —
+    its lists cannot return an un-indexed arrival) vs recall@20 of the
+    REBUILT index, both against brute force on the grown corpus.  A
+    hash-graded one-row readout: stale recall DROPS when arrivals enter
+    the true top-k (the drift the gate exists to catch) and the rebuilt
+    index restores it; both probes run the pure serving path
+    (ivf_topk_stored over parquet round-tripped tables, no Python
+    stage)."""
+    import hashlib
+
+    from mistocksync_spark.operators.vectors import (
+        brute_force_topk,
+        ivf_index_rebuild,
+        ivf_index_tables,
+        ivf_topk_stored,
+    )
+    from mistocksync_spark.plans.feeds import emb_drift_arrivals, emb_drift_corpus
+
+    corpus = emb_drift_corpus(spark, sf_dir)
+    grown = corpus.unionByName(emb_drift_arrivals(spark, sf_dir))
+    qv = _query_vec(spark, sf_dir)
+    root = (
+        "/tmp/spark_graft_ivf_rebuild/"
+        + hashlib.md5(f"ivf_recall_drift:{sf_dir}".encode()).hexdigest()[:10]
+    )
+    k_old = max(16, int(corpus.count()) // 200)
+    cents_v1, inv_v1 = ivf_index_tables(corpus, n_centroids=k_old, iterations=2)
+    cents_v1.write.mode("overwrite").parquet(f"{root}/v1/centroids")
+    inv_v1.write.mode("overwrite").parquet(f"{root}/v1/inverted")
+    stale = ivf_topk_stored(
+        grown,
+        spark.read.parquet(f"{root}/v1/centroids"),
+        spark.read.parquet(f"{root}/v1/inverted"),
+        qv,
+        k=20,
+    ).select("vec_id")
+    cents_v2, inv_v2, _diff = ivf_index_rebuild(
+        grown, spark.read.parquet(f"{root}/v1/inverted"), iterations=2
+    )
+    cents_v2.write.mode("overwrite").parquet(f"{root}/v2/centroids")
+    inv_v2.write.mode("overwrite").parquet(f"{root}/v2/inverted")
+    rebuilt = ivf_topk_stored(
+        grown,
+        spark.read.parquet(f"{root}/v2/centroids"),
+        spark.read.parquet(f"{root}/v2/inverted"),
+        qv,
+        k=20,
+    ).select("vec_id")
+    brute = brute_force_topk(grown, qv, k=20).select("vec_id")
+    return (
+        brute.agg(F.count("*").cast("long").alias("n_exact"))
+        .crossJoin(
+            brute.join(stale, "vec_id").agg(
+                F.count("*").cast("long").alias("n_stale_hits")
+            )
+        )
+        .crossJoin(
+            brute.join(rebuilt, "vec_id").agg(
+                F.count("*").cast("long").alias("n_rebuilt_hits")
+            )
+        )
+        .select(
+            "n_exact",
+            "n_stale_hits",
+            "n_rebuilt_hits",
+            (F.col("n_stale_hits").cast("double") / F.col("n_exact")).alias(
+                "stale_recall_at_k"
+            ),
+            (F.col("n_rebuilt_hits").cast("double") / F.col("n_exact")).alias(
+                "rebuilt_recall_at_k"
+            ),
+        )
     )
 
 
@@ -3111,16 +3364,6 @@ def embedding_topk_ivf_trained_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, _query_vec(spark, sf_dir), k=20, centroids=cents)
 
 
-def _sql_cos(a: str, b: str) -> str:
-    """Guarded cosine fragment matching operators/vectors.cosine — the
-    strict left-fold dot/norm pair proven bit-identical cross-engine by
-    the embedding_topk family."""
-    na = _SQL_NORM.format(a=a)
-    nb = _SQL_NORM.format(a=b)
-    return (
-        f"CASE WHEN {na} * {nb} > 0 "
-        f"THEN {_SQL_DOT.format(a=a, b=b)} / ({na} * {nb}) ELSE 0.0 END"
-    )
 
 
 @query(

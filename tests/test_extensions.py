@@ -2842,6 +2842,82 @@ def test_ivf_stored_index_matches_trained_probe(spark, sf_dir, tmp_path):
     assert "BroadcastHashJoin" in plan  # candidate-id build side broadcast
 
 
+def test_ivf_index_rebuild_lifecycle(spark, sf_dir, tmp_path):
+    """Round-12: the index-REBUILD tick must (1) fully cover the grown
+    corpus in the rewritten inverted table (one row per vector under
+    n_assign=1), (2) account for every arrival in the cell-population
+    diff (sum of n_new - sum of n_old == arrival count), (3) round-trip
+    the rewritten tables losslessly (stored probe == in-memory probe on
+    the grown corpus), and (4) never lose recall vs the STALE index on
+    the drift fixture — the recall-drift gate's invariant."""
+    from mistocksync_spark.operators.vectors import (
+        brute_force_topk,
+        ivf_index_rebuild,
+        ivf_index_tables,
+        ivf_topk,
+        ivf_topk_stored,
+        ivf_train,
+    )
+    from mistocksync_spark.plans.feeds import emb_drift_arrivals, emb_drift_corpus
+
+    corpus = emb_drift_corpus(spark, sf_dir)
+    arrivals = emb_drift_arrivals(spark, sf_dir)
+    grown = corpus.unionByName(arrivals)
+    n_corpus, n_arrivals = corpus.count(), arrivals.count()
+    q = [
+        float(x)
+        for x in corpus.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+
+    cents_v1, inv_v1 = ivf_index_tables(corpus, iterations=2)
+    inv_v1.write.parquet(str(tmp_path / "v1_inv"))
+    cents_v1.write.parquet(str(tmp_path / "v1_cents"))
+    old_inv = spark.read.parquet(str(tmp_path / "v1_inv"))
+
+    cents_v2, inv_v2, diff = ivf_index_rebuild(grown, old_inv, iterations=2)
+    inv_v2.write.parquet(str(tmp_path / "v2_inv"))
+    cents_v2.write.parquet(str(tmp_path / "v2_cents"))
+
+    assert spark.read.parquet(str(tmp_path / "v2_inv")).count() == n_corpus + n_arrivals
+    totals = diff.agg(
+        F.sum("n_old").alias("o"), F.sum("n_new").alias("n"), F.sum("n_delta").alias("d")
+    ).collect()[0]
+    assert (totals.o, totals.n, totals.d) == (
+        n_corpus,
+        n_corpus + n_arrivals,
+        n_arrivals,
+    )
+
+    # rewritten tables serve bit-identically to the in-memory rebuild
+    k_new = max(16, int(n_corpus + n_arrivals) // 200)
+    stored = ivf_topk_stored(
+        grown,
+        spark.read.parquet(str(tmp_path / "v2_cents")),
+        spark.read.parquet(str(tmp_path / "v2_inv")),
+        q,
+        k=10,
+    )
+    mem = ivf_topk(
+        grown, q, k=10, centroids=ivf_train(grown, n_centroids=k_new, iterations=2)
+    )
+    assert [tuple(r) for r in stored.collect()] == [tuple(r) for r in mem.collect()]
+
+    # drift gate invariant: rebuilt recall >= stale recall on this fixture
+    brute = {r.vec_id for r in brute_force_topk(grown, q, k=10).collect()}
+    stale_ids = {
+        r.vec_id
+        for r in ivf_topk_stored(
+            grown,
+            spark.read.parquet(str(tmp_path / "v1_cents")),
+            old_inv,
+            q,
+            k=10,
+        ).collect()
+    }
+    rebuilt_ids = {r.vec_id for r in stored.collect()}
+    assert len(brute & rebuilt_ids) >= len(brute & stale_ids)
+
+
 def test_ivf_near_dup_matches_banded_and_brute(spark, sf_dir):
     """Round-11: the cluster-restricted near-dup candidate generator must
     find exactly the same verified pairs as the banded-SimHash plan and

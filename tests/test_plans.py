@@ -221,6 +221,7 @@ def test_registry_wide_no_cartesian_bnlj_budget(spark, sf_dir):
         "embedding_topk_ivf_recall": 2,
         "embedding_topk_ivf_trained_recall": 2,
         "embedding_topk_ivf_stored_recall": 2,
+        "ivf_recall_drift": 2,
         "embedding_topk_pq_recall": 2,
         "rare_token_score": 1,
         "events_value_histogram": 1,
