@@ -55,6 +55,106 @@ def compact_files(
     return n
 
 
+def state_bucket(key_cols: list[str], n_buckets: int = 64):
+    """Deterministic bucket id for a state-table join key: pmod(xxhash64)
+    over the key columns.  The SAME expression computes (a) the partition
+    column at write time and (b) the batch's touched-bucket set at read
+    time, so pruning can never disagree with placement."""
+    from pyspark.sql import functions as F
+
+    return F.pmod(F.xxhash64(*key_cols), F.lit(n_buckets)).cast("int")
+
+
+def keyed_state_append(
+    df: DataFrame, path: str, key_cols: list[str], n_buckets: int = 64
+) -> str:
+    """Append one ingest tick's rows to a persistent state table
+    PARTITIONED by the join-key bucket — the layout that keeps a
+    thousand-tick state joinable: an equi-join probe only needs the
+    buckets its own keys hash to, so the state scan is partition-pruned
+    instead of full (r11 verdict ask #1; the flat `v{k}` rewrite the
+    5-tick ladder used re-wrote the WHOLE state every tick and pruned
+    nothing).  At 100 TB this is a bucketed/clustered table in a real
+    catalog; directory-partitioned parquet is the same physical idea."""
+    (
+        df.withColumn("bucket", state_bucket(key_cols, n_buckets))
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+    return path
+
+
+def touched_buckets(
+    df: DataFrame, key_cols: list[str], n_buckets: int = 64
+) -> list[int]:
+    """The bucket ids a batch's join keys hash to — a bounded driver fetch
+    (<= n_buckets ints) that becomes the pruning predicate on the state
+    read.  Lossless for an equi-join: state rows in untouched buckets
+    cannot match any batch key."""
+    rows = (
+        df.select(state_bucket(key_cols, n_buckets).alias("bucket"))
+        .distinct()
+        .collect()
+    )
+    return sorted(r.bucket for r in rows)
+
+
+def keyed_state_read(
+    spark: SparkSession, path: str, buckets: list[int] | None = None
+) -> DataFrame:
+    """Read a ``keyed_state_append`` table, pruned to ``buckets`` when
+    given (partition-directory pruning — PartitionFilters in the scan,
+    asserted by tests/test_layout.py)."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    if buckets is not None:
+        df = df.filter(F.col("bucket").isin([int(b) for b in buckets]))
+    return df.drop("bucket")
+
+
+def state_file_count(path: str) -> int:
+    """Data-file count of a state table (recursive) — the small-file
+    metric the compaction tick exists to bound."""
+    import glob
+    import os
+
+    return len(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+
+
+def compact_keyed_state(
+    spark: SparkSession, path: str, part_col: str = "bucket"
+) -> tuple[int, int]:
+    """Compaction tick for a partitioned state table (``keyed_state_append``
+    output, or any ``partitionBy(part_col)`` append sink such as the IVF
+    inverted table partitioned by centroid): rewrite every partition's
+    accumulated per-tick files into one file per partition value
+    (hash-repartition ON the partition column so each task owns whole
+    partitions), preserving the partition layout and every row.  Returns
+    (files_before, files_after).  The rewrite-and-swap is what a table
+    format (Iceberg/Delta OPTIMIZE) does transactionally at 100 TB; on a
+    filesystem it is rewrite-to-temp + atomic directory swap."""
+    import os
+    import shutil
+
+    before = state_file_count(path)
+    df = spark.read.parquet(path)  # partition column included
+    n_parts = max(1, df.select(part_col).distinct().count())
+    tmp = path.rstrip("/") + ".compact_tmp"
+    (
+        df.repartition(n_parts, part_col)
+        .write.mode("overwrite")
+        .partitionBy(part_col)
+        .parquet(tmp)
+    )
+    old = path.rstrip("/") + ".compact_old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    return before, state_file_count(path)
+
+
 def zorder_key(a, b, bits: int = 16):
     """Z-order (Morton) interleave of two non-negative integer columns —
     the multi-dimension clustering key range clustering can't provide:

