@@ -477,6 +477,45 @@ def run_vectors_layout(
             flush=True,
         )
 
+        # serving-probe pruning on the rebuilt centroid-partitioned table:
+        # a top-k probe touches n_probe of k cells — THE selective case
+        # for partition layout (ingest ticks touch most cells; probes
+        # touch ~4/k).  Same probe against a FLAT copy for contrast.
+        from mistocksync_spark.operators.vectors import ivf_topk_stored
+
+        q = [
+            float(x)
+            for x in grown.filter(F.col("vec_id") == ids[0])
+            .collect()[0]["embedding"]
+        ]
+        cents_tbl = spark.read.parquet(f"{state_dir}/rebuild/centroids")
+        part_inv = spark.read.parquet(f"{state_dir}/rebuild/inverted").select(
+            "vec_id", F.col("centroid").cast("long").alias("centroid")
+        )
+        inv_df.write.mode("overwrite").parquet(f"{state_dir}/rebuild/inverted_flat")
+        flat_inv = spark.read.parquet(f"{state_dir}/rebuild/inverted_flat")
+        t0 = time.monotonic()
+        r_part = ivf_topk_stored(grown, cents_tbl, part_inv, q, k=20).collect()
+        part_wall = time.monotonic() - t0
+        t0 = time.monotonic()
+        r_flat = ivf_topk_stored(grown, cents_tbl, flat_inv, q, k=20).collect()
+        flat_wall = time.monotonic() - t0
+        assert [tuple(r) for r in r_part] == [tuple(r) for r in r_flat]
+        plan = (
+            ivf_topk_stored(grown, cents_tbl, part_inv, q, k=20)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "PartitionFilters" in plan, "probe pruning absent from plan"
+        k_new = cents_tbl.count()
+        print(
+            f"stored probe, partitioned inverted table: {part_wall:.2f}s "
+            f"(4/{k_new} cells scanned, PartitionFilters in plan) vs flat "
+            f"table {flat_wall:.2f}s; identical top-k",
+            flush=True,
+        )
+
         t0 = time.monotonic()
         oneshot = {
             r.vec_id
