@@ -1776,6 +1776,50 @@ def incremental_dedup_merge_stateful_q(spark: SparkSession, sf_dir: str) -> Data
 ORACLES["incremental_dedup_merge_stateful"] = ORACLES["incremental_dedup_merge"]
 
 
+@query("incremental_dedup_merge_pruned")
+def incremental_dedup_merge_pruned_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ingest tick against the PARTITIONED persisted state under a
+    PRUNED read (round-12, sinks/layout.py): the corpus signature state is
+    written partitioned by pmod(xxhash64(band, band_key)) buckets, the
+    tick computes its batch's touched-bucket set (bounded driver fetch,
+    the same expression that placed the rows) and reads ONLY those
+    partitions.  Pruning is lossless for the candidate equi-join —
+    untouched buckets cannot match any batch band key — so this must
+    hash-match the self-contained tick; oracle shared with
+    ``incremental_dedup_merge``.  This grades the layout the 20-tick
+    ladders (SCALE_r12.md §1) run at scale."""
+    import hashlib
+
+    from mistocksync_spark.operators.dedup import (
+        corpus_signature_state,
+        incremental_dedup_merge,
+    )
+    from mistocksync_spark.plans.feeds import docs_incr_batch, docs_incr_corpus
+    from mistocksync_spark.sinks.layout import (
+        keyed_state_append,
+        keyed_state_read,
+        touched_buckets,
+    )
+
+    key = ["band", "band_key"]
+    corpus = docs_incr_corpus(spark, sf_dir)
+    batch = docs_incr_batch(spark, sf_dir)
+    root = (
+        "/tmp/spark_graft_band_state/"
+        + hashlib.md5(f"incremental_dedup_merge_pruned:{sf_dir}".encode()).hexdigest()[:10]
+    )
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)  # append sink: start clean
+    keyed_state_append(corpus_signature_state(corpus), root, key, n_buckets=64)
+    bbands = corpus_signature_state(batch).localCheckpoint(eager=False)
+    state = keyed_state_read(spark, root, touched_buckets(bbands, key, 64))
+    return incremental_dedup_merge(corpus, batch, corpus_bands=state)
+
+
+ORACLES["incremental_dedup_merge_pruned"] = ORACLES["incremental_dedup_merge"]
+
+
 @query("incremental_dedup_summary")
 def incremental_dedup_summary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tick accounting: corpus/batch/accepted/rejected counts — the
