@@ -157,6 +157,7 @@ def main():
             "embedding_near_dup_ivf",
             "embedding_near_dup_ivf_recall",
             "incremental_embedding_dedup_ivf",
+            "incremental_embedding_dedup_ivf_pruned",
             "embedding_quantize",
             "events_value_histogram",
             "lineitem_profile",

@@ -2491,6 +2491,61 @@ def incremental_embedding_dedup_ivf_q(spark: SparkSession, sf_dir: str) -> DataF
 ORACLES["incremental_embedding_dedup_ivf"] = ORACLES["incremental_embedding_dedup"]
 
 
+@query("incremental_embedding_dedup_ivf_pruned")
+def incremental_embedding_dedup_ivf_pruned_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The IVF vector ingest tick with the stored inverted state written
+    PARTITIONED BY CENTROID and read PRUNED to the batch's assigned cells
+    (round-12, the vector analogue of ``incremental_dedup_merge_pruned``;
+    the layout the SCALE_r12 §2 ladders run): pruning is lossless because
+    candidates are a centroid equi-join — corpus rows in cells none of
+    the batch's assignments touch cannot pair with any arrival.  Same
+    decision rule, frozen quantizer and oracle as
+    ``incremental_embedding_dedup_ivf``."""
+    import hashlib
+    import shutil
+
+    from mistocksync_spark.operators.vectors import (
+        incremental_embedding_dedup_ivf,
+        ivf_assign,
+        ivf_train,
+    )
+    from mistocksync_spark.plans.feeds import emb_incr_batch, emb_incr_corpus
+
+    corpus = emb_incr_corpus(spark, sf_dir)
+    batch = emb_incr_batch(spark, sf_dir)
+    n_cells = max(16, corpus.count() // 200)
+    cents = ivf_train(corpus, n_centroids=n_cells, iterations=2)
+    root = (
+        "/tmp/spark_graft_ivf_incr/"
+        + hashlib.md5(
+            f"incremental_embedding_dedup_ivf_pruned:{sf_dir}".encode()
+        ).hexdigest()[:10]
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    ivf_assign(corpus, cents, n_assign=2).write.mode("overwrite").partitionBy(
+        "centroid"
+    ).parquet(f"{root}/cells")
+    bcells = ivf_assign(batch, cents, n_assign=2).localCheckpoint(eager=False)
+    probe_cells = [
+        r.centroid for r in bcells.select("centroid").distinct().collect()
+    ]
+    pruned = (
+        spark.read.parquet(f"{root}/cells")
+        .filter(F.col("centroid").isin(probe_cells))
+        .select("vec_id", F.col("centroid").cast("long").alias("centroid"))
+    )
+    return incremental_embedding_dedup_ivf(
+        corpus, batch, cents, corpus_cells=pruned
+    )
+
+
+ORACLES["incremental_embedding_dedup_ivf_pruned"] = ORACLES[
+    "incremental_embedding_dedup"
+]
+
+
 @query("embedding_contamination")
 def embedding_contamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space decontamination: the planted duplicate vectors
