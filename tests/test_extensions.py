@@ -2993,3 +2993,29 @@ def test_incremental_embedding_dedup_ivf_matches_banded(spark, tmp_path):
                   corpus_cells=spark.read.parquet(str(tmp_path / "cells")),
               ).collect()}
     assert stored == got
+
+    # round-12: centroid-PARTITIONED state, read PRUNED to the batch's
+    # assigned cells (lossless — candidates are a centroid equi-join) —
+    # verdicts identical, and the pruned scan is partition-pruned in plan
+    ivf_assign(corpus, cents, n_assign=2).write.partitionBy("centroid").parquet(
+        str(tmp_path / "cells_part")
+    )
+    probe = [
+        r.centroid
+        for r in ivf_assign(batch, cents, n_assign=2)
+        .select("centroid")
+        .distinct()
+        .collect()
+    ]
+    pruned_cells = (
+        spark.read.parquet(str(tmp_path / "cells_part"))
+        .filter(F.col("centroid").isin(probe))
+        .select("vec_id", F.col("centroid").cast("long").alias("centroid"))
+    )
+    pruned = {(r.vec_id, r.origin)
+              for r in incremental_embedding_dedup_ivf(
+                  corpus, batch, cents, dim=4, corpus_cells=pruned_cells,
+              ).collect()}
+    assert pruned == got
+    plan = pruned_cells._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
