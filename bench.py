@@ -158,6 +158,7 @@ def main():
             "embedding_near_dup_ivf_recall",
             "incremental_embedding_dedup_ivf",
             "incremental_embedding_dedup_ivf_pruned",
+            "incremental_embedding_dedup_ivf_stream",
             "embedding_quantize",
             "events_value_histogram",
             "lineitem_profile",

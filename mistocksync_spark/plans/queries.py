@@ -2546,6 +2546,61 @@ ORACLES["incremental_embedding_dedup_ivf_pruned"] = ORACLES[
 ]
 
 
+@query("incremental_embedding_dedup_ivf_stream")
+def incremental_embedding_dedup_ivf_stream_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming parity for the VECTOR ingest tick (round-12, the
+    embedding sibling of ``incremental_dedup_stream``): arrivals land as
+    two id-ordered parquet files consumed one per micro-batch
+    (foreachBatch MERGE into versioned (vecs, cells) state under a FROZEN
+    quantizer), and the final accepted corpus must equal the one-shot
+    batch query — oracle shared with ``incremental_embedding_dedup``.
+    The split at id 3.5M puts the corpus-dup arrivals (exact/scaled) and
+    the accepted negated arrivals in micro-batch 0 and the
+    dup-of-accepted-negated arrivals in micro-batch 1, so the CROSS-TICK
+    seen-set chain (a tick-1 arrival rejected against a tick-0 ACCEPTED
+    arrival) is exercised, not just within-tick dedup."""
+    import os
+    import tempfile
+    import time
+
+    from mistocksync_spark.operators.vectors import ivf_train
+    from mistocksync_spark.plans.feeds import emb_incr_batch, emb_incr_corpus
+    from mistocksync_spark.streaming.merge import incremental_embedding_dedup_stream
+
+    corpus = emb_incr_corpus(spark, sf_dir)
+    n_cells = max(16, corpus.count() // 200)
+    cents = ivf_train(corpus, n_centroids=n_cells, iterations=2)
+    work = tempfile.mkdtemp(prefix="incr_emb_stream_")
+    arrivals = os.path.join(work, "arrivals")
+    os.makedirs(arrivals)
+    batch = emb_incr_batch(spark, sf_dir)
+    now = time.time()
+    for i, (lo, hi) in enumerate([(0, 3_500_000), (3_500_000, 10_000_000)]):
+        part_dir = os.path.join(work, f"part{i}")
+        batch.filter(
+            (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+        ).coalesce(1).write.parquet(part_dir)
+        src = [f for f in os.listdir(part_dir) if f.endswith(".parquet")][0]
+        dst = os.path.join(arrivals, f"arrivals_{i}.parquet")
+        os.rename(os.path.join(part_dir, src), dst)
+        os.utime(dst, (now - 120 + 60 * i, now - 120 + 60 * i))
+    return incremental_embedding_dedup_stream(
+        spark,
+        corpus,
+        arrivals,
+        os.path.join(work, "state"),
+        os.path.join(work, "ckpt"),
+        cents,
+    )
+
+
+ORACLES["incremental_embedding_dedup_ivf_stream"] = ORACLES[
+    "incremental_embedding_dedup"
+]
+
+
 @query("embedding_contamination")
 def embedding_contamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space decontamination: the planted duplicate vectors

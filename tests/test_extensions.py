@@ -2954,6 +2954,64 @@ def test_ivf_assign_multi_covers_top_n(spark, sf_dir):
     assert joined.count() == n
 
 
+def test_incremental_embedding_dedup_stream_equals_batch(spark, tmp_path):
+    """Round-12: the streaming vector ingest (two id-ordered micro-batches,
+    versioned (vecs, cells) state, frozen quantizer) must reproduce the
+    one-shot IVF tick bit-for-bit, INCLUDING the cross-tick chain — vector
+    15 (dup of tick-0's accepted 14) arrives in tick 1 and must reject
+    against persisted state, and 13 (dup of REJECTED-in-tick-0's... of
+    accepted 12) likewise."""
+    import os
+    import time
+
+    from mistocksync_spark.operators.vectors import (
+        incremental_embedding_dedup_ivf,
+        ivf_train,
+    )
+    from mistocksync_spark.streaming.merge import incremental_embedding_dedup_stream
+
+    corpus = _emb(spark, [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])])
+    batch = _emb(
+        spark,
+        [
+            (10, [2.0, 0.0, 0.0, 0.0]),   # tick 0: dup of corpus 1 -> reject
+            (11, [0.0, 1.0, 0.0, 0.0]),   # tick 0: dup of corpus 2 -> reject
+            (12, [0.0, 0.0, 1.0, 0.0]),   # tick 0: fresh -> accept
+            (14, [-1.0, 0.0, 0.0, 0.0]),  # tick 0: fresh (negated) -> accept
+            (13, [0.0, 0.0, 3.0, 0.0]),   # tick 1: dup of ACCEPTED 12 -> reject
+            (15, [-5.0, 0.0, 0.0, 0.0]),  # tick 1: dup of ACCEPTED 14 -> reject
+        ],
+    )
+    cents = ivf_train(corpus, n_centroids=2, iterations=2)
+    want = {
+        (r.vec_id, r.origin)
+        for r in incremental_embedding_dedup_ivf(corpus, batch, cents, dim=4).collect()
+    }
+    arrivals = str(tmp_path / "arrivals")
+    os.makedirs(arrivals)
+    now = time.time()
+    for i, ids in enumerate([(10, 11, 12, 14), (13, 15)]):
+        part = str(tmp_path / f"part{i}")
+        batch.filter(F.col("vec_id").isin(list(ids))).coalesce(1).write.parquet(part)
+        src = [f for f in os.listdir(part) if f.endswith(".parquet")][0]
+        dst = os.path.join(arrivals, f"a{i}.parquet")
+        os.rename(os.path.join(part, src), dst)
+        os.utime(dst, (now - 120 + 60 * i,) * 2)
+    got = {
+        (r.vec_id, r.origin)
+        for r in incremental_embedding_dedup_stream(
+            spark,
+            corpus,
+            arrivals,
+            str(tmp_path / "state"),
+            str(tmp_path / "ckpt"),
+            cents,
+            dim=4,
+        ).collect()
+    }
+    assert got == want == {(1, "corpus"), (2, "corpus"), (12, "batch"), (14, "batch")}
+
+
 def test_incremental_embedding_dedup_ivf_matches_banded(spark, tmp_path):
     """Round-11: the IVF-cell tick under a frozen quantizer must reproduce
     the banded tick's verdicts on every fixture path (scaled corpus dup,
