@@ -392,3 +392,26 @@ def docs_url(spark, sf_dir: str):
 
     spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).createOrReplaceTempView("documents")
     return spark.sql(DOCS_URL_SQL)
+
+
+# Documents with cross-document duplicated SUBSTRINGS planted (a ~123-char
+# license header on every 6th doc, a ~73-char newsletter footer on every
+# 10th-pattern doc) so the exact-substring span family has long clustered
+# positives on top of the corpus's natural small-vocabulary repeats.
+DOCS_SPAN_SQL = """
+SELECT doc_id,
+  CASE WHEN doc_id % 6 = 0
+       THEN 'лицензионное соглашение: копирование и распространение данного текста без письменного разрешения правообладателя запрещено. ' || text
+       ELSE text END
+  || CASE WHEN doc_id % 10 = 3
+          THEN ' подпишитесь на нашу еженедельную рассылку чтобы получать все обновления'
+          ELSE '' END AS text
+FROM documents
+"""
+
+
+def docs_span(spark, sf_dir: str):
+    import os
+
+    spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).createOrReplaceTempView("documents")
+    return spark.sql(DOCS_SPAN_SQL)

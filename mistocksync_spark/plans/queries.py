@@ -7958,3 +7958,278 @@ def events_bootstrap_ci_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.sum(_u("value")).cast("double") / F.lit(1e6)).alias("user_total"))
     )
     return poisson_bootstrap_ci(per_user, "user_total", "user_id", n_replicas=200)
+
+
+# --------------------------------------------------------------------------
+# Exact-substring (duplicated-span) dedup family (round 12): the
+# suffix-array-style dedup of Lee et al. 2022 re-expressed as rolling-hash
+# gram positions + gaps-and-islands span merge (operators/dedup.py), over
+# documents with planted cross-doc substrings (plans/feeds.DOCS_SPAN_SQL:
+# a ~123-char license header on every 6th doc, a ~73-char footer on every
+# 10th-pattern doc) plus the corpus's natural small-vocabulary repeats.
+# --------------------------------------------------------------------------
+_SPAN_GRAM = 30
+_SPAN_MIN = 60
+
+
+def _docs_span_cte() -> str:
+    from mistocksync_spark.plans.feeds import DOCS_SPAN_SQL
+
+    return f"WITH docs AS ({DOCS_SPAN_SQL})"
+
+
+_SQL_SPAN_POS = f"""
+    , pos AS (
+        SELECT doc_id, i AS pos, md5(substr(text, i, {_SPAN_GRAM})) AS g
+        FROM docs,
+             UNNEST(generate_series(1, greatest(length(text) - {_SPAN_GRAM - 1}, 0))) AS u(i)
+    )
+"""
+
+# maximal spans from a match CTE named m(doc_a, doc_b, pa, pb, diag) —
+# pa minus its rank is constant exactly along a run of consecutive pa
+_SQL_SPANS_FROM_M = f"""
+    , spans_isl AS (
+        SELECT doc_a, doc_b, diag, pa, pb,
+               pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS isl
+        FROM m
+    )
+    SELECT doc_a, doc_b, MIN(pa) AS start_a, MIN(pb) AS start_b,
+           CAST(COUNT(*) + {_SPAN_GRAM - 1} AS BIGINT) AS span_len
+    FROM spans_isl GROUP BY doc_a, doc_b, diag, isl
+    HAVING COUNT(*) + {_SPAN_GRAM - 1} >= {_SPAN_MIN}
+"""
+
+_SQL_ANCHOR_CAND = """
+    , anch AS (SELECT doc_id, g FROM pos WHERE substr(g, 1, 1) IN ('0', '1'))
+    , cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM anch a JOIN anch b ON a.g = b.g AND a.doc_id < b.doc_id
+    )
+"""
+
+
+def _span_positions_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gram-position table (doc_id, pos, g), lazily materialized once per
+    (session, sf_dir) for the span family — the four siblings share one
+    positions build instead of re-hashing every character window (the
+    ``_shingles_shared`` memo pattern)."""
+    key = (id(spark), sf_dir, "span_pos")
+    if key not in _CC_MEMO:
+        from mistocksync_spark.operators.dedup import char_gram_positions
+        from mistocksync_spark.plans.feeds import docs_span
+
+        _CC_MEMO[key] = char_gram_positions(
+            docs_span(spark, sf_dir), gram_len=_SPAN_GRAM
+        ).localCheckpoint(eager=False)
+    return _CC_MEMO[key]
+
+
+@query(
+    "duplicated_spans",
+    _docs_span_cte()
+    + _SQL_SPAN_POS
+    + """
+    , m AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb,
+               a.pos - b.pos AS diag
+        FROM pos a JOIN pos b ON a.g = b.g AND a.doc_id < b.doc_id
+    )
+"""
+    + _SQL_SPANS_FROM_M,
+)
+def duplicated_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All maximal cross-doc duplicated substrings >= 60 chars
+    (operators/dedup.duplicated_spans) — the exact baseline of the
+    exact-substring family (suffix-array dedup, Lee et al. 2022, public
+    method): gram-hash equi-join + per-(pair, diagonal) islands merge.
+    Pairwise by definition (the output enumerates pairs), so a cluster of
+    n header-sharing docs costs O(n²) match rows — the graded scale paths
+    are ``duplicated_span_coverage`` (no pairs) and
+    ``duplicated_spans_anchored`` (candidates → rescore)."""
+    from mistocksync_spark.operators.dedup import duplicated_spans
+
+    return duplicated_spans(_span_positions_shared(spark, sf_dir), _SPAN_GRAM, _SPAN_MIN)
+
+
+@query(
+    "duplicated_spans_anchored",
+    _docs_span_cte()
+    + _SQL_SPAN_POS
+    + _SQL_ANCHOR_CAND
+    + """
+    , m AS (
+        SELECT c.doc_a, c.doc_b, a.pos AS pa, b.pos AS pb, a.pos - b.pos AS diag
+        FROM cand c
+        JOIN pos a ON a.doc_id = c.doc_a
+        JOIN pos b ON b.doc_id = c.doc_b AND b.g = a.g
+    )
+"""
+    + _SQL_SPANS_FROM_M,
+)
+def duplicated_spans_anchored_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchored-candidate + exact-rescore duplicated spans (operators/
+    dedup.duplicated_spans_anchored) — the scale path of the span family:
+    a 1/8 content-defined anchor sample (first hex char of the gram hash)
+    generates candidate pairs with an 8×-smaller join side, then the exact
+    span merge runs only over docs that appear in a candidate pair.  Same
+    schema and per-pair output as ``duplicated_spans`` on every recalled
+    pair (both copies of a duplicated substring anchor at the SAME
+    relative offsets, so a >= 60-char span escapes only if all >= 31 of
+    its grams miss the 1/8 sample, ≈1.6% per unique content — measured by
+    ``span_anchor_recall``).  On this dup-DENSE fixture candidates ≈ all
+    pairs so the two stages cost more than one exact pass (recorded, like
+    the ppjoin/IVF crossovers); the candidate stage pays off at production
+    dup rates where dup pairs are sparse."""
+    from mistocksync_spark.operators.dedup import duplicated_spans_anchored
+
+    return duplicated_spans_anchored(
+        _span_positions_shared(spark, sf_dir), _SPAN_GRAM, _SPAN_MIN
+    )
+
+
+@query(
+    "duplicated_span_coverage",
+    _docs_span_cte()
+    + _SQL_SPAN_POS
+    + f"""
+    , dupg AS (SELECT g FROM pos GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2)
+    , iv AS (
+        SELECT p.doc_id, p.pos, p.pos + {_SPAN_GRAM - 1} AS e
+        FROM pos p JOIN dupg USING (g)
+    )
+    , fl AS (
+        SELECT doc_id, pos, e,
+               MAX(e) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_e
+        FROM iv
+    )
+    , islands AS (
+        SELECT doc_id, pos, e,
+               SUM(CASE WHEN prev_e IS NULL OR pos > prev_e + 1 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+        FROM fl
+    )
+    , cov AS (
+        SELECT doc_id, CAST(SUM(chars) AS BIGINT) AS dc
+        FROM (SELECT doc_id, isl, MAX(e) - MIN(pos) + 1 AS chars
+              FROM islands GROUP BY doc_id, isl)
+        GROUP BY doc_id
+    )
+    SELECT d.doc_id, length(d.text) AS doc_len,
+           COALESCE(c.dc, 0) AS dup_chars,
+           ROUND(COALESCE(c.dc, 0) * 1.0 / length(d.text), 6) AS dup_frac
+    FROM docs d LEFT JOIN cov c USING (doc_id)
+""",
+)
+def duplicated_span_coverage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicated-character fraction (operators/dedup.
+    duplicated_span_coverage) — the production form of exact-substring
+    dedup (the number a corpus filter thresholds on): a position is
+    duplicated iff its gram occurs in >= 2 distinct docs (ONE groupBy on
+    the gram hash — linear in corpus bytes, no pair explosion however
+    large a boilerplate cluster grows), and per-doc coverage is the
+    interval-union length via the running-max-end sweep.  This is the
+    entry that survives 100 TB unconditionally: no stage is quadratic in
+    anything."""
+    from mistocksync_spark.operators.dedup import duplicated_span_coverage
+    from mistocksync_spark.plans.feeds import docs_span
+
+    return duplicated_span_coverage(
+        docs_span(spark, sf_dir),
+        gram_len=_SPAN_GRAM,
+        positions=_span_positions_shared(spark, sf_dir),
+    )
+
+
+@query(
+    "span_anchor_recall",
+    _docs_span_cte()
+    + _SQL_SPAN_POS
+    + _SQL_ANCHOR_CAND
+    + f"""
+    , ep AS (
+        SELECT DISTINCT doc_a, doc_b FROM (
+            SELECT doc_a, doc_b, diag, isl
+            FROM (
+                SELECT doc_a, doc_b, diag, pa,
+                       pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS isl
+                FROM (
+                    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa,
+                           a.pos - b.pos AS diag
+                    FROM pos a JOIN pos b ON a.g = b.g AND a.doc_id < b.doc_id
+                )
+            )
+            GROUP BY doc_a, doc_b, diag, isl
+            HAVING COUNT(*) + {_SPAN_GRAM - 1} >= {_SPAN_MIN}
+        )
+    )
+    , rec AS (SELECT ep.doc_a, ep.doc_b FROM ep JOIN cand USING (doc_a, doc_b))
+    SELECT (SELECT COUNT(*) FROM ep) AS n_exact_pairs,
+           (SELECT COUNT(*) FROM cand) AS n_candidate_pairs,
+           (SELECT COUNT(*) FROM rec) AS n_recalled,
+           ROUND((SELECT COUNT(*) FROM rec) * 1.0
+                 / (SELECT COUNT(*) FROM ep), 6) AS pair_recall
+""",
+)
+def span_anchor_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight recall gate for the anchored span variant (operators/
+    dedup.span_anchor_recall, the text-span analogue of
+    ``vector_pair_quality``): pair-level recall of the 1/8 anchor
+    candidate generator against the exact >= 60-char span pairs, as a
+    1-row audit run on a sample before a corpus-scale span sweep commits
+    to the sampled path."""
+    from mistocksync_spark.operators.dedup import span_anchor_recall
+
+    return span_anchor_recall(
+        _span_positions_shared(spark, sf_dir), _SPAN_GRAM, _SPAN_MIN
+    )
+
+
+@query(
+    "events_salted_dim_join",
+    f"""
+    WITH dim AS (
+        SELECT event_type, length(event_type) AS type_len,
+               CASE WHEN event_type IN ('purchase', 'signup') THEN 'conversion'
+                    ELSE 'engagement' END AS funnel_stage
+        FROM (SELECT DISTINCT event_type FROM events)
+    )
+    SELECT d.funnel_stage, e.event_type, d.type_len,
+           COUNT(*) AS n_events,
+           {sql_dec_sum("e.value", 2)} AS sum_value
+    FROM events e JOIN dim d USING (event_type)
+    GROUP BY 1, 2, 3
+""",
+)
+def events_salted_dim_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof fact⋈dim join via key salting (operators/aggregates.
+    salted_dim_join), graded against the PLAIN join oracle — the salting
+    must be semantically invisible (lossless 1:1).  events.event_type has
+    5 values over the whole fact table (each key ≈ 20% of rows — the
+    hot-key regime): the fact side salts on hash(event_id) % 16, the dim
+    replicates 16×, and the join runs on (key, salt) so each hot key
+    spreads over 16 reducers instead of straggling one sort-merge task.
+    The companion to ``event_type_counts_salted`` for the JOIN side of a
+    skewed shuffle; the post-join rollup uses the exact micro-int sum so
+    the result is order-independent."""
+    from mistocksync_spark.operators.aggregates import salted_dim_join
+    from mistocksync_spark.sources.testdata import load_events
+
+    ev = load_events(spark, sf_dir).select("event_id", "event_type", "value")
+    dim = (
+        ev.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.length("event_type").alias("type_len"),
+            F.when(F.col("event_type").isin("purchase", "signup"), "conversion")
+            .otherwise("engagement")
+            .alias("funnel_stage"),
+        )
+    )
+    joined = salted_dim_join(ev, dim, "event_type", salt_buckets=16, salt_cols=["event_id"])
+    return joined.groupBy("funnel_stage", "event_type", "type_len").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dec_sum("value", 2).alias("sum_value"),
+    )

@@ -1,0 +1,145 @@
+"""Exact-substring (duplicated-span) dedup family + salted dim join.
+
+Unit tests on hand-built corpora with known span arithmetic; parity tests
+(anchored == exact, salted join == plain join) on the graded fixtures.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mistocksync_spark.operators.dedup import (
+    anchored_span_candidates,
+    char_gram_positions,
+    duplicated_span_coverage,
+    duplicated_spans,
+    duplicated_spans_anchored,
+    span_anchor_recall,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_char_gram_positions_counts_and_short_docs(spark):
+    df = _docs(spark, [(1, "a" * 35), (2, "b" * 30), (3, "c" * 29), (4, "")])
+    pos = char_gram_positions(df, gram_len=30).collect()
+    by_doc = {}
+    for r in pos:
+        by_doc.setdefault(r.doc_id, []).append(r.pos)
+    # len 35 → 6 windows at pos 1..6; len 30 → exactly 1; shorter → none
+    assert sorted(by_doc[1]) == [1, 2, 3, 4, 5, 6]
+    assert by_doc[2] == [1]
+    assert 3 not in by_doc and 4 not in by_doc
+
+
+def test_duplicated_spans_exact_arithmetic(spark):
+    # a 70-char shared block inside otherwise-unique texts: the maximal
+    # span must be exactly the block, at the planted offsets
+    block = "я" * 10 + "общий разделяемый текст достаточной длины для споттинга" + "ю" * 5
+    assert len(block) == 70
+    df = _docs(
+        spark,
+        [
+            (1, "x" * 5 + block + "q" * 8),
+            (2, "z" * 11 + block + "w" * 3),
+            (3, "совершенно другой текст " * 5),
+        ],
+    )
+    pos = char_gram_positions(df, gram_len=30)
+    spans = duplicated_spans(pos, gram_len=30, min_span=60).collect()
+    assert len(spans) == 1
+    s = spans[0]
+    # 1-based: block starts at 6 in doc 1, at 12 in doc 2
+    assert (s.doc_a, s.doc_b, s.start_a, s.start_b, s.span_len) == (1, 2, 6, 12, 70)
+
+
+def test_duplicated_spans_below_threshold_dropped(spark):
+    block = "общая строка ровно пятидесяти девяти символов длины ещё буквы"[:59]
+    df = _docs(spark, [(1, block + "-хвост один уникальный"), (2, block + "+другой хвост здесь")])
+    pos = char_gram_positions(df, gram_len=30)
+    # 59 shared chars < 60 → no span; lowering min_span admits it
+    assert duplicated_spans(pos, 30, 60).count() == 0
+    spans = duplicated_spans(pos, 30, 59).collect()
+    assert len(spans) == 1 and spans[0].span_len >= 59
+
+
+def test_coverage_interval_union(spark):
+    # doc 1 and doc 2 share a 40-char block; doc 1 repeats it twice with a
+    # gap — coverage must union the two occurrences without double-counting
+    block = "разделяемый сорокасимвольный блок текста"
+    assert len(block) == 40
+    df = _docs(
+        spark,
+        [
+            (1, block + "-" * 20 + block),
+            (2, block + " совсем другое продолжение этого документа"),
+            (3, "уникальный текст без каких-либо повторов вообще нигде"),
+        ],
+    )
+    cov = {r.doc_id: r for r in duplicated_span_coverage(df, gram_len=30).collect()}
+    assert cov[1].doc_len == 100 and cov[2].doc_len == 82
+    # doc 1: both 40-char occurrences duplicated (grams occur in 2 docs)
+    assert cov[1].dup_chars == 80 and abs(cov[1].dup_frac - 0.8) < 1e-9
+    assert cov[2].dup_chars == 40
+    assert cov[3].dup_chars == 0 and cov[3].dup_frac == 0.0
+
+
+def test_anchored_equals_exact_on_fixture(spark):
+    from mistocksync_spark.plans.feeds import docs_span
+
+    pos = char_gram_positions(docs_span(spark, "/root/testdata/sf0.001")).localCheckpoint()
+    exact = {tuple(r) for r in duplicated_spans(pos, 30, 60).collect()}
+    anch = {tuple(r) for r in duplicated_spans_anchored(pos, 30, 60).collect()}
+    # rescore guarantees precision: anchored ⊆ exact; and on this fixture
+    # the planted header/footer clusters all anchor → full recall
+    assert anch <= exact
+    rec = span_anchor_recall(pos, 30, 60).collect()[0]
+    assert rec.n_exact_pairs > 0
+    assert rec.n_recalled == len({(a, b) for a, b, *_ in anch} & {(a, b) for a, b, *_ in exact})
+    assert rec.pair_recall == pytest.approx(1.0)
+    assert anch == exact
+
+
+def test_anchor_candidates_are_pairs_sharing_anchored_gram(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "блок общий для двух документов достаточно длинный чтобы шинглы совпали"),
+            (2, "блок общий для двух документов достаточно длинный чтобы шинглы совпали"),
+            (3, "никак не связанный с остальными текст совершенно иного содержания тут"),
+        ],
+    )
+    pos = char_gram_positions(df, gram_len=30)
+    cand = {(r.doc_a, r.doc_b) for r in anchored_span_candidates(pos).collect()}
+    assert cand == {(1, 2)}
+
+
+def test_salted_dim_join_equals_plain_join(spark, sf_dir):
+    from mistocksync_spark.operators.aggregates import salted_dim_join
+    from mistocksync_spark.sources.testdata import load_events
+
+    ev = load_events(spark, sf_dir).select("event_id", "event_type", "value")
+    dim = ev.select("event_type").distinct().withColumn(
+        "type_len", F.length("event_type")
+    )
+    salted = salted_dim_join(ev, dim, "event_type", salt_buckets=16, salt_cols=["event_id"])
+    plain = ev.join(dim, on="event_type")
+    assert salted.count() == plain.count() == ev.count()
+    a = {tuple(r) for r in salted.select("event_id", "event_type", "type_len").collect()}
+    b = {tuple(r) for r in plain.select("event_id", "event_type", "type_len").collect()}
+    assert a == b
+
+
+def test_salted_dim_join_salt_column_dropped_and_no_dup_rows(spark):
+    fact = spark.createDataFrame(
+        [(i, "hot" if i % 10 != 0 else "cold") for i in range(100)], "id long, k string"
+    )
+    dim = spark.createDataFrame([("hot", 1), ("cold", 2)], "k string, attr int")
+    from mistocksync_spark.operators.aggregates import salted_dim_join
+
+    out = salted_dim_join(fact, dim, "k", salt_buckets=4)
+    assert "__salt" not in out.columns
+    # 1:1 with the fact side: the dim replication must never duplicate rows
+    assert out.count() == 100
+    assert out.filter((F.col("k") == "hot") & (F.col("attr") != 1)).count() == 0
