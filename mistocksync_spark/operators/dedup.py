@@ -652,6 +652,75 @@ def jaccard_prefix_pairs(
     )
 
 
+_PR_SCALE = 1_000_000_000_000  # PageRank mass in pico-units (integer-exact)
+
+
+def similarity_pagerank(
+    pairs: DataFrame, iterations: int = 5, n_nodes: int | None = None
+) -> DataFrame:
+    """PageRank centrality over the near-dup similarity graph →
+    (doc_id, rank_micro) — the canonical-pick signal for dedup clusters
+    (the most-connected member of a duplicate cluster is the natural
+    survivor; leaf-y accidental matches rank low).
+
+    Determinism by construction (the repo's integer-arithmetic
+    discipline): ranks are BIGINT pico-units of a total mass of
+    ``_PR_SCALE``; each update is
+    ``r_v = (15·SCALE) div (100·n) + Σ_u (r_u·85) div (100·deg_u)``
+    — integer multiply/divide and exact BIGINT sums only, so the result
+    is bit-identical across partitionings and engines (a float PageRank's
+    per-node sums are accumulation-order-dependent).  Truncation loses
+    < 1 pico-unit per edge per round — immaterial for ranking and
+    identically reproduced by the oracle's unrolled iterations.
+
+    Plan: per round, ONE equi-join of the symmetrized edge list against
+    the (node, deg, r) frame + a groupBy(dst) sum — the same shuffle
+    shape as one ``connected_components`` round, keyed by node, linear in
+    edges.  Fixed ``iterations`` (default 5 — duplicate clusters are
+    near-cliques, so ranks settle in a few rounds), lineage truncated per
+    round.  Every node in the symmetrized graph has deg ≥ 1 and in-edges,
+    so there is no dangling mass.  ``n_nodes`` defaults to a bounded
+    driver count (#nodes) — at 100 TB pass it explicitly to keep the plan
+    job-free before the loop.
+    """
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+                    F.struct(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .localCheckpoint(eager=False)
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("deg"))
+    deg = deg.localCheckpoint(eager=False)
+    n = n_nodes if n_nodes is not None else deg.count()
+    if n == 0:
+        return deg.select(F.col("node").alias("doc_id"), F.lit(0).cast("long").alias("rank_micro"))
+    base = (15 * _PR_SCALE) // (100 * n)
+    ranks = deg.select("node", "deg", F.lit(_PR_SCALE // n).cast("long").alias("r"))
+    for _ in range(iterations):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node)
+            .select("dst", F.expr("(r * 85L) div (100L * deg)").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        ranks = (
+            deg.join(contrib, deg.node == contrib.dst, "left")
+            .select(
+                "node",
+                "deg",
+                (F.lit(base) + F.coalesce(F.col("in_mass"), F.lit(0))).cast("long").alias("r"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select(F.col("node").alias("doc_id"), F.col("r").alias("rank_micro"))
+
+
 def bloom_bits(df: DataFrame, text_col: str = "text", m: int = 65536, k: int = 3) -> DataFrame:
     """Build a Bloom filter over a document set as a DataFrame of set bit
     positions: each text contributes ``k`` md5-derived positions in

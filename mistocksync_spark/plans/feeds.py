@@ -398,12 +398,20 @@ def docs_url(spark, sf_dir: str):
 # license header on every 6th doc, a ~73-char newsletter footer on every
 # 10th-pattern doc) so the exact-substring span family has long clustered
 # positives on top of the corpus's natural small-vocabulary repeats.
+# The plant is bounded to doc_id < 3000: at the driver gate scales every
+# doc_id is < 500 so the bound is invisible, while at sf0.1+ it pins the
+# planted cluster at ~500/~300 docs — the PAIR-enumerating span entries are
+# cluster-quadratic by definition (they list every pair), so an unbounded
+# plant would make the graded fixture itself unsweepable at zipf-sf1
+# (8,333-doc header cluster → 3.3e9 match rows) without measuring anything
+# the bounded cluster doesn't; the corpus-scaling cost component (the
+# position scan and gram groupBy) still grows with the corpus.
 DOCS_SPAN_SQL = """
 SELECT doc_id,
-  CASE WHEN doc_id % 6 = 0
+  CASE WHEN doc_id % 6 = 0 AND doc_id < 3000
        THEN 'лицензионное соглашение: копирование и распространение данного текста без письменного разрешения правообладателя запрещено. ' || text
        ELSE text END
-  || CASE WHEN doc_id % 10 = 3
+  || CASE WHEN doc_id % 10 = 3 AND doc_id < 3000
           THEN ' подпишитесь на нашу еженедельную рассылку чтобы получать все обновления'
           ELSE '' END AS text
 FROM documents

@@ -8233,3 +8233,68 @@ def events_salted_dim_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         dec_sum("value", 2).alias("sum_value"),
     )
+
+
+def _sql_pagerank(iterations: int = 5) -> str:
+    """Unrolled integer-PageRank oracle over the MinHash-LSH pair graph —
+    the same pico-unit arithmetic as operators/dedup.similarity_pagerank
+    (BIGINT multiply + floor division + exact integer sums), one CTE per
+    iteration.  DuckDB's ``//`` is floor division and Spark's ``div``
+    truncates toward zero — identical on the all-positive quantities
+    here.  SUM(BIGINT) returns HUGEINT in DuckDB, so each iteration's
+    rank is cast back to BIGINT to pin the arithmetic width.  ``mh``/
+    ``edges``/``deg`` are MATERIALIZED: each is referenced from every
+    unrolled iteration, and an inlining planner would otherwise re-run
+    the whole MinHash pipeline once per iteration (the r11
+    ``_SQL_SHINGLES`` lesson, applied up front this time)."""
+    scale = 1_000_000_000_000
+    ctes = [
+        f"""
+    , edges AS MATERIALIZED (
+        SELECT doc_a AS src, doc_b AS dst FROM mh
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM mh
+    )
+    , deg AS MATERIALIZED (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src)
+    , ncnt AS (SELECT COUNT(*) AS n FROM deg)
+    , pr0 AS (SELECT node, CAST({scale} // (SELECT n FROM ncnt) AS BIGINT) AS r FROM deg)
+"""
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"""
+    , pr{i} AS (
+        SELECT d.node,
+               CAST((15 * {scale}) // (100 * (SELECT n FROM ncnt))
+                    + COALESCE(SUM((p.r * 85) // (100 * dd.deg)), 0) AS BIGINT) AS r
+        FROM deg d
+        LEFT JOIN edges e ON e.dst = d.node
+        LEFT JOIN pr{i - 1} p ON p.node = e.src
+        LEFT JOIN deg dd ON dd.node = e.src
+        GROUP BY d.node
+    )
+"""
+        )
+    return (
+        "WITH mh AS MATERIALIZED (SELECT doc_a, doc_b FROM ("
+        + ORACLES["minhash_lsh_pairs"]
+        + "))"
+        + "".join(ctes)
+        + f"\n    SELECT node AS doc_id, r AS rank_micro FROM pr{iterations}"
+    )
+
+
+@query("dedup_pagerank", _sql_pagerank(5))
+def dedup_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the MinHash-LSH near-dup graph
+    (operators/dedup.similarity_pagerank) — the canonical-pick signal:
+    inside a duplicate cluster the highest-rank member is the natural
+    survivor, and leaf-y accidental LSH matches rank low.  Exact integer
+    pico-unit arithmetic per update (BIGINT multiply, floor division,
+    exact sums) makes the 5-iteration fixpoint bit-identical to the
+    oracle's unrolled CTE iterations — a float PageRank could not be
+    hash-graded.  Shares the memoized candidate-pair frame with the
+    graph-analytics siblings."""
+    from mistocksync_spark.operators.dedup import similarity_pagerank
+
+    return similarity_pagerank(_minhash_pairs_shared(spark, sf_dir), iterations=5)

@@ -143,3 +143,30 @@ def test_salted_dim_join_salt_column_dropped_and_no_dup_rows(spark):
     # 1:1 with the fact side: the dim replication must never duplicate rows
     assert out.count() == 100
     assert out.filter((F.col("k") == "hot") & (F.col("attr") != 1)).count() == 0
+
+
+def test_similarity_pagerank_integer_exact_star(spark):
+    from mistocksync_spark.operators.dedup import _PR_SCALE, similarity_pagerank
+
+    # star: 0-1, 0-2, 0-3 — hand-replicate the integer recurrence
+    pairs = spark.createDataFrame([(0, 1), (0, 2), (0, 3)], "doc_a long, doc_b long")
+    got = {r.doc_id: r.rank_micro for r in similarity_pagerank(pairs, iterations=2).collect()}
+
+    deg = {0: 3, 1: 1, 2: 1, 3: 1}
+    n = 4
+    base = (15 * _PR_SCALE) // (100 * n)
+    r = {v: _PR_SCALE // n for v in deg}
+    for _ in range(2):
+        nxt = {}
+        for v in deg:
+            mass = 0
+            for u in deg:
+                if (u == 0) != (v == 0):  # star edges: center <-> leaf
+                    mass += (r[u] * 85) // (100 * deg[u])
+            nxt[v] = base + mass
+        r = nxt
+    assert got == r
+    # mass conservation up to truncation: total stays within 1 unit/edge/round
+    assert abs(sum(got.values()) - _PR_SCALE) < 100
+    # the hub outranks every leaf
+    assert got[0] > got[1] == got[2] == got[3]
