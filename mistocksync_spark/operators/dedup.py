@@ -721,6 +721,36 @@ def similarity_pagerank(
     return ranks.select(F.col("node").alias("doc_id"), F.col("r").alias("rank_micro"))
 
 
+def cluster_canonicals(labels: DataFrame, ranks: DataFrame) -> DataFrame:
+    """Survivor pick per duplicate cluster: the member with the highest
+    centrality, ties to the lowest doc_id →
+    (cluster_id, canonical_id, n_members, top_rank_micro).
+
+    ``labels`` is (doc_id, cluster_id) from ``connected_components``;
+    ``ranks`` is (doc_id, rank_micro) from ``similarity_pagerank`` over
+    the SAME pair graph.  Min-doc_id survivor selection (what
+    ``dedup_survivors`` does) keeps an arbitrary member; picking the
+    centrality maximum keeps the member most similar to the rest of its
+    cluster — the natural representative when near-dups differ by
+    truncation or boilerplate.  Plan: one doc-keyed join + two
+    cluster-keyed aggregates (the max-rank frame is #clusters rows); the
+    integer ranks make the argmax exact, so the composition stays
+    hash-gradeable.
+    """
+    j = labels.join(ranks, on="doc_id")
+    mx = j.groupBy("cluster_id").agg(
+        F.max("rank_micro").alias("top_rank_micro"),
+        F.count("*").alias("n_members"),
+    )
+    return (
+        j.join(mx, on="cluster_id")
+        .filter(F.col("rank_micro") == F.col("top_rank_micro"))
+        .groupBy("cluster_id", "n_members", "top_rank_micro")
+        .agg(F.min("doc_id").alias("canonical_id"))
+        .select("cluster_id", "canonical_id", "n_members", "top_rank_micro")
+    )
+
+
 def bloom_bits(df: DataFrame, text_col: str = "text", m: int = 65536, k: int = 3) -> DataFrame:
     """Build a Bloom filter over a document set as a DataFrame of set bit
     positions: each text contributes ``k`` md5-derived positions in

@@ -8235,18 +8235,19 @@ def events_salted_dim_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_pagerank(iterations: int = 5) -> str:
-    """Unrolled integer-PageRank oracle over the MinHash-LSH pair graph —
-    the same pico-unit arithmetic as operators/dedup.similarity_pagerank
-    (BIGINT multiply + floor division + exact integer sums), one CTE per
-    iteration.  DuckDB's ``//`` is floor division and Spark's ``div``
-    truncates toward zero — identical on the all-positive quantities
-    here.  SUM(BIGINT) returns HUGEINT in DuckDB, so each iteration's
-    rank is cast back to BIGINT to pin the arithmetic width.  ``mh``/
-    ``edges``/``deg`` are MATERIALIZED: each is referenced from every
-    unrolled iteration, and an inlining planner would otherwise re-run
-    the whole MinHash pipeline once per iteration (the r11
-    ``_SQL_SHINGLES`` lesson, applied up front this time)."""
+def _sql_pagerank_ctes(iterations: int = 5) -> str:
+    """CTE chain (after a ``mh(doc_a, doc_b)`` CTE) for the unrolled
+    integer-PageRank oracle — the same pico-unit arithmetic as
+    operators/dedup.similarity_pagerank (BIGINT multiply + floor division
+    + exact integer sums), one CTE per iteration.  DuckDB's ``//`` is
+    floor division and Spark's ``div`` truncates toward zero — identical
+    on the all-positive quantities here.  SUM(BIGINT) returns HUGEINT in
+    DuckDB, so each iteration's rank is cast back to BIGINT to pin the
+    arithmetic width.  ``edges``/``deg`` are MATERIALIZED: each is
+    referenced from every unrolled iteration, and an inlining planner
+    would otherwise re-run the whole MinHash pipeline once per iteration
+    (the r11 ``_SQL_SHINGLES`` lesson, applied up front this time).
+    Shared by ``dedup_pagerank`` and ``dedup_canonicals``."""
     scale = 1_000_000_000_000
     ctes = [
         f"""
@@ -8275,11 +8276,22 @@ def _sql_pagerank(iterations: int = 5) -> str:
     )
 """
         )
+    return "".join(ctes)
+
+
+def _sql_mh_cte(recursive: bool = False) -> str:
+    kw = "WITH RECURSIVE" if recursive else "WITH"
     return (
-        "WITH mh AS MATERIALIZED (SELECT doc_a, doc_b FROM ("
+        f"{kw} mh AS MATERIALIZED (SELECT doc_a, doc_b FROM ("
         + ORACLES["minhash_lsh_pairs"]
         + "))"
-        + "".join(ctes)
+    )
+
+
+def _sql_pagerank(iterations: int = 5) -> str:
+    return (
+        _sql_mh_cte()
+        + _sql_pagerank_ctes(iterations)
         + f"\n    SELECT node AS doc_id, r AS rank_micro FROM pr{iterations}"
     )
 
@@ -8298,3 +8310,61 @@ def dedup_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mistocksync_spark.operators.dedup import similarity_pagerank
 
     return similarity_pagerank(_minhash_pairs_shared(spark, sf_dir), iterations=5)
+
+
+def _sql_canonicals(iterations: int = 5) -> str:
+    """Canonical-survivor oracle: min-reachable connected components
+    (recursive transitive closure, the ``dedup_clusters`` oracle pattern)
+    + the unrolled integer PageRank, over the SAME MinHash pair graph,
+    argmax joined per cluster with ties to the lowest doc_id."""
+    return (
+        _sql_mh_cte(recursive=True)
+        + _sql_pagerank_ctes(iterations)
+        + f"""
+    , walk(node, reach) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT w.node, e.dst FROM walk w JOIN edges e ON e.src = w.reach
+    )
+    , cc AS (
+        SELECT node AS doc_id, LEAST(node, MIN(reach)) AS cluster_id
+        FROM walk GROUP BY node
+    )
+    , j AS (
+        SELECT cc.cluster_id, cc.doc_id, p.r AS rank_micro
+        FROM cc JOIN pr{iterations} p ON p.node = cc.doc_id
+    )
+    , mx AS (
+        SELECT cluster_id, MAX(rank_micro) AS top_rank_micro,
+               COUNT(*) AS n_members
+        FROM j GROUP BY cluster_id
+    )
+    SELECT m.cluster_id, MIN(j.doc_id) AS canonical_id, m.n_members,
+           m.top_rank_micro
+    FROM mx m JOIN j ON j.cluster_id = m.cluster_id
+                    AND j.rank_micro = m.top_rank_micro
+    GROUP BY m.cluster_id, m.n_members, m.top_rank_micro
+"""
+    )
+
+
+@query("dedup_canonicals", _sql_canonicals(5))
+def dedup_canonicals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor pick per duplicate cluster by centrality (operators/
+    dedup.cluster_canonicals): connected components and integer PageRank
+    over the SAME MinHash-LSH pair graph, argmax per cluster with ties to
+    the lowest doc_id.  Closes the dedup loop on the graded surface —
+    graph → clusters → WHICH member to keep (``dedup_survivors`` keeps
+    min-id; this keeps the member most central to its cluster).  Shares
+    the memoized candidate-pair frame, so the composition pays one CC
+    propagation + one 5-round PageRank + two cluster-keyed aggregates."""
+    from mistocksync_spark.operators.dedup import (
+        cluster_canonicals,
+        connected_components,
+        similarity_pagerank,
+    )
+
+    pairs = _minhash_pairs_shared(spark, sf_dir)
+    return cluster_canonicals(
+        connected_components(pairs), similarity_pagerank(pairs, iterations=5)
+    )

@@ -170,3 +170,26 @@ def test_similarity_pagerank_integer_exact_star(spark):
     assert abs(sum(got.values()) - _PR_SCALE) < 100
     # the hub outranks every leaf
     assert got[0] > got[1] == got[2] == got[3]
+
+
+def test_cluster_canonicals_picks_hub_then_min_id(spark):
+    from mistocksync_spark.operators.dedup import (
+        cluster_canonicals,
+        connected_components,
+        similarity_pagerank,
+    )
+
+    # two components: a star hubbed at 10 (hub must win) and an edge 20-21
+    # (symmetric ranks — tie must break to the LOWER doc_id)
+    pairs = spark.createDataFrame(
+        [(10, 11), (10, 12), (10, 13), (20, 21)], "doc_a long, doc_b long"
+    )
+    out = {
+        r.cluster_id: r
+        for r in cluster_canonicals(
+            connected_components(pairs), similarity_pagerank(pairs, iterations=3)
+        ).collect()
+    }
+    assert set(out) == {10, 20}
+    assert out[10].canonical_id == 10 and out[10].n_members == 4
+    assert out[20].canonical_id == 20 and out[20].n_members == 2
