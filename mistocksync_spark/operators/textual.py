@@ -1145,6 +1145,95 @@ def bpe_pair_counts(df: DataFrame, text_col: str = "text", top_k: int = 50) -> D
     )
 
 
+def bpe_learn_merges(
+    df: DataFrame, text_col: str = "text", n_merges: int = 6
+) -> DataFrame:
+    """Full BPE merge LEARNING (Sennrich et al. 2016, public method): run
+    ``n_merges`` rounds of count-adjacent-pairs → take the argmax → apply
+    the merge, and return the learned merge table
+    (merge_rank, lhs, rhs, pair_count) — the tokenizer-training loop that
+    ``bpe_pair_counts`` is one round of.
+
+    100 TB plan — the classic BPE scaling shape: the corpus is touched
+    ONCE (word-type frequency groupBy, map-side combine; the working set
+    is bounded by vocabulary size, not corpus size); every merge round
+    then runs on the vocab-sized symbol table — one pair-count aggregate
+    (exact integer counts), one 1-row argmax fetch (bounded driver
+    collect, the convergence-probe pattern), and one merge application as
+    a pure column ``aggregate`` fold (greedy left-to-right, no shuffle),
+    with lineage truncated per round.  Determinism: integer counts and the
+    total order (count DESC, lhs ASC, rhs ASC) make every argmax unique;
+    the fold is sequential per word by construction.  The DuckDB oracle
+    re-derives greedy merging through an independent formulation
+    (parity-within-island selection over matched positions — proven
+    equivalent to the left-to-right fold in tests/test_spans.py).
+    """
+    spark = df.sparkSession
+    chars = F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+    words = (
+        df.select(F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(chars.alias("symbols"), "cnt")
+        .localCheckpoint(eager=False)
+    )
+    empty_pairs = F.array().cast("array<struct<l:string,r:string>>")
+    adj = F.expr(
+        "transform(sequence(1, size(symbols) - 1), "
+        "i -> struct(element_at(symbols, i) AS l, element_at(symbols, i + 1) AS r))"
+    )
+    merges = []
+    for rank in range(1, n_merges + 1):
+        best = (
+            words.select(
+                F.explode(
+                    F.when(F.size("symbols") >= 2, adj).otherwise(empty_pairs)
+                ).alias("p"),
+                "cnt",
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("cnt").alias("pc"))
+            .orderBy(F.col("pc").desc(), F.col("l").asc(), F.col("r").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, pc = best[0].l, best[0].r, best[0].pc
+        merges.append((rank, a, b, int(pc)))
+        null_s = F.lit(None).cast("string")
+        fold = F.aggregate(
+            F.col("symbols"),
+            F.struct(
+                F.array().cast("array<string>").alias("acc"), null_s.alias("prev")
+            ),
+            lambda s, x: F.when(
+                s["prev"].isNull(), F.struct(s["acc"].alias("acc"), x.alias("prev"))
+            )
+            .when(
+                (s["prev"] == F.lit(a)) & (x == F.lit(b)),
+                F.struct(
+                    F.concat(s["acc"], F.array(F.lit(a + b))).alias("acc"),
+                    null_s.alias("prev"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.concat(s["acc"], F.array(s["prev"])).alias("acc"),
+                    x.alias("prev"),
+                )
+            ),
+            lambda s: F.when(s["prev"].isNull(), s["acc"]).otherwise(
+                F.concat(s["acc"], F.array(s["prev"]))
+            ),
+        )
+        words = words.select(fold.alias("symbols"), "cnt").localCheckpoint(eager=False)
+    return spark.createDataFrame(
+        merges, "merge_rank int, lhs string, rhs string, pair_count long"
+    )
+
+
 def token_cms_estimate(
     df: DataFrame,
     text_col: str = "text",

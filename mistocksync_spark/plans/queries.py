@@ -8368,3 +8368,92 @@ def dedup_canonicals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_canonicals(
         connected_components(pairs), similarity_pagerank(pairs, iterations=5)
     )
+
+
+def _sql_bpe_learn(n_merges: int = 6) -> str:
+    r"""Unrolled BPE merge-learning oracle: per round, pair counts over the
+    current symbol table, a LIMIT-1 argmax (count DESC, lhs, rhs — a total
+    order), and the merge applied through the parity-within-island
+    positional rule (select every other matched position inside each run
+    of consecutive matches) — an independent SQL re-derivation of the
+    Spark side's greedy left-to-right fold, equivalent by the island
+    parity argument (tested exhaustively in tests/test_spans.py).  Every
+    per-round CTE is MATERIALIZED: each is referenced several times and
+    chains into the next round."""
+    parts = [
+        r"""
+WITH words AS MATERIALIZED (
+    SELECT w, COUNT(*) AS cnt FROM (
+        SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+        FROM documents
+    ) WHERE w <> '' GROUP BY w
+)
+, sym0 AS MATERIALIZED (
+    SELECT w, cnt, i AS pos, substr(w, i, 1) AS s
+    FROM words, UNNEST(generate_series(1, length(w))) AS u(i)
+)
+"""
+    ]
+    for k in range(1, n_merges + 1):
+        p = k - 1
+        parts.append(
+            f"""
+, cnt{k} AS MATERIALIZED (
+    SELECT a.s AS l, b.s AS r, CAST(SUM(a.cnt) AS BIGINT) AS pc
+    FROM sym{p} a JOIN sym{p} b ON b.w = a.w AND b.pos = a.pos + 1
+    GROUP BY a.s, b.s
+)
+, bp{k} AS MATERIALIZED (
+    SELECT l, r, pc FROM cnt{k} ORDER BY pc DESC, l ASC, r ASC LIMIT 1
+)
+, m{k} AS MATERIALIZED (
+    SELECT s.w, s.pos
+    FROM sym{p} s JOIN sym{p} t ON t.w = s.w AND t.pos = s.pos + 1
+    WHERE s.s = (SELECT l FROM bp{k}) AND t.s = (SELECT r FROM bp{k})
+)
+, sel{k} AS MATERIALIZED (
+    SELECT w, pos FROM (
+        SELECT w, pos, MIN(pos) OVER (PARTITION BY w, isl) AS isl_start
+        FROM (
+            SELECT w, pos,
+                   pos - ROW_NUMBER() OVER (PARTITION BY w ORDER BY pos) AS isl
+            FROM m{k}
+        )
+    ) WHERE (pos - isl_start) % 2 = 0
+)
+, sym{k} AS MATERIALIZED (
+    SELECT w, cnt, ROW_NUMBER() OVER (PARTITION BY w ORDER BY pos) AS pos, s
+    FROM (
+        SELECT s.w, s.cnt, s.pos,
+               CASE WHEN sel.pos IS NOT NULL
+                    THEN (SELECT l FROM bp{k}) || (SELECT r FROM bp{k})
+                    ELSE s.s END AS s
+        FROM sym{p} s
+        LEFT JOIN sel{k} sel ON sel.w = s.w AND sel.pos = s.pos
+        LEFT JOIN sel{k} dr ON dr.w = s.w AND dr.pos = s.pos - 1
+        WHERE dr.pos IS NULL
+    )
+)
+"""
+        )
+    union = "\n    UNION ALL ".join(
+        f"SELECT {k} AS merge_rank, l AS lhs, r AS rhs, pc AS pair_count FROM bp{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return "".join(parts) + "\n    " + union
+
+
+@query("bpe_learned_merges", _sql_bpe_learn(6))
+def bpe_learned_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE tokenizer-training loop (operators/textual.
+    bpe_learn_merges): 6 rounds of pair-count → argmax → greedy merge
+    over the word-type table, returning the learned merge ranking — the
+    iterative capability ``bpe_pair_counts`` is one round of.  The corpus
+    is scanned once (vocab-bounded working set); each round is one
+    integer aggregate + a 1-row argmax fetch + a shuffle-free column fold.
+    The oracle replays all 6 rounds through an independent positional
+    (parity-within-island) formulation of greedy merging."""
+    from mistocksync_spark.operators.textual import bpe_learn_merges
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bpe_learn_merges(docs, n_merges=6)

@@ -193,3 +193,93 @@ def test_cluster_canonicals_picks_hub_then_min_id(spark):
     assert set(out) == {10, 20}
     assert out[10].canonical_id == 10 and out[10].n_members == 4
     assert out[20].canonical_id == 20 and out[20].n_members == 2
+
+
+def _bpe_reference(texts, n_merges):
+    """Pure-python BPE learner (greedy left-to-right merge application) —
+    the independent reference both engine formulations must match."""
+    from collections import Counter
+
+    wc = Counter(w for t in texts for w in t.lower().split() if w)
+    words = {w: list(w) for w in wc}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pc = Counter()
+        for w, sym in words.items():
+            for i in range(len(sym) - 1):
+                pc[(sym[i], sym[i + 1])] += wc[w]
+        if not pc:
+            break
+        # total order: count DESC then lhs ASC then rhs ASC
+        top = max(pc.values())
+        a, b = min(p for p, c in pc.items() if c == top)
+        merges.append((rank, a, b, pc[(a, b)]))
+        for w, sym in words.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            words[w] = out
+    return merges
+
+
+def test_greedy_merge_equals_parity_island_rule():
+    """The oracle's parity-within-island positional selection is the
+    greedy left-to-right merge — exhaustive over short binary symbol
+    strings (the only adjacency-conflict cases are a==b runs)."""
+    import itertools
+
+    def greedy(sym, a, b):
+        out, i = [], 0
+        while i < len(sym):
+            if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        return out
+
+    def parity(sym, a, b):
+        matches = [i for i in range(len(sym) - 1) if sym[i] == a and sym[i + 1] == b]
+        sel, prev, start = set(), None, None
+        for p in matches:
+            if prev is None or p != prev + 1:
+                start = p
+            if (p - start) % 2 == 0:
+                sel.add(p)
+            prev = p
+        out, skip = [], False
+        for i, s in enumerate(sym):
+            if skip:
+                skip = False
+                continue
+            if i in sel:
+                out.append(a + b)
+                skip = True
+            else:
+                out.append(s)
+        return out
+
+    for n in range(9):
+        for sym in itertools.product("ab", repeat=n):
+            for a, b in itertools.product("ab", repeat=2):
+                assert greedy(list(sym), a, b) == parity(list(sym), a, b)
+
+
+def test_bpe_learn_merges_matches_reference(spark):
+    from mistocksync_spark.operators.textual import bpe_learn_merges
+
+    texts = [
+        "low low low low low",
+        "lower lower newest newest newest newest newest newest",
+        "widest widest widest",
+        "аба аба абаб caca",  # run-merge and multibyte coverage
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = [(r.merge_rank, r.lhs, r.rhs, r.pair_count) for r in bpe_learn_merges(df, n_merges=8).collect()]
+    assert got == _bpe_reference(texts, 8)
