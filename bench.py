@@ -249,6 +249,15 @@ def main():
             "lsh_pair_quality",
             "vector_pair_quality",
             "events_bootstrap_ci",
+            "duplicated_spans",
+            "duplicated_spans_anchored",
+            "duplicated_span_coverage",
+            "span_anchor_recall",
+            "events_salted_dim_join",
+            "dedup_pagerank",
+            "dedup_canonicals",
+            "bpe_learned_merges",
+            "bpe_token_stats",
         ]
         if q in QUERIES
     ]

@@ -1169,6 +1169,35 @@ def bpe_learn_merges(
     equivalent to the left-to-right fold in tests/test_spans.py).
     """
     spark = df.sparkSession
+    _, merges = _bpe_merge_loop(df, text_col, n_merges)
+    return spark.createDataFrame(
+        merges, "merge_rank int, lhs string, rhs string, pair_count long"
+    )
+
+
+def bpe_token_stats(
+    df: DataFrame, text_col: str = "text", n_merges: int = 6, top_k: int = 50
+) -> DataFrame:
+    """ENCODE under the learned BPE: run the same merge loop, then report
+    the top-``top_k`` subword tokens by corpus occurrence
+    (token, corpus_count) — the vocabulary readout a tokenizer-training
+    pipeline inspects (``vocab_topk`` is the word-level analogue; this is
+    the subword table the learned merges induce).  Costs the learn loop
+    plus ONE vocab-scale explode/aggregate; the total order
+    (count DESC, token ASC) makes the emitted set deterministic."""
+    words, _ = _bpe_merge_loop(df, text_col, n_merges)
+    return (
+        words.select(F.explode("symbols").alias("token"), "cnt")
+        .groupBy("token")
+        .agg(F.sum("cnt").cast("long").alias("corpus_count"))
+        .orderBy(F.col("corpus_count").desc(), F.col("token").asc())
+        .limit(top_k)
+    )
+
+
+def _bpe_merge_loop(df: DataFrame, text_col: str, n_merges: int):
+    """Shared BPE training loop → (final word-type symbol table
+    ``(symbols, cnt)``, learned ``[(rank, lhs, rhs, pair_count), ...]``)."""
     chars = F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
     words = (
         df.select(F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w"))
@@ -1229,9 +1258,7 @@ def bpe_learn_merges(
             ),
         )
         words = words.select(fold.alias("symbols"), "cnt").localCheckpoint(eager=False)
-    return spark.createDataFrame(
-        merges, "merge_rank int, lhs string, rhs string, pair_count long"
-    )
+    return words, merges
 
 
 def token_cms_estimate(

@@ -8370,8 +8370,9 @@ def dedup_canonicals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_bpe_learn(n_merges: int = 6) -> str:
-    r"""Unrolled BPE merge-learning oracle: per round, pair counts over the
+def _sql_bpe_chain(n_merges: int = 6) -> str:
+    r"""Unrolled BPE merge-learning oracle CTE chain (words, sym0, then
+    cnt/bp/m/sel/sym per round): per round, pair counts over the
     current symbol table, a LIMIT-1 argmax (count DESC, lhs, rhs — a total
     order), and the merge applied through the parity-within-island
     positional rule (select every other matched position inside each run
@@ -8436,11 +8437,15 @@ WITH words AS MATERIALIZED (
 )
 """
         )
+    return "".join(parts)
+
+
+def _sql_bpe_learn(n_merges: int = 6) -> str:
     union = "\n    UNION ALL ".join(
         f"SELECT {k} AS merge_rank, l AS lhs, r AS rhs, pc AS pair_count FROM bp{k}"
         for k in range(1, n_merges + 1)
     )
-    return "".join(parts) + "\n    " + union
+    return _sql_bpe_chain(n_merges) + "\n    " + union
 
 
 @query("bpe_learned_merges", _sql_bpe_learn(6))
@@ -8457,3 +8462,23 @@ def bpe_learned_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return bpe_learn_merges(docs, n_merges=6)
+
+
+@query(
+    "bpe_token_stats",
+    _sql_bpe_chain(6)
+    + """
+    SELECT s AS token, CAST(SUM(cnt) AS BIGINT) AS corpus_count
+    FROM sym6 GROUP BY s
+    ORDER BY corpus_count DESC, token ASC LIMIT 50
+""",
+)
+def bpe_token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 subword tokens by corpus occurrence under the 6 learned BPE
+    merges (operators/textual.bpe_token_stats) — the ENCODE readout of
+    the tokenizer-training loop.  The oracle reuses the unrolled 6-round
+    merge chain and aggregates its final symbol table."""
+    from mistocksync_spark.operators.textual import bpe_token_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bpe_token_stats(docs, n_merges=6, top_k=50)

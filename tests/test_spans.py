@@ -283,3 +283,44 @@ def test_bpe_learn_merges_matches_reference(spark):
     df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
     got = [(r.merge_rank, r.lhs, r.rhs, r.pair_count) for r in bpe_learn_merges(df, n_merges=8).collect()]
     assert got == _bpe_reference(texts, 8)
+
+
+def test_bpe_token_stats_matches_reference_encode(spark):
+    from collections import Counter
+
+    from mistocksync_spark.operators.textual import bpe_token_stats
+
+    texts = [
+        "low low low low low",
+        "lower lower newest newest newest newest newest newest",
+        "widest widest widest",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = [(r.token, r.corpus_count) for r in bpe_token_stats(df, n_merges=4, top_k=10).collect()]
+
+    # reference: learn 4 merges, encode, count tokens corpus-weighted
+    wc = Counter(w for t in texts for w in t.lower().split())
+    words = {w: list(w) for w in wc}
+    for _ in range(4):
+        pc = Counter()
+        for w, sym in words.items():
+            for i in range(len(sym) - 1):
+                pc[(sym[i], sym[i + 1])] += wc[w]
+        top = max(pc.values())
+        a, b = min(p for p, c in pc.items() if c == top)
+        for w, sym in words.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            words[w] = out
+    tc = Counter()
+    for w, sym in words.items():
+        for s in sym:
+            tc[s] += wc[w]
+    want = sorted(tc.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert got == want
