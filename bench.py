@@ -258,6 +258,7 @@ def main():
             "dedup_canonicals",
             "bpe_learned_merges",
             "bpe_token_stats",
+            "events_cusum_drift",
         ]
         if q in QUERIES
     ]

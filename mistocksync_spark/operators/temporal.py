@@ -604,3 +604,82 @@ def gapfill_interp(
         interp.alias("value_interp"),
         F.col("avg_value").isNull().cast("int").alias("is_gap"),
     )
+
+
+def cusum_drift(
+    df: DataFrame,
+    key: str = "event_type",
+    value: str = "value",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Retrospective CUSUM drift scan per key (Page 1954, public method):
+    how far the metric's running level has wandered from its baseline,
+    and when — the monitor that catches a feed's mean shifting mid-stream
+    (a source silently changing units or quality level).
+
+    Output per key: (key, n_events, baseline_micro, max_up_micro,
+    max_down_micro, ts_at_max_up) — the one-sided CUSUM maxima in
+    micro-units and the FIRST timestamp where the upward statistic peaks.
+
+    Plan: the CUSUM recursion S_t = max(0, S_{t-1} + d_t) is re-expressed
+    through the prefix identity S_t = C_t − min(0, min_{i≤t} C_i) (C =
+    running sum of deviations), so the whole scan is window functions over
+    ONE shuffle (partition by key, order by (ts, id) — a total order);
+    no iterative state, no UDF.  Determinism: deviations are exact
+    micro-int quantities; the baseline is floor(sum/count) computed in
+    exact-double arithmetic (|sum_micro| < 2^53 at any realistic per-key
+    volume); window sums are exact BIGINT; the argmax timestamp ties to
+    the earliest ts.  At 100 TB each key's scan is a sorted partition
+    pass — the same shape as ``user_sessions``' gaps-and-islands.
+    """
+    from mistocksync_spark.functions.numeric import _u
+
+    ev = df.filter(F.col(value).isNotNull()).select(
+        F.col(key),
+        F.col(ts_col).alias("__ts"),
+        F.col(id_col).alias("__id"),
+        _u(value).cast("long").alias("__x"),
+    )
+    base = ev.groupBy(key).agg(
+        F.floor(F.sum("__x").cast("double") / F.count(F.lit(1)))
+        .cast("long")
+        .alias("baseline_micro"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy("__ts", "__id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = ev.join(base, on=key).withColumn(
+        "__cum", F.sum(F.col("__x") - F.col("baseline_micro")).over(w)
+    )
+    s = c.select(
+        key,
+        "__ts",
+        (F.col("__cum") - F.least(F.lit(0).cast("long"), F.min("__cum").over(w))).alias("__s_up"),
+        (F.greatest(F.lit(0).cast("long"), F.max("__cum").over(w)) - F.col("__cum")).alias("__s_down"),
+    )
+    mx = s.groupBy(key).agg(
+        F.max("__s_up").alias("max_up_micro"),
+        F.max("__s_down").alias("max_down_micro"),
+    )
+    at_max = (
+        s.join(mx, on=key)
+        .filter(F.col("__s_up") == F.col("max_up_micro"))
+        .groupBy(key)
+        .agg(F.min("__ts").alias("ts_at_max_up"))
+    )
+    return (
+        base.join(mx, on=key)
+        .join(at_max, on=key)
+        .select(
+            key,
+            "n_events",
+            "baseline_micro",
+            "max_up_micro",
+            "max_down_micro",
+            "ts_at_max_up",
+        )
+    )

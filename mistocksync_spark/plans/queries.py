@@ -8482,3 +8482,60 @@ def bpe_token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return bpe_token_stats(docs, n_merges=6, top_k=50)
+
+
+@query(
+    "events_cusum_drift",
+    """
+    WITH ev AS (
+        SELECT event_type, ts, event_id,
+               CAST(floor((value) * 1000000 + 0.5) AS BIGINT) AS x
+        FROM events WHERE value IS NOT NULL
+    ), base AS (
+        SELECT event_type,
+               CAST(floor(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS baseline_micro,
+               COUNT(*) AS n_events
+        FROM ev GROUP BY event_type
+    ), c AS (
+        SELECT e.event_type, e.ts, e.event_id,
+               SUM(e.x - b.baseline_micro) OVER (
+                   PARTITION BY e.event_type ORDER BY e.ts, e.event_id
+                   ROWS UNBOUNDED PRECEDING) AS cum
+        FROM ev e JOIN base b USING (event_type)
+    ), s AS (
+        SELECT event_type, ts,
+               cum - LEAST(CAST(0 AS HUGEINT), MIN(cum) OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING)) AS s_up,
+               GREATEST(CAST(0 AS HUGEINT), MAX(cum) OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING)) - cum AS s_down
+        FROM c
+    ), mx AS (
+        SELECT event_type, CAST(MAX(s_up) AS BIGINT) AS max_up_micro,
+               CAST(MAX(s_down) AS BIGINT) AS max_down_micro
+        FROM s GROUP BY event_type
+    )
+    SELECT m.event_type, b.n_events, b.baseline_micro, m.max_up_micro,
+           m.max_down_micro, MIN(s.ts) AS ts_at_max_up
+    FROM mx m
+    JOIN base b USING (event_type)
+    JOIN s ON s.event_type = m.event_type
+          AND CAST(s.s_up AS BIGINT) = m.max_up_micro
+    GROUP BY m.event_type, b.n_events, b.baseline_micro, m.max_up_micro,
+             m.max_down_micro
+""",
+)
+def events_cusum_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrospective CUSUM drift scan per event type (operators/temporal.
+    cusum_drift — Page 1954, public method): one-sided CUSUM maxima of
+    the value stream around its per-key baseline, with the first
+    timestamp of the upward peak — the drift monitor that catches a feed
+    changing level mid-stream.  The recursion is re-expressed as
+    prefix-sum minus clipped running extremum, so the scan is pure window
+    functions over ONE key-partitioned shuffle; exact micro-int
+    arithmetic end-to-end keeps both engines bit-identical."""
+    from mistocksync_spark.operators.temporal import cusum_drift
+    from mistocksync_spark.sources.testdata import load_events
+
+    return cusum_drift(load_events(spark, sf_dir))

@@ -324,3 +324,39 @@ def test_bpe_token_stats_matches_reference_encode(spark):
             tc[s] += wc[w]
     want = sorted(tc.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
     assert got == want
+
+
+def test_cusum_drift_detects_planted_level_shift(spark):
+    import datetime
+
+    from mistocksync_spark.operators.temporal import cusum_drift
+
+    t0 = datetime.datetime(2026, 1, 1)
+    rows = []
+    # key 'shift': 50 events at 10.0 then 50 at 14.0 — upward drift peaks
+    # at the END of the stream with max_up = sum of (14 - baseline=12)
+    for i in range(100):
+        rows.append((i, t0 + datetime.timedelta(minutes=i), "shift", 10.0 if i < 50 else 14.0))
+    # key 'flat': constant value — both CUSUM maxima must be exactly 0
+    for i in range(40):
+        rows.append((1000 + i, t0 + datetime.timedelta(minutes=i), "flat", 7.5))
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string, value double")
+    out = {r.event_type: r for r in cusum_drift(df).collect()}
+
+    flat = out["flat"]
+    assert (flat.baseline_micro, flat.max_up_micro, flat.max_down_micro) == (7_500_000, 0, 0)
+
+    sh = out["shift"]
+    assert sh.baseline_micro == 12_000_000 and sh.n_events == 100
+    # up-drift: 50 × (14−12) = 100.0 units; down-drift: 50 × (12−10) = 100.0
+    assert sh.max_up_micro == 100_000_000 and sh.max_down_micro == 100_000_000
+    # the upward peak is first reached at the last event
+    assert sh.ts_at_max_up == t0 + datetime.timedelta(minutes=99)
+
+    # python replication of the exact recursion on the shift stream
+    xs = [10_000_000] * 50 + [14_000_000] * 50
+    b, s, mx = 12_000_000, 0, 0
+    for x in xs:
+        s = max(0, s + (x - b))
+        mx = max(mx, s)
+    assert mx == sh.max_up_micro
