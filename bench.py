@@ -259,6 +259,9 @@ def main():
             "bpe_learned_merges",
             "bpe_token_stats",
             "events_cusum_drift",
+            "doc_hashed_tfidf",
+            "doc_clusters_kmeans",
+            "doc_cluster_terms",
         ]
         if q in QUERIES
     ]

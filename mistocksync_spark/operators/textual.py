@@ -946,6 +946,76 @@ def hashed_quality_logit(
     )
 
 
+def hashed_tfidf_vectors(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 32,
+    n_docs: int | None = None,
+) -> DataFrame:
+    """Hashing-trick TF-IDF document vectors → (doc_id, embedding
+    array<double>): v[j] = Σ over tokens hashing to bucket j of
+    tf(d, t) · idf(t) — the stateless featurizer that turns a text corpus
+    into vectors for clustering/ANN without building or shipping a
+    vocabulary table.
+
+    Exactness contract (so a k-means on these vectors stays
+    hash-gradeable): idf is the LINEAR inverse document frequency
+    ``(1e6·N) div df(t)`` — an integer, not the usual log(N/df), because
+    a cross-engine ln() can differ in the last ulp and this featurizer
+    feeds bit-compared pipelines; per-bucket weights are exact BIGINT
+    sums and the final element is the single IEEE division w/1e6
+    (array<double>, identical in any engine).  Plan: one corpus scan to
+    (doc, token) counts, one token-level df aggregate, one per-(doc,
+    bucket) partial-agg shuffle, then a bounded transform(sequence)
+    assembles the dense array — no joins against a vocabulary, nothing
+    grows with corpus size except the linear scans.  Docs with zero
+    tokens emit no row.  ``n_docs`` defaults to a bounded driver count
+    (#docs with tokens) — pass it explicitly at 100 TB.
+    """
+    tw = tfidf_term_weights(df, text_col, id_col, n_docs)
+    bucket = F.conv(F.substring(F.md5(F.col("t")), 1, 8), 16, 10).cast("long") % F.lit(dim)
+    wb = (
+        tw.select("doc_id", bucket.alias("b"), "w")
+        .groupBy("doc_id", "b")
+        .agg(F.sum("w").alias("w"))
+    )
+    mp = wb.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("b", "w"))).alias("mp")
+    )
+    vec = F.expr(
+        f"transform(sequence(0, {dim - 1}), "
+        f"j -> CAST(COALESCE(element_at(mp, CAST(j AS BIGINT)), 0) AS DOUBLE) / 1000000.0)"
+    )
+    return mp.select("doc_id", vec.alias("embedding"))
+
+
+def tfidf_term_weights(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_docs: int | None = None,
+) -> DataFrame:
+    """Exact-integer TF-IDF term weights → (doc_id, t, w) with
+    w = tf(d, t) · ((1e6·N) div df(t)) as BIGINT — the shared base of
+    ``hashed_tfidf_vectors`` and the cluster-term readout.  One corpus
+    scan to (doc, token) counts (lazily checkpointed: the df aggregate
+    and the join both consume it), one token-level df aggregate joined
+    back on the token key."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("t"),
+    ).filter(F.length("t") > 0)
+    tf = toks.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    tf = tf.localCheckpoint(eager=False)
+    dfreq = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    n = n_docs if n_docs is not None else tf.select("doc_id").distinct().count()
+    # pre-multiply in Python: an inline `1000000 * n` would parse as
+    # int32 × int32 and overflow under ANSI at n ≥ 2148
+    idf = F.expr(f"CAST({1_000_000 * n} AS BIGINT) div df")
+    return tf.join(dfreq, on="t").select("doc_id", "t", (F.col("tf") * idf).alias("w"))
+
+
 def source_length_ks(df: DataFrame, len_col: str = "n_chars",
                      stratum_col: str = "source") -> DataFrame:
     """Distribution-drift monitor: exact two-sample Kolmogorov–Smirnov

@@ -8539,3 +8539,164 @@ def events_cusum_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mistocksync_spark.sources.testdata import load_events
 
     return cusum_drift(load_events(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Document clustering (late round 12): hashing-trick TF-IDF vectors →
+# k-means (the ivf_train machinery) → cluster membership + term readout.
+# The corpus-organization family a training pipeline uses for cluster-
+# balanced sampling and topic inspection, built so every stage stays
+# hash-gradeable: integer linear-idf weights (no transcendentals), double
+# arrays, and the dual k-means SQL replay the IVF oracles established.
+# --------------------------------------------------------------------------
+_DOC_VEC_DIM = 32
+_DOC_VEC_K = 8
+_DOC_VEC_ITERS = 2
+
+_SQL_DOC_VECS = [
+    r"""dtoks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS t
+        FROM documents)""",
+    """dtf AS MATERIALIZED (
+        SELECT doc_id, t, COUNT(*) AS tf FROM dtoks WHERE t <> ''
+        GROUP BY doc_id, t)""",
+    "ddf AS (SELECT t, COUNT(*) AS df FROM dtf GROUP BY t)",
+    "dnd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM dtf)",
+    f"""dtw AS MATERIALIZED (
+        SELECT f.doc_id, f.t,
+               CAST(f.tf * ((1000000 * (SELECT n FROM dnd)) // d.df) AS BIGINT) AS w
+        FROM dtf f JOIN ddf d USING (t))""",
+    f"""dwb AS (
+        SELECT doc_id, ({_SQL_HEX8.format(sha='md5(t)')}) % {_DOC_VEC_DIM} AS b,
+               CAST(SUM(w) AS BIGINT) AS w
+        FROM dtw GROUP BY doc_id, b)""",
+    f"""dspine AS (
+        SELECT d.doc_id, s.j AS b
+        FROM (SELECT DISTINCT doc_id FROM dwb) d,
+             UNNEST(generate_series(0, {_DOC_VEC_DIM - 1})) AS s(j))""",
+    """dv AS MATERIALIZED (
+        SELECT sp.doc_id AS vec_id,
+               list(CAST(COALESCE(w.w, 0) AS DOUBLE) / 1000000.0 ORDER BY sp.b) AS embedding
+        FROM dspine sp LEFT JOIN dwb w ON w.doc_id = sp.doc_id AND w.b = sp.b
+        GROUP BY sp.doc_id)""",
+]
+
+
+def _sql_doc_clusters() -> tuple[list[str], str]:
+    """Shared CTE blocks: doc vectors + the ivf_train k-means replay +
+    the final assignment — returns (blocks, assignment_cte_name)."""
+    km, cents = _sql_kmeans_blocks("dv", "d", str(_DOC_VEC_K), _DOC_VEC_ITERS)
+    blocks = list(_SQL_DOC_VECS) + km
+    blocks.append(_sql_assign_block("dassign", "dv", cents, 1))
+    return blocks, "dassign"
+
+
+def _doc_vec_shared(spark: SparkSession, sf_dir: str):
+    """Memoized (vectors, term-weights, trained centroids) per
+    (session, sf_dir) for the doc-clustering family — the three siblings
+    share one featurization and one k-means fit."""
+    key = (id(spark), sf_dir, "doc_vecs")
+    if key not in _CC_MEMO:
+        from mistocksync_spark.operators.textual import (
+            hashed_tfidf_vectors,
+            tfidf_term_weights,
+        )
+        from mistocksync_spark.operators.vectors import ivf_train
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        tw = tfidf_term_weights(docs).localCheckpoint(eager=False)
+        vecs = hashed_tfidf_vectors(docs, dim=_DOC_VEC_DIM).localCheckpoint(eager=False)
+        cents = ivf_train(
+            vecs, n_centroids=_DOC_VEC_K, iterations=_DOC_VEC_ITERS,
+            vec_col="embedding", id_col="doc_id",
+        )
+        _CC_MEMO[key] = (vecs, tw, cents)
+    return _CC_MEMO[key]
+
+
+@query(
+    "doc_hashed_tfidf",
+    "WITH " + ",\n    ".join(_SQL_DOC_VECS)
+    + "\n    SELECT vec_id AS doc_id, embedding FROM dv",
+)
+def doc_hashed_tfidf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick TF-IDF document vectors (operators/textual.
+    hashed_tfidf_vectors): stateless featurization — md5 bucket in dim
+    32, exact-integer linear-idf weights, one IEEE division per element —
+    so the text corpus becomes cluster-/ANN-ready vectors with no
+    vocabulary table to build or ship, and downstream k-means stays
+    bit-comparable across engines."""
+    vecs, _, _ = _doc_vec_shared(spark, sf_dir)
+    return vecs
+
+
+@query(
+    "doc_clusters_kmeans",
+    "WITH "
+    + ",\n    ".join(_sql_doc_clusters()[0])
+    + """
+    SELECT cidx AS cluster, COUNT(*) AS n_docs, MIN(vec_id) AS min_doc_id
+    FROM dassign GROUP BY cidx
+""",
+)
+def doc_clusters_kmeans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means document clustering over the hashed TF-IDF vectors
+    (ivf_train/ivf_assign reused as the clustering engine — lowest-id
+    seeds, 2 Lloyd iterations, exact micro-int centroid accumulation):
+    per-cluster membership counts + the minimum doc id as a stable
+    cluster identity.  The corpus-organization step behind cluster-
+    balanced training-data sampling; the oracle replays the FULL k-means
+    in SQL (the dual-replay machinery the IVF rebuild oracles
+    established), so the grade covers the fit, not just the readout."""
+    from mistocksync_spark.operators.vectors import ivf_assign
+
+    vecs, _, cents = _doc_vec_shared(spark, sf_dir)
+    assign = ivf_assign(vecs, cents, vec_col="embedding", id_col="doc_id")
+    return assign.groupBy("centroid").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("vec_id").alias("min_doc_id")
+    ).select(F.col("centroid").alias("cluster"), "n_docs", "min_doc_id")
+
+
+@query(
+    "doc_cluster_terms",
+    "WITH "
+    + ",\n    ".join(_sql_doc_clusters()[0])
+    + """
+    , ct AS (
+        SELECT a.cidx AS cluster, w.t, CAST(SUM(w.w) AS BIGINT) AS tw
+        FROM dtw w JOIN dassign a ON a.vec_id = w.doc_id
+        GROUP BY a.cidx, w.t
+    )
+    , cmx AS (
+        SELECT cluster, MAX(tw) AS token_weight_micro FROM ct GROUP BY cluster
+    )
+    SELECT m.cluster, MIN(c.t) AS top_token, m.token_weight_micro
+    FROM cmx m JOIN ct c ON c.cluster = m.cluster AND c.tw = m.token_weight_micro
+    GROUP BY m.cluster, m.token_weight_micro
+""",
+)
+def doc_cluster_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top term per document cluster by summed TF-IDF weight (ties to the
+    lexicographically first token) — the interpretability readout of
+    ``doc_clusters_kmeans`` (what is each cluster about).  One token-level
+    join against the assignment + two cluster-keyed aggregates; exact
+    integer weights keep the per-cluster argmax hash-gradeable."""
+    from mistocksync_spark.operators.vectors import ivf_assign
+
+    vecs, tw, cents = _doc_vec_shared(spark, sf_dir)
+    assign = ivf_assign(vecs, cents, vec_col="embedding", id_col="doc_id")
+    ct = (
+        tw.join(assign, tw.doc_id == assign.vec_id)
+        .groupBy("centroid", "t")
+        .agg(F.sum("w").cast("long").alias("tw"))
+    )
+    cmx = ct.groupBy("centroid").agg(F.max("tw").alias("token_weight_micro"))
+    return (
+        ct.join(cmx, on="centroid")
+        .filter(F.col("tw") == F.col("token_weight_micro"))
+        .groupBy("centroid", "token_weight_micro")
+        .agg(F.min("t").alias("top_token"))
+        .select(
+            F.col("centroid").alias("cluster"), "top_token", "token_weight_micro"
+        )
+    )

@@ -360,3 +360,47 @@ def test_cusum_drift_detects_planted_level_shift(spark):
         s = max(0, s + (x - b))
         mx = max(mx, s)
     assert mx == sh.max_up_micro
+
+
+def test_hashed_tfidf_vectors_exact_arithmetic(spark):
+    import hashlib
+
+    from mistocksync_spark.operators.textual import hashed_tfidf_vectors
+
+    texts = {1: "aa bb aa", 2: "aa cc"}
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {r.doc_id: list(r.embedding) for r in hashed_tfidf_vectors(df, dim=8).collect()}
+
+    def bucket(t):
+        return int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % 8
+
+    n = 2
+    dfreq = {"aa": 2, "bb": 1, "cc": 1}
+    want = {d: [0.0] * 8 for d in texts}
+    for d, txt in texts.items():
+        tf = {}
+        for t in txt.split():
+            tf[t] = tf.get(t, 0) + 1
+        acc = {}
+        for t, c in tf.items():
+            acc[bucket(t)] = acc.get(bucket(t), 0) + c * ((1_000_000 * n) // dfreq[t])
+        for b, w in acc.items():
+            want[d][b] = w / 1_000_000.0
+    assert got == want
+
+
+def test_doc_clusters_kmeans_partitions_two_topics(spark):
+    from mistocksync_spark.operators.textual import hashed_tfidf_vectors
+    from mistocksync_spark.operators.vectors import ivf_assign, ivf_train
+
+    # two disjoint vocabularies → k=2 k-means must separate them exactly
+    rows = []
+    for i in range(10):
+        rows.append((i, "гв шк лом пика careful" if i % 2 == 0 else "zz qq rr ss tt"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    vecs = hashed_tfidf_vectors(df, dim=16).localCheckpoint()
+    cents = ivf_train(vecs, n_centroids=2, iterations=2, vec_col="embedding", id_col="doc_id")
+    assign = {r.vec_id: r.centroid for r in ivf_assign(vecs, cents, "embedding", "doc_id").collect()}
+    even = {assign[i] for i in range(0, 10, 2)}
+    odd = {assign[i] for i in range(1, 10, 2)}
+    assert len(even) == 1 and len(odd) == 1 and even != odd
