@@ -262,6 +262,7 @@ def main():
             "doc_hashed_tfidf",
             "doc_clusters_kmeans",
             "doc_cluster_terms",
+            "cluster_balanced_sample",
         ]
         if q in QUERIES
     ]

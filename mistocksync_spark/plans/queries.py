@@ -8700,3 +8700,53 @@ def doc_cluster_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("centroid").alias("cluster"), "top_token", "token_weight_micro"
         )
     )
+
+
+@query(
+    "cluster_balanced_sample",
+    "WITH "
+    + ",\n    ".join(_sql_doc_clusters()[0])
+    + f"""
+    , ranked AS (
+        SELECT vec_id, cidx,
+               row_number() OVER (
+                   PARTITION BY cidx
+                   ORDER BY md5('cbs|' || CAST(vec_id AS VARCHAR)), vec_id
+               ) AS rnk
+        FROM dassign
+    )
+    , picked AS (SELECT vec_id, cidx FROM ranked WHERE rnk <= 20)
+    SELECT cidx AS cluster,
+           COUNT(*) AS n_sampled,
+           CAST(SUM(vec_id) AS BIGINT) AS sampled_id_sum,
+           MIN(vec_id) AS min_sampled_id
+    FROM picked GROUP BY cidx
+""",
+)
+def cluster_balanced_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced corpus sampling — WHY a training pipeline
+    clusters: take (up to) 20 docs per k-means cluster by a deterministic
+    md5 rank (seeded hash order, ties to doc id), so the sampled mix is
+    topic-balanced instead of frequency-biased, and reproducible with no
+    RNG state.  Graded as the per-cluster sample accounting (count,
+    id-sum, min id — an id-set digest the oracle recomputes from its own
+    replayed fit).  Plan: the assignment plus ONE window rank per
+    cluster; at 100 TB the rank is a per-partition top-m, never a global
+    sort."""
+    from pyspark.sql import Window
+
+    from mistocksync_spark.operators.vectors import ivf_assign
+
+    vecs, _, cents = _doc_vec_shared(spark, sf_dir)
+    assign = ivf_assign(vecs, cents, vec_col="embedding", id_col="doc_id")
+    w = Window.partitionBy("centroid").orderBy(
+        F.md5(F.concat(F.lit("cbs|"), F.col("vec_id").cast("string"))), F.col("vec_id")
+    )
+    picked = assign.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 20)
+    return picked.groupBy("centroid").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("vec_id").cast("long").alias("sampled_id_sum"),
+        F.min("vec_id").alias("min_sampled_id"),
+    ).select(
+        F.col("centroid").alias("cluster"), "n_sampled", "sampled_id_sum", "min_sampled_id"
+    )
