@@ -263,6 +263,7 @@ def main():
             "doc_clusters_kmeans",
             "doc_cluster_terms",
             "cluster_balanced_sample",
+            "orders_bucketed_join",
         ]
         if q in QUERIES
     ]

@@ -8750,3 +8750,58 @@ def cluster_balanced_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("centroid").alias("cluster"), "n_sampled", "sampled_id_sum", "min_sampled_id"
     )
+
+
+@query(
+    "orders_bucketed_join",
+    f"""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_orders,
+           {sql_dec_sum("o.o_totalprice", 2)} AS sum_totalprice
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+""",
+)
+def orders_bucketed_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located (bucketed) fact⋈dim join: both sides are first written
+    as tables bucketed AND per-bucket-sorted on the join key with the
+    same bucket count (sinks/layout.bucketed_table_write), so the join
+    compiles to a sort-merge join with NO Exchange on either input — the
+    organization that removes the biggest shuffle of a 100 TB star join
+    (bucket layout is recorded in the catalog; each task merges one
+    co-numbered bucket pair locally).  The oracle is the PLAIN join over
+    the raw parquet, so the grade asserts the bucketed round-trip and
+    co-located join are lossless; the shuffle-free plan itself is pinned
+    by tests/test_spans.py.  The write is a per-(sf_dir) one-time cost
+    (~#rows), amortized across every subsequent join on that key — the
+    same produce-once/probe-many trade as the stored IVF index."""
+    import hashlib
+
+    from mistocksync_spark.sinks.layout import bucketed_table_write
+
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    root = f"/tmp/spark_graft_bucketed/{h}"
+    ob, cb = f"orders_b_{h}", f"customer_b_{h}"
+    if not spark.catalog.tableExists(ob):
+        bucketed_table_write(
+            spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+                "o_orderkey", "o_custkey", "o_totalprice"
+            ),
+            ob, f"{root}/orders", "o_custkey", 8,
+        )
+    if not spark.catalog.tableExists(cb):
+        bucketed_table_write(
+            spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+                "c_custkey", "c_mktsegment"
+            ),
+            cb, f"{root}/customer", "c_custkey", 8,
+        )
+    o, c = spark.table(ob), spark.table(cb)
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dec_sum("o_totalprice", 2).alias("sum_totalprice"),
+        )
+    )

@@ -201,3 +201,30 @@ def zordered_write(
         .parquet(path)
     )
     return path
+
+
+def bucketed_table_write(
+    df: DataFrame,
+    table: str,
+    path: str,
+    key: str,
+    n_buckets: int = 8,
+) -> str:
+    """Write ``df`` as a BUCKETED, per-bucket-sorted table (external, at
+    ``path``): ``bucketBy(n, key).sortBy(key)`` records the hash layout
+    in the catalog, so an equi-join of two tables bucketed on the same
+    key with the same bucket count compiles to a sort-merge join with
+    NO Exchange on either side — the co-located join that turns the
+    biggest shuffle of a 100 TB star join into a local merge
+    (tests/test_spans.py pins the shuffle-free plan).  Overwrites any
+    prior copy (deterministic content, idempotent).  Returns the table
+    name."""
+    (
+        df.write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+    return table

@@ -404,3 +404,31 @@ def test_doc_clusters_kmeans_partitions_two_topics(spark):
     even = {assign[i] for i in range(0, 10, 2)}
     odd = {assign[i] for i in range(1, 10, 2)}
     assert len(even) == 1 and len(odd) == 1 and even != odd
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
+    from mistocksync_spark.sinks.layout import bucketed_table_write
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_orderkey", "o_custkey")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_custkey", "c_mktsegment")
+    bucketed_table_write(o, "t_orders_bkt", str(tmp_path / "o"), "o_custkey", 4)
+    bucketed_table_write(c, "t_cust_bkt", str(tmp_path / "c"), "c_custkey", 4)
+    try:
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            ob, cb = spark.table("t_orders_bkt"), spark.table("t_cust_bkt")
+            j = ob.join(cb, ob.o_custkey == cb.c_custkey)
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            # co-located: the SMJ reads co-numbered buckets directly — no
+            # Exchange anywhere in the join plan, bucket scan visible
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan
+            assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan
+            # and the join result matches the plain (shuffled) join
+            assert j.count() == o.join(c, o.o_custkey == c.c_custkey).count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_orders_bkt")
+        spark.sql("DROP TABLE IF EXISTS t_cust_bkt")
