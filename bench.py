@@ -264,6 +264,8 @@ def main():
             "doc_cluster_terms",
             "cluster_balanced_sample",
             "orders_bucketed_join",
+            "user_hll_estimate",
+            "user_hll_merge_audit",
         ]
         if q in QUERIES
     ]

