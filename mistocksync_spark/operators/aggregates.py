@@ -722,11 +722,21 @@ def hll_registers(df: DataFrame, col: str, group_col: str | None = None) -> Data
         .alias("__rho"),
     )
     regs = hashed.groupBy(*keys, "bucket").agg(F.max("__rho").alias("reg"))
-    spark = df.sparkSession
-    spine = spark.range(_HLL_M).select(F.col("id").cast("long").alias("bucket"))
+    # zero-fill via an exploded spine (per group when grouped) — an
+    # explode, never a crossJoin: the registry pins a zero-BNLJ budget
     if group_col:
-        groups = df.select(F.col(group_col)).distinct()
-        spine = groups.crossJoin(F.broadcast(spine))
+        spine = (
+            df.select(F.col(group_col))
+            .distinct()
+            .select(
+                group_col,
+                F.explode(F.sequence(F.lit(0), F.lit(_HLL_M - 1))).alias("bucket"),
+            )
+            .withColumn("bucket", F.col("bucket").cast("long"))
+        )
+    else:
+        spark = df.sparkSession
+        spine = spark.range(_HLL_M).select(F.col("id").cast("long").alias("bucket"))
     out = spine.join(regs, on=keys + ["bucket"], how="left").select(
         *keys, "bucket", F.coalesce(F.col("reg"), F.lit(0)).cast("int").alias("reg")
     )
@@ -740,16 +750,29 @@ def hll_estimate(df: DataFrame, col: str) -> DataFrame:
     division estimate) alongside the exact distinct count and the ppm
     error.  sum_scaled = Σ 2^(53 − reg) as exact BIGINT shifts."""
     regs = hll_registers(df, col)
-    agg = regs.agg(
-        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 53 - reg)")).alias("sum_scaled"),
-        F.sum((F.col("reg") == 0).cast("long")).alias("zero_registers"),
+    # union-tagged single aggregate (the incremental_dedup_summary shape)
+    # instead of a 1-row scalar join — the registry pins a zero-BNLJ budget
+    u = regs.select(
+        F.col("reg").cast("int").alias("__reg"),
+        F.lit(None).cast("string").alias("__uid"),
+    ).unionByName(
+        df.select(
+            F.lit(None).cast("int").alias("__reg"),
+            F.col(col).cast("string").alias("__uid"),
+        )
     )
-    exact = df.agg(F.countDistinct(F.col(col)).alias("n_exact"))
-    u = agg.select(F.lit(1).alias("__j"), "sum_scaled", "zero_registers").join(
-        exact.select(F.lit(1).alias("__j"), "n_exact"), on="__j"
+    agg = u.agg(
+        F.sum(
+            F.when(
+                F.col("__reg").isNotNull(),
+                F.expr("shiftleft(CAST(1 AS BIGINT), 53 - __reg)"),
+            )
+        ).alias("sum_scaled"),
+        F.sum((F.col("__reg") == 0).cast("long")).alias("zero_registers"),
+        F.countDistinct("__uid").alias("n_exact"),
     )
     est = F.round(F.lit(_HLL_K) / F.col("sum_scaled").cast("double"), 3)
-    return u.select(
+    return agg.select(
         F.lit(_HLL_M).cast("int").alias("m"),
         "n_exact",
         "zero_registers",

@@ -8913,13 +8913,17 @@ def user_hll_merge_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     regs_g = hll_registers(ev, "user_id", group_col="event_type")
     merged = regs_g.groupBy("bucket").agg(F.max("reg").alias("reg_m"))
     glob = hll_registers(ev, "user_id")
-    cmpd = merged.join(glob, on="bucket").agg(
-        F.sum((F.col("reg_m") != F.col("reg")).cast("long")).alias("mismatched_buckets")
+    flags = merged.join(glob, on="bucket").select(
+        (F.col("reg_m") != F.col("reg")).cast("long").alias("__mm"),
+        F.lit(None).cast("string").alias("__grp"),
     )
-    ngroups = ev.select("event_type").distinct().agg(F.count(F.lit(1)).alias("n_groups"))
-    u = ngroups.select(F.lit(1).alias("__j"), "n_groups").join(
-        cmpd.select(F.lit(1).alias("__j"), "mismatched_buckets"), on="__j"
+    # union-tagged 1-row combine, not a scalar join (zero-BNLJ budget)
+    u = flags.unionByName(
+        ev.select(F.lit(None).cast("long").alias("__mm"), F.col("event_type").alias("__grp"))
     )
-    return u.select(
+    return u.agg(
+        F.countDistinct("__grp").alias("n_groups"),
+        F.sum("__mm").alias("mismatched_buckets"),
+    ).select(
         "n_groups", F.lit(256).cast("int").alias("n_buckets"), "mismatched_buckets"
     )
