@@ -266,6 +266,7 @@ def main():
             "orders_bucketed_join",
             "user_hll_estimate",
             "user_hll_merge_audit",
+            "user_hll_stream",
         ]
         if q in QUERIES
     ]

@@ -785,3 +785,70 @@ def hll_estimate(df: DataFrame, col: str) -> DataFrame:
         .cast("long")
         .alias("err_ppm"),
     )
+
+
+def hll_bucket_rho(col: str):
+    """(bucket, rho) column pair for the HLL hash split — stateless
+    expressions, usable in batch AND Structured Streaming plans."""
+    u = F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10).cast("long")
+    bucket = (u % _HLL_M).alias("bucket")
+    w = f"(conv(substring(md5(CAST({col} AS STRING)), 1, 15), 16, 10) div {_HLL_M})"
+    rho = (
+        F.when(F.expr(w) > 0, F.lit(53) - F.length(F.expr(f"bin({w})")))
+        .otherwise(F.lit(53))
+        .alias("rho")
+    )
+    return bucket, rho
+
+
+def hll_finish_from_partial(regs: DataFrame, exact_src: DataFrame, col: str) -> DataFrame:
+    """Close an HLL readout from a PARTIAL register frame (bucket, reg)
+    that omits empty buckets — the shape a streamed / merged sketch
+    arrives in: every present bucket has reg >= 1 (rho of a 52-bit value
+    is at least 1), so empty-bucket mass is (m − n_present)·2^53 and
+    zero_registers = m − n_present, closed-form — no spine join needed.
+    Output schema identical to ``hll_estimate`` (the two share one
+    oracle); the combine is the union-tagged single aggregate (zero-BNLJ
+    budget)."""
+    u = regs.select(
+        F.col("reg").cast("int").alias("__reg"),
+        F.lit(None).cast("string").alias("__uid"),
+    ).unionByName(
+        exact_src.select(
+            F.lit(None).cast("int").alias("__reg"),
+            F.col(col).cast("string").alias("__uid"),
+        )
+    )
+    agg = u.agg(
+        F.sum(
+            F.when(
+                F.col("__reg").isNotNull(),
+                F.expr("shiftleft(CAST(1 AS BIGINT), 53 - __reg)"),
+            )
+        ).alias("__sum_present"),
+        F.sum(F.col("__reg").isNotNull().cast("long")).alias("__n_present"),
+        F.countDistinct("__uid").alias("n_exact"),
+    )
+    full = agg.select(
+        "n_exact",
+        (F.lit(_HLL_M).cast("long") - F.col("__n_present")).alias("zero_registers"),
+        (
+            F.col("__sum_present")
+            + (F.lit(_HLL_M).cast("long") - F.col("__n_present"))
+            * F.lit(1 << 53).cast("long")
+        ).alias("sum_scaled"),
+    )
+    est = F.round(F.lit(_HLL_K) / F.col("sum_scaled").cast("double"), 3)
+    return full.select(
+        F.lit(_HLL_M).cast("int").alias("m"),
+        "n_exact",
+        "zero_registers",
+        "sum_scaled",
+        est.alias("hll_estimate"),
+        F.floor(
+            F.abs(est - F.col("n_exact").cast("double")) * F.lit(1000000.0)
+            / F.col("n_exact")
+        )
+        .cast("long")
+        .alias("err_ppm"),
+    )

@@ -8927,3 +8927,33 @@ def user_hll_merge_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "n_groups", F.lit(256).cast("int").alias("n_buckets"), "mismatched_buckets"
     )
+
+
+@query("user_hll_stream")
+def user_hll_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming parity for the HLL sketch — its production
+    shape: registers accumulate CONTINUOUSLY as a streaming
+    groupBy(bucket).max(rho) (stateless hash columns, 256-row state,
+    complete mode), then the batch finisher closes the estimate from the
+    partial register table (empty-bucket mass is closed-form — no spine).
+    Shares ``user_hll_estimate``'s oracle, so the grade asserts the
+    streamed sketch equals the batch sketch to the BIT."""
+    from mistocksync_spark.operators.aggregates import (
+        hll_bucket_rho,
+        hll_finish_from_partial,
+    )
+    from mistocksync_spark.sources.testdata import load_events
+    from mistocksync_spark.streaming.events import read_events_stream
+
+    bucket, rho = hll_bucket_rho("user_id")
+    regs_stream = (
+        read_events_stream(spark, sf_dir)
+        .select(bucket, rho)
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+    sink = _run_stream(spark, regs_stream, "user_hll_stream_sink", "complete")
+    return hll_finish_from_partial(sink, load_events(spark, sf_dir), "user_id")
+
+
+ORACLES["user_hll_stream"] = ORACLES["user_hll_estimate"]
