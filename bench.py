@@ -260,6 +260,61 @@ def main():
             "bpe_token_stats",
             "events_cusum_drift",
             "doc_hashed_tfidf",
+            # r13: the pre-guard tail — r1–r5 registrations that predate
+            # the dark-code bench guard; added so "registered => costed"
+            # holds for the WHOLE registry (r12 verdict item 5).  Nearly
+            # all are sub-second scalar/report/filter entries.
+            "article_writeback_audit",
+            "battery_capacity_extract",
+            "clean_article_dimi",
+            "clean_article_vitya",
+            "clean_name",
+            "comparison_summary",
+            "contamination_check",
+            "corpus_filter",
+            "corpus_filter_summary",
+            "dedup_survivors",
+            "dimi_balance_filter",
+            "doc_fingerprint",
+            "doc_length_quantiles",
+            "doc_length_quantiles_approx",
+            "doc_packing",
+            "doc_packing_summary",
+            "doc_repetition",
+            "embedding_dedup_survivors",
+            "embedding_near_dup_recall",
+            "embedding_topk_ivf",
+            "embedding_topk_ivf_trained",
+            "embedding_topk_lsh",
+            "events_hourly_stream",
+            "events_sliding",
+            "events_sliding_stream",
+            "events_throttle_stream",
+            "exact_article_match_dimi",
+            "fuzzy_annotated_new_items",
+            "map_supplier_to_base",
+            "max_article",
+            "min_base_price",
+            "new_items_dimi",
+            "new_items_for_base",
+            "new_items_for_base_dimi",
+            "null_profile",
+            "price_changes",
+            "price_filter",
+            "price_filter_loss",
+            "price_warnings",
+            "report_price_changes_sheet",
+            "report_warnings_sheet",
+            "row_insert_autonumber",
+            "safe_color",
+            "snapshot_diff",
+            "supplier_feed_rows",
+            "tfidf_top_terms",
+            "token_counts",
+            "top_event_types_per_user",
+            "user_sessions_stream",
+            "vitya_balance_filter",
+            "vocab_topk",
             "doc_clusters_kmeans",
             "doc_cluster_terms",
             "cluster_balanced_sample",

@@ -107,7 +107,7 @@ def salted_dim_join(
     dim: DataFrame,
     key: str,
     salt_buckets: int = 16,
-    salt_cols: list[str] | None = None,
+    salt_cols: list[str] = None,
 ) -> DataFrame:
     """Skew-proof fact⋈dim equi-join via key salting (lossless, 1:1 with
     the plain join — asserted by the graded oracle and tests).
@@ -124,9 +124,30 @@ def salted_dim_join(
     engage (e.g. the skewed side is already bucketed, or the join feeds a
     co-partitioned consumer that must keep the layout).  Cost: dim bytes ×
     ``salt_buckets`` shuffle inflation — the usual salting trade.
+
+    ``salt_cols`` is REQUIRED and must vary within a key (a row id, not
+    the join key itself — hash(key) is constant per key, so salting on it
+    would send every hot-key row to the same reducer and silently undo
+    the spread).  It used to default to ALL fact columns, which hashed
+    wide text payloads per row just to derive a 4-bit salt (r12 ADVICE).
     """
-    cols = salt_cols if salt_cols is not None else list(fact.columns)
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(salt_buckets))
+    if not salt_cols:
+        raise ValueError(
+            "salt_cols is required: pass a per-row-varying column (e.g. a "
+            "row id); hashing the join key alone would not spread a hot key"
+        )
+    if set(salt_cols) == {key}:
+        raise ValueError(
+            f"salt_cols={salt_cols!r} is the join key: hash({key}) is "
+            "constant within a key, so no spreading would occur"
+        )
+    for side, df_ in (("fact", fact), ("dim", dim)):
+        if "__salt" in df_.columns:
+            raise ValueError(
+                f"{side} input already has a '__salt' column; it would "
+                "silently corrupt the (key, salt) join — rename it first"
+            )
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(salt_buckets))
     f = fact.withColumn("__salt", salt.cast("int"))
     d = dim.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
@@ -778,12 +799,13 @@ def hll_estimate(df: DataFrame, col: str) -> DataFrame:
         "zero_registers",
         "sum_scaled",
         est.alias("hll_estimate"),
-        F.floor(
-            F.abs(est - F.col("n_exact").cast("double")) * F.lit(1000000.0)
-            / F.col("n_exact")
-        )
-        .cast("long")
-        .alias("err_ppm"),
+        F.when(
+            F.col("n_exact") > 0,
+            F.floor(
+                F.abs(est - F.col("n_exact").cast("double")) * F.lit(1000000.0)
+                / F.col("n_exact")
+            ).cast("long"),
+        ).alias("err_ppm"),
     )
 
 
@@ -845,10 +867,11 @@ def hll_finish_from_partial(regs: DataFrame, exact_src: DataFrame, col: str) -> 
         "zero_registers",
         "sum_scaled",
         est.alias("hll_estimate"),
-        F.floor(
-            F.abs(est - F.col("n_exact").cast("double")) * F.lit(1000000.0)
-            / F.col("n_exact")
-        )
-        .cast("long")
-        .alias("err_ppm"),
+        F.when(
+            F.col("n_exact") > 0,
+            F.floor(
+                F.abs(est - F.col("n_exact").cast("double")) * F.lit(1000000.0)
+                / F.col("n_exact")
+            ).cast("long"),
+        ).alias("err_ppm"),
     )

@@ -1369,12 +1369,17 @@ def span_anchor_recall(
         .unionByName(recalled.select(F.lit(0).alias("__e"), F.lit(0).alias("__c"), F.lit(1).alias("__r")))
     )
     return u.agg(
-        F.sum("__e").alias("n_exact_pairs"),
-        F.sum("__c").alias("n_candidate_pairs"),
-        F.sum("__r").alias("n_recalled"),
+        # coalesce: SUM over the empty union is NULL, but the oracle's
+        # COUNT(*) subqueries read 0 — a degenerate corpus must grade 0
+        F.coalesce(F.sum("__e"), F.lit(0)).alias("n_exact_pairs"),
+        F.coalesce(F.sum("__c"), F.lit(0)).alias("n_candidate_pairs"),
+        F.coalesce(F.sum("__r"), F.lit(0)).alias("n_recalled"),
     ).select(
         "n_exact_pairs",
         "n_candidate_pairs",
         "n_recalled",
-        F.round(F.col("n_recalled") / F.col("n_exact_pairs"), 6).alias("pair_recall"),
+        F.when(
+            F.col("n_exact_pairs") > 0,
+            F.round(F.col("n_recalled") / F.col("n_exact_pairs"), 6),
+        ).alias("pair_recall"),
     )

@@ -315,22 +315,46 @@ def test_every_query_has_a_bench_entry_or_is_headline():
     src = open("/root/repo/bench.py").read()
     benched = set(re.findall(r'"([a-z0-9_]+)"', src))
     unbenched = {q for q in QUERIES if q not in benched}
-    # scalar-function demos, report sheets, and sink/mutation rows are
-    # timed through their parent pipeline entries (cascade, report,
-    # merge); every OPERATOR-level query must appear explicitly
-    allowed_untimed_prefixes = (
-        "report_", "price_", "article_", "row_insert", "snapshot_",
-        "clean_", "bracket_code_extract", "product_code_extract",
-        "battery_", "safe_color", "map_supplier", "max_article",
-        "null_profile", "min_base", "top_event", "comparison_summary",
-        "new_items", "exact_article", "supplier_feed", "vitya_", "dimi_",
-        "events_sliding", "events_hourly_stream", "events_throttle",
-        "fuzzy_", "dedup_", "contamination_", "embedding_", "duplicate_",
-        "doc_", "token_counts", "language", "mixture_plan", "length_",
-        "vocab_", "tfidf_", "corpus_filter", "packing", "json_",
-        "user_sessions_stream", "events_cuped", "chunk", "q1_",
-    )
-    hard_misses = {
-        q for q in unbenched if not q.startswith(allowed_untimed_prefixes)
-    }
-    assert not hard_misses, f"queries with no bench entry: {sorted(hard_misses)}"
+    # r13: the pre-guard tail was added to the bench extension tier, so
+    # the invariant is now STRICT — "registered => costed" with no
+    # allowed-untimed escape hatch for any entry.
+    assert not unbenched, f"queries with no bench entry: {sorted(unbenched)}"
+
+
+def test_parquet_content_tag_changes_on_regeneration(tmp_path):
+    """Produce-once /tmp state is keyed on _parquet_content_tag: a
+    regenerated source file (even bit-identical content — mtime moves)
+    must change the tag, so a surviving bucketed table can never be
+    served stale (r12 ADVICE)."""
+    import os
+    import shutil
+
+    from mistocksync_spark.plans.queries import _parquet_content_tag
+
+    src = "/root/testdata/sf0.001/customer.parquet"
+    dst = tmp_path / "customer.parquet"
+    shutil.copy(src, dst)
+    t1 = _parquet_content_tag(str(dst))
+    assert t1 == _parquet_content_tag(str(dst))  # stable while untouched
+    os.utime(dst)  # "regenerate" bit-identically
+    t2 = _parquet_content_tag(str(dst))
+    assert t2 != t1
+    # directory form walks nested parquet files
+    d = tmp_path / "nested"
+    d.mkdir()
+    shutil.copy(src, d / "part-0.parquet")
+    assert _parquet_content_tag(str(tmp_path)) != t2
+
+
+def test_scratch_root_isolates_pid_and_reaps_dead_sessions(tmp_path):
+    import os
+
+    from mistocksync_spark.plans.queries import _scratch_root
+
+    base = str(tmp_path / "scratch")
+    os.makedirs(f"{base}/999999999-deadbeef00")  # no such pid: stale root
+    os.makedirs(f"{base}/{os.getpid()}-aaaaaaaaaa")  # our own other tag
+    root = _scratch_root(base, "cafebabe00")
+    assert root == f"{base}/{os.getpid()}-cafebabe00"
+    assert not os.path.exists(f"{base}/999999999-deadbeef00")  # reaped
+    assert os.path.exists(f"{base}/{os.getpid()}-aaaaaaaaaa")  # live pid kept

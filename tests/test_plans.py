@@ -197,6 +197,32 @@ def test_report_sheets_broadcast_the_matched_side(spark, name):
     assert "SortMergeJoin" not in plan
 
 
+def test_registry_wide_scalar_output_surface(spark, sf_dir):
+    """Every graded query must expose ONLY scalar output columns: the
+    driver's oracle comparator canonicalizes via pandas ``sort_values``
+    over all columns, which throws ``unhashable type: 'list'`` on
+    array/map/struct cells — an ungradeable surface, not a wrong answer
+    (the CORRECTNESS_r12 ``doc_hashed_tfidf`` failure).  Library forms may
+    return arrays (operators/textual.hashed_tfidf_vectors does); the
+    REGISTERED entry must explode or checksum them.  Streaming entries are
+    skipped here (building them starts real streams — the plan-budget
+    precedent); their parity tests compare ``{tuple(r) for r in
+    collect()}`` sets, which already throw on unhashable cells, so the
+    same contract is enforced there structurally."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    from mistocksync_spark.plans.queries import QUERIES
+
+    bad = []
+    for name, fn in QUERIES.items():
+        if "_stream" in name:
+            continue
+        for f in fn(spark, sf_dir).schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                bad.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    assert not bad, f"non-scalar graded surfaces (driver cannot grade): {bad}"
+
+
 def test_registry_wide_no_cartesian_bnlj_budget(spark, sf_dir):
     """Registry-wide plan-shape invariant: NO query may plan a
     CartesianProduct, and BroadcastNestedLoopJoin appears only where a

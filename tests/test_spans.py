@@ -138,11 +138,31 @@ def test_salted_dim_join_salt_column_dropped_and_no_dup_rows(spark):
     dim = spark.createDataFrame([("hot", 1), ("cold", 2)], "k string, attr int")
     from mistocksync_spark.operators.aggregates import salted_dim_join
 
-    out = salted_dim_join(fact, dim, "k", salt_buckets=4)
+    out = salted_dim_join(fact, dim, "k", salt_buckets=4, salt_cols=["id"])
     assert "__salt" not in out.columns
     # 1:1 with the fact side: the dim replication must never duplicate rows
     assert out.count() == 100
     assert out.filter((F.col("k") == "hot") & (F.col("attr") != 1)).count() == 0
+
+
+def test_salted_dim_join_rejects_footguns(spark):
+    """r12 ADVICE: salt_cols is required and must not be the join key
+    (hash(key) is constant per key — zero spread); a pre-existing __salt
+    column fails fast instead of silently corrupting the join."""
+    import pytest
+
+    from mistocksync_spark.operators.aggregates import salted_dim_join
+
+    fact = spark.createDataFrame([(1, "a")], "id long, k string")
+    dim = spark.createDataFrame([("a", 1)], "k string, attr int")
+    with pytest.raises(ValueError, match="salt_cols is required"):
+        salted_dim_join(fact, dim, "k")
+    with pytest.raises(ValueError, match="constant within a key"):
+        salted_dim_join(fact, dim, "k", salt_cols=["k"])
+    with pytest.raises(ValueError, match="__salt"):
+        salted_dim_join(fact.withColumn("__salt", F.lit(0)), dim, "k", salt_cols=["id"])
+    with pytest.raises(ValueError, match="__salt"):
+        salted_dim_join(fact, dim.withColumn("__salt", F.lit(0)), "k", salt_cols=["id"])
 
 
 def test_similarity_pagerank_integer_exact_star(spark):
@@ -458,3 +478,25 @@ def test_hll_registers_and_estimate_match_python_replication(spark):
     assert row.hll_estimate == est
     # the raw m=256 estimator should be within ~10% at n=1000 (1.04/sqrt(m) ≈ 6.5%)
     assert abs(est - 1000) / 1000 < 0.15
+
+
+def test_degenerate_inputs_grade_cleanly(spark):
+    """r12 ADVICE: the recall/error ratios must NULL (not error or
+    engine-diverge) when their denominator is zero — empty corpus for
+    hll_estimate, no exact span pairs for span_anchor_recall."""
+    from mistocksync_spark.operators.aggregates import hll_estimate
+
+    row = hll_estimate(
+        spark.createDataFrame([], "user_id long"), "user_id"
+    ).collect()[0]
+    assert row.n_exact == 0 and row.err_ppm is None
+
+    # two docs with no shared >=60-char span → n_exact_pairs == 0
+    df = spark.createDataFrame(
+        [(1, "a" * 10 + "совершенно уникальный первый текст без повторов " + "x" * 40),
+         (2, "второй документ с полностью другим содержанием и словами " + "y" * 40)],
+        "doc_id long, text string",
+    )
+    pos = char_gram_positions(df, gram_len=30)
+    rec = span_anchor_recall(pos, 30, 60).collect()[0]
+    assert rec.n_exact_pairs == 0 and rec.pair_recall is None

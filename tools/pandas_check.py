@@ -15,10 +15,16 @@ sys.path.insert(0, "/root/repo")
 
 
 def frame_lines(df, cols):
-    return sorted(
+    """Canonicalize the way the driver does: pandas ``sort_values`` over
+    ALL columns FIRST (this is the step that throws ``unhashable type:
+    'list'`` on array/map/struct cells — the CORRECTNESS_r12
+    doc_hashed_tfidf root cause; stringifying tuples hid it), then
+    stringify the sorted rows for the value compare."""
+    canon = df[cols].sort_values(by=list(cols), kind="mergesort")
+    return [
         tuple(str(v) for v in row)
-        for row in df[cols].itertuples(index=False)
-    )
+        for row in canon.itertuples(index=False)
+    ]
 
 
 def main() -> None:
