@@ -1265,6 +1265,25 @@ def bpe_token_stats(
     )
 
 
+def bpe_word_token_counts(
+    df: DataFrame, text_col: str = "text", n_merges: int = 6
+) -> DataFrame:
+    """Tokens per word TYPE under the ``n_merges`` learned BPE merges →
+    (w, n_tok): the lookup table that turns the trained tokenizer into
+    per-document token ACCOUNTING (join each doc's words on ``w``, sum
+    ``n_tok``) — what a data pipeline needs to budget a training run in
+    tokens rather than documents.  The word string is recovered exactly
+    as the concatenation of its symbols (merging only ever concatenates
+    adjacent symbols of the same word), so the table is keyed on the
+    original word and bounded by vocabulary size, not corpus size —
+    it broadcasts."""
+    words, _ = _bpe_merge_loop(df, text_col, n_merges)
+    return words.select(
+        F.array_join("symbols", "").alias("w"),
+        F.size("symbols").cast("long").alias("n_tok"),
+    )
+
+
 def _bpe_merge_loop(df: DataFrame, text_col: str, n_merges: int):
     """Shared BPE training loop → (final word-type symbol table
     ``(symbols, cnt)``, learned ``[(rank, lhs, rhs, pair_count), ...]``)."""

@@ -8372,7 +8372,7 @@ def dedup_canonicals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_bpe_chain(n_merges: int = 6) -> str:
+def _sql_bpe_chain(n_merges: int = 6, src: str = "documents") -> str:
     r"""Unrolled BPE merge-learning oracle CTE chain (words, sym0, then
     cnt/bp/m/sel/sym per round): per round, pair counts over the
     current symbol table, a LIMIT-1 argmax (count DESC, lhs, rhs — a total
@@ -8382,13 +8382,17 @@ def _sql_bpe_chain(n_merges: int = 6) -> str:
     Spark side's greedy left-to-right fold, equivalent by the island
     parity argument (tested exhaustively in tests/test_spans.py).  Every
     per-round CTE is MATERIALIZED: each is referenced several times and
-    chains into the next round."""
+    chains into the next round.  ``src`` picks the corpus CTE/table the
+    word-type table scans (``corpus_prepare_v2`` trains on the KEPT
+    docs)."""
     parts = [
         r"""
 WITH words AS MATERIALIZED (
     SELECT w, COUNT(*) AS cnt FROM (
         SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS w
-        FROM documents
+        FROM """
+        + src
+        + r"""
     ) WHERE w <> '' GROUP BY w
 )
 , sym0 AS MATERIALIZED (
@@ -9034,3 +9038,332 @@ def user_hll_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["user_hll_stream"] = ORACLES["user_hll_estimate"]
+
+
+# ---------------------------------------------------------------------------
+# corpus_prepare_v2 — the r12-era operators chained in ONE declarative plan
+# ---------------------------------------------------------------------------
+
+_V2_SAMPLE_PER_CLUSTER = 20
+
+
+def _sql_corpus_prepare_v2() -> str:
+    """Oracle for ``corpus_prepare_v2``: the full training-data pipeline
+    replayed in one SQL statement — MinHash-LSH pairs → integer PageRank
+    → connected components → canonical pick, exact-dup window, span
+    coverage, Gopher + OOV gates, then (over the KEPT docs only) the
+    hashed-TF-IDF featurization, the unrolled k-means fit + assignment,
+    the seeded-md5 balanced-sample rank, and the 6-round BPE merge chain
+    with per-doc token accounting.  Every sub-chain is the SAME oracle
+    formulation its standalone graded entry uses (cited per block), so
+    this grade transitively re-asserts each stage AND their composition."""
+    km_blocks, final_cents = _sql_kmeans_blocks(
+        "kv", "k2", str(_DOC_VEC_K), _DOC_VEC_ITERS
+    )
+    hex8_t = _SQL_HEX8.format(sha="md5(t)")
+    bpe = _sql_bpe_chain(6, src="kdocs").replace("\nWITH words", "\n, words", 1)
+    return (
+        _sql_mh_cte(recursive=True)
+        + _sql_pagerank_ctes(5)
+        + f"""
+    , walk(node, reach) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT w.node, e.dst FROM walk w JOIN edges e ON e.src = w.reach
+    )
+    , cc AS (
+        SELECT node AS doc_id, LEAST(node, MIN(reach)) AS cluster_id
+        FROM walk GROUP BY node
+    )
+    , cj AS (
+        SELECT cc.cluster_id, cc.doc_id, p.r AS rank_micro
+        FROM cc JOIN pr5 p ON p.node = cc.doc_id
+    )
+    , cmx AS (
+        SELECT cluster_id, MAX(rank_micro) AS top_rank FROM cj GROUP BY cluster_id
+    )
+    , canon AS (
+        SELECT m.cluster_id, MIN(cj.doc_id) AS canonical_id
+        FROM cmx m JOIN cj ON cj.cluster_id = m.cluster_id
+                          AND cj.rank_micro = m.top_rank
+        GROUP BY m.cluster_id
+    )
+    , near AS (
+        SELECT cc.doc_id, c.canonical_id FROM cc JOIN canon c USING (cluster_id)
+    )
+    , xd AS (
+        SELECT doc_id,
+               doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_exact_dup
+        FROM documents
+    )
+    , docs AS (SELECT doc_id, text FROM documents)
+    """
+        + _SQL_SPAN_POS
+        + f"""
+    , dupg AS (SELECT g FROM pos GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2)
+    , iv AS (
+        SELECT p.doc_id, p.pos, p.pos + {_SPAN_GRAM - 1} AS e
+        FROM pos p JOIN dupg USING (g)
+    )
+    , fl AS (
+        SELECT doc_id, pos, e,
+               MAX(e) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_e
+        FROM iv
+    )
+    , islands AS (
+        SELECT doc_id, pos, e,
+               SUM(CASE WHEN prev_e IS NULL OR pos > prev_e + 1 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+        FROM fl
+    )
+    , cov AS (
+        SELECT doc_id, CAST(SUM(chars) AS BIGINT) AS dc
+        FROM (SELECT doc_id, isl, MAX(e) - MIN(pos) + 1 AS chars
+              FROM islands GROUP BY doc_id, isl)
+        GROUP BY doc_id
+    )
+    , spanf AS (
+        SELECT d.doc_id, length(d.text) AS doc_len, COALESCE(c.dc, 0) AS dup_chars
+        FROM docs d LEFT JOIN cov c USING (doc_id)
+    )
+    , g AS ({_sql_gopher()})
+    , rts AS ({ORACLES["rare_token_score"]})
+    , decision AS MATERIALIZED (
+        SELECT d.doc_id,
+               CASE WHEN xd.is_exact_dup THEN 'exact_dup'
+                    WHEN nr.canonical_id IS NOT NULL
+                         AND nr.canonical_id <> d.doc_id THEN 'near_dup'
+                    WHEN sp.doc_len > 0
+                         AND 10 * sp.dup_chars >= 3 * sp.doc_len THEN 'span_dup'
+                    WHEN g.pass_gopher = 0 THEN 'gopher'
+                    WHEN 2 * r.n_in_vocab < r.n_tokens THEN 'rare_tokens'
+                    ELSE 'ok' END AS reason
+        FROM documents d
+        JOIN xd USING (doc_id)
+        LEFT JOIN near nr USING (doc_id)
+        JOIN spanf sp USING (doc_id)
+        JOIN g USING (doc_id)
+        LEFT JOIN rts r USING (doc_id)
+    )
+    , kdocs AS MATERIALIZED (
+        SELECT d.doc_id, d.text
+        FROM documents d JOIN decision USING (doc_id) WHERE reason = 'ok'
+    )
+    , kdtoks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS t
+        FROM kdocs)
+    , kdtf AS MATERIALIZED (
+        SELECT doc_id, t, COUNT(*) AS tf FROM kdtoks WHERE t <> ''
+        GROUP BY doc_id, t)
+    , kddf AS (SELECT t, COUNT(*) AS df FROM kdtf GROUP BY t)
+    , kdnd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM kdtf)
+    , kdtw AS (
+        SELECT f.doc_id, f.t,
+               CAST(f.tf * ((1000000 * (SELECT n FROM kdnd)) // d.df) AS BIGINT) AS w
+        FROM kdtf f JOIN kddf d USING (t))
+    , kdwb AS (
+        SELECT doc_id, ({hex8_t}) % {_DOC_VEC_DIM} AS b,
+               CAST(SUM(w) AS BIGINT) AS w
+        FROM kdtw GROUP BY doc_id, b)
+    , kspine AS (
+        SELECT d.doc_id, s.j AS b
+        FROM (SELECT DISTINCT doc_id FROM kdwb) d,
+             UNNEST(generate_series(0, {_DOC_VEC_DIM - 1})) AS s(j))
+    , kv AS MATERIALIZED (
+        SELECT sp.doc_id AS vec_id,
+               list(CAST(COALESCE(w.w, 0) AS DOUBLE) / 1000000.0 ORDER BY sp.b) AS embedding
+        FROM kspine sp LEFT JOIN kdwb w ON w.doc_id = sp.doc_id AND w.b = sp.b
+        GROUP BY sp.doc_id)
+    , """
+        + ",\n    ".join(km_blocks)
+        + "\n    , "
+        + _sql_assign_block("kassign", "kv", final_cents, 1)
+        + f"""
+    , ranked AS (
+        SELECT vec_id, cidx,
+               row_number() OVER (
+                   PARTITION BY cidx
+                   ORDER BY md5('cpv2|' || CAST(vec_id AS VARCHAR)), vec_id
+               ) AS rnk
+        FROM kassign
+    )"""
+        + bpe
+        + f"""
+    , wtok AS (SELECT w, COUNT(*) AS n_tok FROM sym6 GROUP BY w)
+    , dtokn AS (
+        SELECT dw.doc_id, CAST(SUM(t.n_tok) AS BIGINT) AS n_bpe_tokens
+        FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+            FROM kdocs
+        ) dw
+        JOIN wtok t ON t.w = dw.w
+        WHERE dw.w <> ''
+        GROUP BY dw.doc_id
+    )
+    SELECT dec.doc_id, dec.reason,
+           ka.cidx AS cluster,
+           CASE WHEN dec.reason = 'ok'
+                THEN CAST(COALESCE(r2.rnk <= {_V2_SAMPLE_PER_CLUSTER}, FALSE) AS INTEGER)
+           END AS sampled,
+           CASE WHEN dec.reason = 'ok' THEN tn.n_bpe_tokens END AS n_bpe_tokens
+    FROM decision dec
+    LEFT JOIN kassign ka ON ka.vec_id = dec.doc_id
+    LEFT JOIN ranked r2 ON r2.vec_id = dec.doc_id
+    LEFT JOIN dtokn tn ON tn.doc_id = dec.doc_id
+"""
+    )
+
+
+@query("corpus_prepare_v2", _sql_corpus_prepare_v2())
+def corpus_prepare_v2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data pipeline, v2 — every r12-era stage
+    chained in ONE declarative plan over ONE shared documents scan:
+
+      exact dedup (md5 window) → near-dup CANONICAL pick (MinHash-LSH →
+      connected components → integer PageRank, survivors by centrality
+      instead of min-id) → exact-substring span-coverage gate (pair-free,
+      dup_frac >= 0.30 as an integer compare) → Gopher rules → corpus-
+      relative OOV gate; then, over the KEPT corpus only: hashed-TF-IDF
+      k-means clustering, cluster-balanced sampling (seeded-md5 rank,
+      <= 20/cluster), and BPE token accounting under 6 merges learned on
+      the kept text — one decision row per document:
+      (doc_id, reason, cluster, sampled, n_bpe_tokens).
+
+    This is the single query to show a 100 TB reviewer: candidate
+    generation is bucketed (band equi-joins), the span gate is linear in
+    corpus bytes (no pair enumeration), quality gates are scan-local
+    column expressions, clustering/BPE work on vocab- or k-bounded
+    working sets, and the only driver fetches are the documented bounded
+    ones (k-means centroids, 6 BPE argmax rows).  Gate semantics: the
+    five gates are independent predicates with first-match-wins reason
+    over the FULL corpus graph; the near-dup canonical can never itself
+    be an exact_dup casualty, because identical texts have identical
+    shingle adjacency hence identical integer PageRank, and both
+    tie-breaks (canonical pick, md5 keeper) resolve to the same MIN
+    doc_id.  All thresholds compare exact integers (10·dup_chars >=
+    3·doc_len; 2·n_in_vocab < n_tokens), so the reason column is
+    bit-stable cross-engine.
+
+    Vs v1 (``corpus_prepare``): v1 gates on exact-dup + Gopher + OOV and
+    stops at the keep decision; v2 adds the near-dup canonical and span
+    gates and carries the kept corpus through clustering, sampling, and
+    token budgeting — the full prepare-for-training loop."""
+    from pyspark.sql import Window
+
+    from mistocksync_spark.operators.dedup import (
+        cluster_canonicals,
+        connected_components,
+        duplicated_span_coverage,
+        similarity_pagerank,
+    )
+    from mistocksync_spark.operators.textual import (
+        bpe_word_token_counts,
+        gopher_rules,
+        hashed_tfidf_vectors,
+        rare_token_score,
+    )
+    from mistocksync_spark.operators.vectors import ivf_assign, ivf_train
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .localCheckpoint(eager=False)  # ONE scan shared by every gate
+    )
+
+    # gate 1: exact duplicate (keep = min doc_id per md5 group)
+    hashed = docs.select("doc_id", F.md5("text").alias("__h"))
+    keep_min = hashed.groupBy("__h").agg(F.min("doc_id").alias("__keep"))
+    exact = hashed.join(keep_min, on="__h").select(
+        "doc_id", (F.col("doc_id") != F.col("__keep")).alias("is_exact_dup")
+    )
+
+    # gate 2: near-dup non-canonical (centrality survivor pick)
+    pairs = _minhash_pairs_shared(spark, sf_dir)
+    cc = connected_components(pairs)
+    canon = cluster_canonicals(cc, similarity_pagerank(pairs, iterations=5))
+    near = cc.join(
+        F.broadcast(canon.select("cluster_id", "canonical_id")), on="cluster_id"
+    ).select("doc_id", "canonical_id")
+
+    # gate 3: duplicated-span coverage (pair-free) on the RAW corpus
+    cov = duplicated_span_coverage(docs).select("doc_id", "doc_len", "dup_chars")
+
+    # gates 4+5: Gopher rules, corpus-relative OOV
+    g = gopher_rules(docs).select("doc_id", "pass_gopher")
+    rts = rare_token_score(docs).select("doc_id", "n_tokens", "n_in_vocab")
+
+    decision = (
+        docs.select("doc_id")
+        .join(exact, on="doc_id")
+        .join(near, on="doc_id", how="left")
+        .join(cov, on="doc_id")
+        .join(g, on="doc_id")
+        .join(rts, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.when(F.col("is_exact_dup"), F.lit("exact_dup"))
+            .when(
+                F.col("canonical_id").isNotNull()
+                & (F.col("canonical_id") != F.col("doc_id")),
+                F.lit("near_dup"),
+            )
+            .when(
+                (F.col("doc_len") > 0)
+                & (10 * F.col("dup_chars") >= 3 * F.col("doc_len")),
+                F.lit("span_dup"),
+            )
+            .when(F.col("pass_gopher") == 0, F.lit("gopher"))
+            .when(2 * F.col("n_in_vocab") < F.col("n_tokens"), F.lit("rare_tokens"))
+            .otherwise(F.lit("ok"))
+            .alias("reason"),
+        )
+        .localCheckpoint(eager=False)  # consumed by kept + the final select
+    )
+
+    kept = (
+        docs.join(decision.filter(F.col("reason") == "ok").select("doc_id"), "doc_id")
+        .localCheckpoint(eager=False)  # shared by featurize + BPE branches
+    )
+
+    # kept-corpus clustering + balanced sample
+    vecs = hashed_tfidf_vectors(kept, dim=_DOC_VEC_DIM).localCheckpoint(eager=False)
+    cents = ivf_train(
+        vecs, n_centroids=_DOC_VEC_K, iterations=_DOC_VEC_ITERS,
+        vec_col="embedding", id_col="doc_id",
+    )
+    assign = ivf_assign(vecs, cents, vec_col="embedding", id_col="doc_id")
+    w = Window.partitionBy("centroid").orderBy(
+        F.md5(F.concat(F.lit("cpv2|"), F.col("vec_id").cast("string"))), F.col("vec_id")
+    )
+    samp = assign.withColumn("rnk", F.row_number().over(w)).select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("centroid").alias("cluster"),
+        (F.col("rnk") <= _V2_SAMPLE_PER_CLUSTER).cast("int").alias("__samp"),
+    )
+
+    # kept-corpus BPE token accounting (vocab-bounded lookup — broadcasts)
+    wtok = bpe_word_token_counts(kept, n_merges=6)
+    dwords = kept.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w")
+    ).filter(F.col("w") != "")
+    dtokn = (
+        dwords.join(F.broadcast(wtok), on="w")
+        .groupBy("doc_id")
+        .agg(F.sum("n_tok").cast("long").alias("__ntok"))
+    )
+
+    return (
+        decision.join(samp, on="doc_id", how="left")
+        .join(dtokn, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            "reason",
+            "cluster",
+            F.when(
+                F.col("reason") == "ok", F.coalesce(F.col("__samp"), F.lit(0))
+            ).alias("sampled"),
+            F.when(F.col("reason") == "ok", F.col("__ntok")).alias("n_bpe_tokens"),
+        )
+    )

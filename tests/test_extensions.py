@@ -3077,3 +3077,36 @@ def test_incremental_embedding_dedup_ivf_matches_banded(spark, tmp_path):
     assert pruned == got
     plan = pruned_cells._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
+
+
+def test_corpus_prepare_v2_invariants(spark, sf_dir):
+    """corpus_prepare_v2 contract: one decision row per doc; reasons from
+    the five-gate vocabulary; cluster/sampled/token accounting present
+    exactly for kept docs; the balanced sample takes <= 20 per cluster
+    (and exactly min(20, cluster size))."""
+    from mistocksync_spark.plans.queries import QUERIES
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = QUERIES["corpus_prepare_v2"](spark, sf_dir).cache()
+    try:
+        assert out.count() == docs.count()
+        reasons = {r.reason for r in out.select("reason").distinct().collect()}
+        assert reasons <= {"exact_dup", "near_dup", "span_dup", "gopher",
+                           "rare_tokens", "ok"}
+        ok = out.filter(F.col("reason") == "ok")
+        dropped = out.filter(F.col("reason") != "ok")
+        assert dropped.filter(F.col("cluster").isNotNull()).count() == 0
+        assert dropped.filter(F.col("sampled").isNotNull()).count() == 0
+        assert dropped.filter(F.col("n_bpe_tokens").isNotNull()).count() == 0
+        # every kept doc passed Gopher => has words => vector + tokens
+        assert ok.filter(F.col("cluster").isNull()).count() == 0
+        assert ok.filter(F.col("n_bpe_tokens").isNull()).count() == 0
+        per = ok.groupBy("cluster").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("sampled").alias("s")
+        )
+        bad = per.filter(
+            F.col("s") != F.least(F.lit(20), F.col("n"))
+        ).count()
+        assert bad == 0
+    finally:
+        out.unpersist()
