@@ -929,6 +929,7 @@ def incremental_dedup_merge(
     text_col: str = "text",
     id_col: str = "doc_id",
     corpus_bands: DataFrame | None = None,
+    return_rejected: bool = False,
 ) -> DataFrame:
     """Incremental corpus dedup MERGE — the shape of a production ingest
     tick: dedup an incoming ``batch`` of documents against an EXISTING
@@ -1104,6 +1105,11 @@ def incremental_dedup_merge(
         .select(F.col("later_id").alias("doc_id"))
         .distinct()
     )
+    if return_rejected:
+        # verdict surface for composition (incremental_prepare_tick): the
+        # rejected batch ids, exactly the frame the anti-join below
+        # consumes — same plan up to here, no behavior change when False
+        return rejected
     if corpus_bands is None:
         kept_corpus = seen.filter(F.col("is_batch") == 0)
         kept_batch = seen.filter(F.col("is_batch") == 1)

@@ -990,6 +990,117 @@ def hashed_tfidf_vectors(
     return mp.select("doc_id", vec.alias("embedding"))
 
 
+def incremental_prepare_tick(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rel_threshold: float = 1e-4,
+) -> DataFrame:
+    """Per-arrival decision rows for ONE ingest tick — the incremental
+    sibling of ``corpus_prepare``/``corpus_prepare_v2``: each BATCH
+    document gets (doc_id, reason), reasons evaluated against the
+    standing corpus plus earlier arrivals, first-match-wins:
+
+    - ``exact_dup``: md5(text) already seen — in the corpus, or on a
+      batch arrival with a smaller id (the same arrival-ordered
+      seen-set rule ``incremental_dedup_merge`` uses, so the verdict is
+      prefix-decomposable across micro-batches);
+    - ``near_dup``: the ``incremental_dedup_merge`` rejection — band
+      collision + exact shingle Jaccard >= 0.5 vs corpus or an earlier
+      arrival (``return_rejected=True`` surface, identical plan);
+    - ``gopher``: the scan-local Gopher rules on the arrival text;
+    - ``rare_tokens``: OOV fraction vs the CORPUS vocabulary — the
+      production shape: arrivals are scored against the standing vocab
+      (tokens holding >= ``rel_threshold`` of CORPUS token mass), not
+      against a vocabulary the batch itself distorts.
+
+    The span-coverage gate is deliberately absent at tick time: it
+    thresholds on state (the gram-position table) that the span family
+    owns; a deployment gates arrivals against that table the same way
+    the band state is probed here.
+
+    Plan: the near-dup stage is the candidate-bounded merge plan (band
+    equi-join, verify restricted to candidate docs); the exact gate is
+    one digest shuffle over corpus ∪ batch; the corpus vocabulary is
+    bounded by 1/rel_threshold entries so it broadcasts; every output
+    row is a batch doc — corpus rows are read, never emitted.
+    """
+    from mistocksync_spark.operators.dedup import incremental_dedup_merge
+
+    corpus_docs = corpus.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+    batch_docs = batch.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    ).localCheckpoint(eager=False)
+
+    # exact gate: first (is_batch, doc_id) arrival per digest wins;
+    # is_batch*1e10 + doc_id encodes the lexicographic precedence as one
+    # BIGINT (ids are far below 1e10 in every corpus here — a production
+    # ingest with larger ids raises the constant)
+    seen = corpus_docs.withColumn("is_batch", F.lit(0)).unionByName(
+        batch_docs.withColumn("is_batch", F.lit(1))
+    )
+    xh = seen.select(
+        "doc_id",
+        "is_batch",
+        F.md5("text").alias("__h"),
+        (
+            F.col("is_batch").cast("long") * F.lit(10_000_000_000).cast("long")
+            + F.col("doc_id")
+        ).alias("__pk"),
+    )
+    first = xh.groupBy("__h").agg(F.min("__pk").alias("__first_pk"))
+    exact = (
+        xh.filter(F.col("is_batch") == 1)
+        .join(first, on="__h")
+        .select("doc_id", (F.col("__pk") != F.col("__first_pk")).alias("__xdup"))
+    )
+
+    rejected = incremental_dedup_merge(
+        corpus_docs, batch_docs, return_rejected=True
+    ).withColumn("__rej", F.lit(1))
+
+    g = gopher_rules(batch_docs).select("doc_id", "pass_gopher")
+
+    ctok = corpus_docs.select(
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    cfreq = ctok.groupBy("token").agg(F.count("*").alias("cnt"))
+    ctotal = cfreq.agg(F.sum("cnt").alias("__total"))
+    cvocab = (
+        cfreq.crossJoin(F.broadcast(ctotal))
+        .filter(F.col("cnt") >= F.ceil(F.col("__total") * F.lit(rel_threshold)))
+        .select("token")
+    )
+    btok = batch_docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    bscore = (
+        btok.join(F.broadcast(cvocab.withColumn("__v", F.lit(1))), on="token", how="left")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("__nt"), F.count("__v").alias("__niv"))
+    )
+
+    return (
+        batch_docs.select("doc_id")
+        .join(exact, on="doc_id")
+        .join(F.broadcast(rejected), on="doc_id", how="left")
+        .join(g, on="doc_id")
+        .join(bscore, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.when(F.col("__xdup"), F.lit("exact_dup"))
+            .when(F.col("__rej").isNotNull(), F.lit("near_dup"))
+            .when(F.col("pass_gopher") == 0, F.lit("gopher"))
+            .when(2 * F.col("__niv") < F.col("__nt"), F.lit("rare_tokens"))
+            .otherwise(F.lit("ok"))
+            .alias("reason"),
+        )
+    )
+
+
 def tfidf_term_weights(
     df: DataFrame,
     text_col: str = "text",

@@ -4587,7 +4587,7 @@ def events_anomaly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zscore_outliers(load_events(spark, sf_dir))
 
 
-def _sql_gopher() -> str:
+def _sql_gopher(src: str = "documents") -> str:
     from mistocksync_spark.operators.textual import (
         GOPHER_BULLET_RE,
         GOPHER_ELLIPSIS_RE,
@@ -4612,7 +4612,7 @@ def _sql_gopher() -> str:
                     ELSE len(string_split(text, chr(10))) END AS n_lines,
                len(regexp_extract_all(text, '{GOPHER_BULLET_RE}')) AS n_bullet,
                len(regexp_extract_all(text, '{GOPHER_ELLIPSIS_RE}')) AS n_ellipsis
-        FROM documents
+        FROM {src}
     ), ratio AS (
         SELECT doc_id, n_words,
                CASE WHEN n_words > 0 THEN n_nonspace / n_words ELSE 0.0 END AS mean_wl,
@@ -9366,4 +9366,73 @@ def corpus_prepare_v2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sampled"),
             F.when(F.col("reason") == "ok", F.col("__ntok")).alias("n_bpe_tokens"),
         )
+    )
+
+
+@query(
+    "incremental_prepare_tick",
+    _incr_docs_cte()
+    + _SQL_SHINGLES
+    + _SQL_INCR_TAIL
+    + r"""
+    , xh AS (
+        SELECT doc_id, is_batch, md5(text) AS h,
+               CAST(is_batch AS BIGINT) * 10000000000 + doc_id AS pk
+        FROM docs
+    )
+    , xf AS (SELECT h, MIN(pk) AS first_pk FROM xh GROUP BY h)
+    , bg AS ("""
+    + _sql_gopher(src="(SELECT doc_id, text FROM docs WHERE is_batch = 1)")
+    + r""")
+    , cvtok AS (
+        SELECT token FROM (
+            SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+            FROM docs WHERE is_batch = 0
+        ) WHERE token <> ''
+    )
+    , cvfreq AS (SELECT token, COUNT(*) AS cnt FROM cvtok GROUP BY token)
+    , cvtotal AS (SELECT SUM(cnt) AS t FROM cvfreq)
+    , cvocab AS (SELECT token FROM cvfreq, cvtotal WHERE cnt >= ceil(t * 0.0001))
+    , btok AS (
+        SELECT doc_id, token FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+            FROM docs WHERE is_batch = 1
+        ) WHERE token <> ''
+    )
+    , bscore AS (
+        SELECT t.doc_id, COUNT(*) AS nt, COUNT(v.token) AS niv
+        FROM btok t LEFT JOIN cvocab v USING (token)
+        GROUP BY t.doc_id
+    )
+    SELECT d.doc_id,
+           CASE WHEN x.pk <> f.first_pk THEN 'exact_dup'
+                WHEN r.later_id IS NOT NULL THEN 'near_dup'
+                WHEN g.pass_gopher = 0 THEN 'gopher'
+                WHEN 2 * s.niv < s.nt THEN 'rare_tokens'
+                ELSE 'ok' END AS reason
+    FROM docs d
+    JOIN xh x ON x.doc_id = d.doc_id
+    JOIN xf f ON f.h = x.h
+    LEFT JOIN rejected r ON r.later_id = d.doc_id
+    JOIN bg g ON g.doc_id = d.doc_id
+    LEFT JOIN bscore s ON s.doc_id = d.doc_id
+    WHERE d.is_batch = 1
+""",
+)
+def incremental_prepare_tick_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One ingest tick of the corpus-prepare pipeline (operators/textual.
+    incremental_prepare_tick): per-arrival decision rows against the
+    standing corpus — exact-digest seen-set, the incremental MERGE
+    near-dup rejection (band collision + Jaccard >= 0.5, arrival-ordered
+    and prefix-decomposable), Gopher rules on the arrival text, and OOV
+    vs the CORPUS vocabulary.  The production counterpart of
+    ``corpus_prepare_v2``'s one-shot decisions: v2 re-decides the world,
+    this decides ONLY the batch, reading corpus-scale state through the
+    same candidate-bounded plans the incremental dedup family grades."""
+    from mistocksync_spark.operators.textual import incremental_prepare_tick
+    from mistocksync_spark.plans.feeds import docs_incr_batch, docs_incr_corpus
+
+    return incremental_prepare_tick(
+        docs_incr_corpus(spark, sf_dir), docs_incr_batch(spark, sf_dir)
     )

@@ -3110,3 +3110,23 @@ def test_corpus_prepare_v2_invariants(spark, sf_dir):
         assert bad == 0
     finally:
         out.unpersist()
+
+
+def test_incremental_prepare_tick_consistent_with_merge(spark, sf_dir):
+    """The tick's dedup reasons must tie out EXACTLY with the graded
+    merge: identical text is always a verified near-dup of its earlier
+    twin, so {exact_dup} ∪ {near_dup} == the merge's rejected set, i.e.
+    merge-accepted batch ids == tick ids with a non-dedup reason."""
+    from mistocksync_spark.plans.queries import QUERIES
+
+    merged = QUERIES["incremental_dedup_merge"](spark, sf_dir)
+    accepted = {
+        r.doc_id for r in merged.filter(F.col("origin") == "batch").collect()
+    }
+    tick = QUERIES["incremental_prepare_tick"](spark, sf_dir).collect()
+    non_dedup = {
+        r.doc_id for r in tick if r.reason not in ("exact_dup", "near_dup")
+    }
+    assert non_dedup == accepted
+    reasons = {r.reason for r in tick}
+    assert reasons <= {"exact_dup", "near_dup", "gopher", "rare_tokens", "ok"}

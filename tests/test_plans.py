@@ -265,6 +265,9 @@ def test_registry_wide_no_cartesian_bnlj_budget(spark, sf_dir):
         "events_cuped": 1,
         "lineitem_key_skew": 1,
         "events_bootstrap_ci": 1,  # 1-row point-estimate × CI attach
+        # 1-row corpus-token-mass attach for the vocabulary threshold
+        # (same class as rare_token_score)
+        "incremental_prepare_tick": 1,
     }
     failures = []
     for name, fn in QUERIES.items():
