@@ -262,6 +262,7 @@ def main():
             "doc_hashed_tfidf",
             "corpus_prepare_v2",
             "incremental_prepare_tick",
+            "incremental_prepare_stream",
             # r13: the pre-guard tail — r1–r5 registrations that predate
             # the dark-code bench guard; added so "registered => costed"
             # holds for the WHOLE registry (r12 verdict item 5).  Nearly

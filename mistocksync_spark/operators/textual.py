@@ -990,12 +990,37 @@ def hashed_tfidf_vectors(
     return mp.select("doc_id", vec.alias("embedding"))
 
 
+def corpus_vocabulary(
+    corpus: DataFrame,
+    text_col: str = "text",
+    rel_threshold: float = 1e-4,
+) -> DataFrame:
+    """The standing-corpus vocabulary the OOV gate scores against: every
+    token holding >= ``rel_threshold`` of total corpus token mass — one
+    (token) column, bounded above by 1/rel_threshold entries regardless
+    of corpus size, so it always broadcasts.  Factored out so the
+    streaming ingest can FREEZE it across micro-batches (built once from
+    the initial corpus, persisted like the band state)."""
+    ctok = corpus.select(
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    cfreq = ctok.groupBy("token").agg(F.count("*").alias("cnt"))
+    ctotal = cfreq.agg(F.sum("cnt").alias("__total"))
+    return (
+        cfreq.crossJoin(F.broadcast(ctotal))
+        .filter(F.col("cnt") >= F.ceil(F.col("__total") * F.lit(rel_threshold)))
+        .select("token")
+    )
+
+
 def incremental_prepare_tick(
     corpus: DataFrame,
     batch: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     rel_threshold: float = 1e-4,
+    corpus_bands: DataFrame | None = None,
+    vocab: DataFrame | None = None,
 ) -> DataFrame:
     """Per-arrival decision rows for ONE ingest tick — the incremental
     sibling of ``corpus_prepare``/``corpus_prepare_v2``: each BATCH
@@ -1025,6 +1050,15 @@ def incremental_prepare_tick(
     one digest shuffle over corpus ∪ batch; the corpus vocabulary is
     bounded by 1/rel_threshold entries so it broadcasts; every output
     row is a batch doc — corpus rows are read, never emitted.
+
+    Stream/state hooks: ``corpus_bands`` is the stored
+    ``corpus_signature_state`` substitution (passed through to the merge
+    — the tick never re-sketches the corpus); ``vocab`` is a pre-built
+    frozen (token) vocabulary frame — the streaming twin freezes the
+    ORIGINAL corpus's vocabulary across micro-batches (the rare-token
+    analogue of the frozen IVF quantizer: vocab refreshes on rebuild
+    ticks, not ingest ticks), which is also what keeps multi-tick
+    decisions bit-identical to the one-shot tick.
     """
     from mistocksync_spark.operators.dedup import incremental_dedup_merge
 
@@ -1059,20 +1093,15 @@ def incremental_prepare_tick(
     )
 
     rejected = incremental_dedup_merge(
-        corpus_docs, batch_docs, return_rejected=True
+        corpus_docs, batch_docs, corpus_bands=corpus_bands, return_rejected=True
     ).withColumn("__rej", F.lit(1))
 
     g = gopher_rules(batch_docs).select("doc_id", "pass_gopher")
 
-    ctok = corpus_docs.select(
-        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token")
-    ).filter(F.col("token") != "")
-    cfreq = ctok.groupBy("token").agg(F.count("*").alias("cnt"))
-    ctotal = cfreq.agg(F.sum("cnt").alias("__total"))
     cvocab = (
-        cfreq.crossJoin(F.broadcast(ctotal))
-        .filter(F.col("cnt") >= F.ceil(F.col("__total") * F.lit(rel_threshold)))
-        .select("token")
+        vocab.select("token")
+        if vocab is not None
+        else corpus_vocabulary(corpus_docs, rel_threshold=rel_threshold)
     )
     btok = batch_docs.select(
         "doc_id", F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token")

@@ -276,3 +276,100 @@ def incremental_corpus_dedup(
         .filter(F.col("accepted"))
         .select("doc_id", "origin")
     )
+
+
+def incremental_prepare_stream(
+    spark: SparkSession,
+    corpus,
+    arrivals_dir: str,
+    state_dir: str,
+    checkpoint: str,
+    rel_threshold: float = 1e-4,
+) -> "DataFrame":
+    """Streaming twin of ``operators.textual.incremental_prepare_tick`` —
+    the corpus-prepare ingest as a continuously-running pipeline: every
+    arriving micro-batch gets per-document decision rows (exact_dup /
+    near_dup / gopher / rare_tokens / ok) against the ACCUMULATED
+    seen-set, and the union of all micro-batch decisions must equal the
+    one-shot tick BIT-FOR-BIT (oracle shared).
+
+    Why the decisions decompose: the exact gate's seen-set (corpus +
+    every earlier arrival, accepted or rejected) and the near-dup rule
+    are both arrival-ordered and verdict-independent — the
+    ``incremental_dedup_merge`` prefix-decomposability argument — the
+    Gopher gate is scan-local to the arrival, and the OOV gate scores
+    against a FROZEN vocabulary built once from the initial corpus (the
+    rare-token analogue of the frozen IVF quantizer: the vocabulary
+    refreshes on rebuild ticks, never ingest ticks — and freezing is
+    exactly what keeps tick decisions independent of batch boundaries).
+
+    State is the versioned ``incremental_corpus_dedup`` layout
+    (``v{k}/docs`` + ``v{k}/bands``) plus two prepare-specific tables:
+    ``vocab`` (written once) and append-only ``decisions/b{k}``.  Each
+    tick runs the MERGE's stored-band path, so the accumulated corpus is
+    never re-sketched; at 100 TB the appends become Delta/Iceberg
+    writes.  Returns the accumulated decision rows (doc_id, reason).
+    """
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mistocksync_spark.operators.dedup import corpus_signature_state
+    from mistocksync_spark.operators.textual import (
+        corpus_vocabulary,
+        incremental_prepare_tick,
+    )
+
+    corpus_docs = corpus.select("doc_id", "text")
+    corpus_docs.write.mode("overwrite").parquet(
+        os.path.join(state_dir, "v0", "docs")
+    )
+    corpus_signature_state(corpus_docs).write.mode("overwrite").parquet(
+        os.path.join(state_dir, "v0", "bands")
+    )
+    corpus_vocabulary(corpus_docs, rel_threshold=rel_threshold).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(state_dir, "vocab"))
+
+    schema = spark.read.parquet(arrivals_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(arrivals_dir)
+    )
+
+    def apply_batch(batch_df, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        docs = s.read.parquet(os.path.join(state_dir, f"v{batch_id}", "docs"))
+        bands = s.read.parquet(os.path.join(state_dir, f"v{batch_id}", "bands"))
+        vocab = s.read.parquet(os.path.join(state_dir, "vocab"))
+        dec = incremental_prepare_tick(
+            docs, batch_df, corpus_bands=bands, vocab=vocab
+        )
+        dec.write.mode("overwrite").parquet(
+            os.path.join(state_dir, "decisions", f"b{batch_id}")
+        )
+        # seen-set append: EVERY arrival joins the state (accepted or
+        # not), the prefix-decomposability invariant
+        docs.unionByName(batch_df.select("doc_id", "text")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(state_dir, f"v{batch_id + 1}", "docs"))
+        bands.unionByName(corpus_signature_state(batch_df)).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(state_dir, f"v{batch_id + 1}", "bands"))
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("incremental_prepare_stream did not finish in 300 s")
+    parts = sorted(glob.glob(os.path.join(state_dir, "decisions", "b*")))
+    out = spark.read.parquet(parts[0])
+    for p in parts[1:]:
+        out = out.unionByName(spark.read.parquet(p))
+    return out.select("doc_id", "reason")
