@@ -263,6 +263,11 @@ def main():
             "corpus_prepare_v2",
             "incremental_prepare_tick",
             "incremental_prepare_stream",
+            # r13: the three warmup-tuple entries, timed explicitly so
+            # "registered => recorded cost" holds with no exceptions
+            "top_event_types",
+            "product_code_extract",
+            "bracket_code_extract",
             # r13: the pre-guard tail — r1–r5 registrations that predate
             # the dark-code bench guard; added so "registered => costed"
             # holds for the WHOLE registry (r12 verdict item 5).  Nearly
