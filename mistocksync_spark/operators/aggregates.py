@@ -107,7 +107,7 @@ def salted_dim_join(
     dim: DataFrame,
     key: str,
     salt_buckets: int = 16,
-    salt_cols: list[str] = None,
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Skew-proof fact⋈dim equi-join via key salting (lossless, 1:1 with
     the plain join — asserted by the graded oracle and tests).

@@ -1069,27 +1069,27 @@ def incremental_prepare_tick(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
     ).localCheckpoint(eager=False)
 
-    # exact gate: first (is_batch, doc_id) arrival per digest wins;
-    # is_batch*1e10 + doc_id encodes the lexicographic precedence as one
-    # BIGINT (ids are far below 1e10 in every corpus here — a production
-    # ingest with larger ids raises the constant)
+    # exact gate: first (is_batch, doc_id) arrival per digest wins — the
+    # precedence is a lexicographic struct MIN, valid for any id range
+    # (r13 ADVICE: the previous is_batch*1e10 + doc_id BIGINT encoding
+    # silently mis-ordered once doc_id reached 1e10)
     seen = corpus_docs.withColumn("is_batch", F.lit(0)).unionByName(
         batch_docs.withColumn("is_batch", F.lit(1))
     )
-    xh = seen.select(
-        "doc_id",
-        "is_batch",
-        F.md5("text").alias("__h"),
-        (
-            F.col("is_batch").cast("long") * F.lit(10_000_000_000).cast("long")
-            + F.col("doc_id")
-        ).alias("__pk"),
+    xh = seen.select("doc_id", "is_batch", F.md5("text").alias("__h"))
+    first = xh.groupBy("__h").agg(
+        F.min(F.struct("is_batch", "doc_id")).alias("__first")
     )
-    first = xh.groupBy("__h").agg(F.min("__pk").alias("__first_pk"))
     exact = (
         xh.filter(F.col("is_batch") == 1)
         .join(first, on="__h")
-        .select("doc_id", (F.col("__pk") != F.col("__first_pk")).alias("__xdup"))
+        .select(
+            "doc_id",
+            (
+                (F.col("__first.is_batch") != 1)
+                | (F.col("__first.doc_id") != F.col("doc_id"))
+            ).alias("__xdup"),
+        )
     )
 
     rejected = incremental_dedup_merge(

@@ -8798,26 +8798,43 @@ def _parquet_content_tag(*paths: str) -> str:
     return hashlib.md5("|".join(parts).encode()).hexdigest()[:10]
 
 
-def _scratch_root(base: str, tag: str) -> str:
+def _scratch_root(base: str, tag: str, max_age_days: float = 7.0) -> str:
     """Session-isolated scratch root ``{base}/{pid}-{tag}``: the pid
     component keeps concurrent sessions on one machine from racing on a
     shared path; sibling roots whose pid is no longer alive are reaped
-    here, so abandoned state does not accumulate across sessions."""
+    here, so abandoned state does not accumulate across sessions.  A
+    recycled pid (or a pid owned by another user, where kill(pid, 0)
+    raises PermissionError) would keep a dead session's root alive
+    forever, so an mtime-age fallback reaps any sibling root older than
+    ``max_age_days`` regardless of pid liveness (r13 ADVICE) — a live
+    session's produce-once state is re-creatable, so an over-eager reap
+    costs one rebuild, never correctness."""
     import os
     import shutil
+    import time
 
     pid = os.getpid()
     root = f"{base}/{pid}-{tag}"
+    cutoff = time.time() - max_age_days * 86400.0
     try:
         for d in os.listdir(base):
             opid = d.split("-", 1)[0]
-            if opid.isdigit() and int(opid) != pid:
+            if not opid.isdigit() or int(opid) == pid:
+                continue
+            dead = False
+            try:
+                os.kill(int(opid), 0)
+            except ProcessLookupError:
+                dead = True
+            except PermissionError:
+                pass
+            if not dead:
                 try:
-                    os.kill(int(opid), 0)
-                except ProcessLookupError:
-                    shutil.rmtree(f"{base}/{d}", ignore_errors=True)
-                except PermissionError:
-                    pass
+                    dead = os.stat(f"{base}/{d}").st_mtime < cutoff
+                except OSError:
+                    continue
+            if dead:
+                shutil.rmtree(f"{base}/{d}", ignore_errors=True)
     except FileNotFoundError:
         pass
     return root
@@ -9376,11 +9393,12 @@ def corpus_prepare_v2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     + _SQL_INCR_TAIL
     + r"""
     , xh AS (
-        SELECT doc_id, is_batch, md5(text) AS h,
-               CAST(is_batch AS BIGINT) * 10000000000 + doc_id AS pk
+        SELECT doc_id, is_batch,
+               ROW_NUMBER() OVER (
+                   PARTITION BY md5(text) ORDER BY is_batch, doc_id
+               ) AS rn
         FROM docs
     )
-    , xf AS (SELECT h, MIN(pk) AS first_pk FROM xh GROUP BY h)
     , bg AS ("""
     + _sql_gopher(src="(SELECT doc_id, text FROM docs WHERE is_batch = 1)")
     + r""")
@@ -9406,14 +9424,13 @@ def corpus_prepare_v2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY t.doc_id
     )
     SELECT d.doc_id,
-           CASE WHEN x.pk <> f.first_pk THEN 'exact_dup'
+           CASE WHEN x.rn > 1 THEN 'exact_dup'
                 WHEN r.later_id IS NOT NULL THEN 'near_dup'
                 WHEN g.pass_gopher = 0 THEN 'gopher'
                 WHEN 2 * s.niv < s.nt THEN 'rare_tokens'
                 ELSE 'ok' END AS reason
     FROM docs d
     JOIN xh x ON x.doc_id = d.doc_id
-    JOIN xf f ON f.h = x.h
     LEFT JOIN rejected r ON r.later_id = d.doc_id
     JOIN bg g ON g.doc_id = d.doc_id
     LEFT JOIN bscore s ON s.doc_id = d.doc_id
@@ -9459,13 +9476,16 @@ def incremental_prepare_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="incr_prep_stream_")
     arrivals = os.path.join(work, "arrivals")
     os.makedirs(arrivals)
-    batch = docs_incr_batch(spark, sf_dir)
+    batch = docs_incr_batch(spark, sf_dir).localCheckpoint(eager=False)
+    # id-ordered halves split at the OBSERVED median (r13 ADVICE: the old
+    # hardcoded 0/4.5M/10M cuts silently dropped arrivals whenever the
+    # corpus's id offsets moved); <=cut / >cut is a partition of the
+    # batch, so no row can fall outside the two micro-batches
+    cut = batch.agg(F.expr("percentile(doc_id, 0.5)").alias("c")).collect()[0].c
     now = time.time()
-    for i, (lo, hi) in enumerate([(0, 4_500_000), (4_500_000, 10_000_000)]):
+    for i, pred in enumerate([F.col("doc_id") <= cut, F.col("doc_id") > cut]):
         part_dir = os.path.join(work, f"part{i}")
-        batch.filter(
-            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
-        ).coalesce(1).write.parquet(part_dir)
+        batch.filter(pred).coalesce(1).write.parquet(part_dir)
         src = [f for f in os.listdir(part_dir) if f.endswith(".parquet")][0]
         dst = os.path.join(arrivals, f"arrivals_{i}.parquet")
         os.rename(os.path.join(part_dir, src), dst)
