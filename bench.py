@@ -262,7 +262,9 @@ def main():
             "doc_hashed_tfidf",
             "corpus_prepare_v2",
             "incremental_prepare_tick",
+            "incremental_prepare_tick_stored",
             "incremental_prepare_stream",
+            "prepare_vocab_drift",
             # r13: the three warmup-tuple entries, timed explicitly so
             # "registered => recorded cost" holds with no exceptions
             "top_event_types",

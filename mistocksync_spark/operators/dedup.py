@@ -919,6 +919,23 @@ def corpus_signature_state(
     return lsh_bands(minhash_signatures(sh, num_hashes), rows_per_band)
 
 
+def corpus_digest_state(
+    corpus: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The stored exact-dedup state a production corpus maintains between
+    ingest ticks: (doc_id, digest) with digest = md5(text) — the seen-set
+    ``incremental_prepare_tick``'s exact gate probes with the batch's own
+    digests, so a tick never re-hashes the standing corpus (r13 verdict
+    ask #1: this was the last corpus-proportional stage in the tick).
+    Appended per tick with the arrivals' digests (accepted AND rejected —
+    the same seen-set rule as bands and grams); at 100 TB this is a
+    bucketed table on digest and the probe join is partition-pruned to
+    the batch's touched buckets."""
+    return corpus.select(
+        F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("digest")
+    )
+
+
 def incremental_dedup_merge(
     corpus: DataFrame,
     batch: DataFrame,
@@ -1300,6 +1317,52 @@ def duplicated_spans_anchored(
     return _maximal_spans(m, gram_len, min_span)
 
 
+def corpus_gram_state(
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_len: int = 30,
+) -> DataFrame:
+    """The stored span-gate state a production corpus maintains between
+    ingest ticks: the DISTINCT gram hashes (g) occurring anywhere in the
+    corpus — the seen-set ``incremental_prepare_tick``'s span gate probes,
+    the exact analogue of ``corpus_signature_state`` for the
+    exact-substring family.  Appended per tick with the arrivals' distinct
+    grams (accepted AND rejected — the same seen-set rule as bands and
+    digests); at 100 TB this is a bucketed table on g and the probe join
+    is partition-pruned to the batch's touched buckets."""
+    return char_gram_positions(corpus, text_col, id_col, gram_len).select("g").distinct()
+
+
+def dup_position_coverage(dup_pos: DataFrame, gram_len: int = 30) -> DataFrame:
+    """(doc_id, dup_chars): union length of the ``[pos, pos + gram_len - 1]``
+    character intervals of the given duplicated gram positions — the
+    gaps-and-islands sweep ``duplicated_span_coverage`` runs, factored out
+    so the prepare tick can apply it to ARRIVAL-relative duplicated
+    positions (batch-bounded input, never corpus-wide).  Docs with no
+    duplicated positions are absent (callers coalesce to 0)."""
+    iv = dup_pos.select(
+        "doc_id", "pos", (F.col("pos") + F.lit(gram_len - 1)).alias("e")
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = Window.partitionBy("doc_id").orderBy("pos")
+    fl = iv.withColumn("prev_e", F.max("e").over(w_prev)).withColumn(
+        "new_isl",
+        F.when(F.col("prev_e").isNull() | (F.col("pos") > F.col("prev_e") + 1), 1).otherwise(0),
+    )
+    return (
+        fl.withColumn("isl", F.sum("new_isl").over(w_run))
+        .groupBy("doc_id", "isl")
+        .agg((F.max("e") - F.min("pos") + 1).alias("chars"))
+        .groupBy("doc_id")
+        .agg(F.sum("chars").cast("long").alias("dup_chars"))
+    )
+
+
 def duplicated_span_coverage(
     df: DataFrame,
     text_col: str = "text",
@@ -1327,32 +1390,15 @@ def duplicated_span_coverage(
         .filter(F.col("nd") >= 2)
         .select("g")
     )
-    iv = pos.join(dupg, on="g", how="left_semi").select(
-        "doc_id", "pos", (F.col("pos") + F.lit(gram_len - 1)).alias("e")
-    )
-    w_prev = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    w_run = Window.partitionBy("doc_id").orderBy("pos")
-    fl = iv.withColumn("prev_e", F.max("e").over(w_prev)).withColumn(
-        "new_isl",
-        F.when(F.col("prev_e").isNull() | (F.col("pos") > F.col("prev_e") + 1), 1).otherwise(0),
-    )
-    cov = (
-        fl.withColumn("isl", F.sum("new_isl").over(w_run))
-        .groupBy("doc_id", "isl")
-        .agg((F.max("e") - F.min("pos") + 1).alias("chars"))
-        .groupBy("doc_id")
-        .agg(F.sum("chars").alias("dc"))
+    cov = dup_position_coverage(
+        pos.join(dupg, on="g", how="left_semi").select("doc_id", "pos"), gram_len
     )
     docs = df.select(F.col(id_col).alias("doc_id"), F.length(F.col(text_col)).alias("doc_len"))
     return docs.join(cov, on="doc_id", how="left").select(
         "doc_id",
         "doc_len",
-        F.coalesce(F.col("dc"), F.lit(0)).cast("long").alias("dup_chars"),
-        F.round(F.coalesce(F.col("dc"), F.lit(0)) / F.col("doc_len"), 6).alias("dup_frac"),
+        F.coalesce(F.col("dup_chars"), F.lit(0)).alias("dup_chars"),
+        F.round(F.coalesce(F.col("dup_chars"), F.lit(0)) / F.col("doc_len"), 6).alias("dup_frac"),
     )
 
 

@@ -1013,6 +1013,80 @@ def corpus_vocabulary(
     )
 
 
+def vocabulary_drift(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rel_threshold: float = 1e-4,
+    frozen_vocab: DataFrame | None = None,
+) -> DataFrame:
+    """Measured staleness of a FROZEN ingest vocabulary — the OOV analogue
+    of ``ivf_recall_drift`` (r13 verdict ask #4): score every batch
+    arrival's rare-token verdict twice, against (a) the frozen CORPUS
+    vocabulary the streaming prepare tick uses and (b) a vocabulary
+    freshly rebuilt over corpus ∪ batch (what a rebuild tick would
+    produce), and report the per-arrival decision disagreement as ONE
+    row: (n_scored, n_rare_frozen, n_rare_rebuilt, n_disagree,
+    drift_frac).  "When to rebuild the vocabulary" thereby becomes a
+    measured number a deployment thresholds on, exactly like the IVF
+    index's recall drift.  ``n_scored`` counts arrivals with >= 1 token
+    (token-less docs have no OOV verdict under either vocabulary);
+    ``drift_frac`` is NULL on an empty batch rather than a
+    divide-by-zero (the r13 zero-guard rule).
+
+    Plan: both vocabularies are bounded by 1/rel_threshold entries and
+    broadcast; the only corpus-scale work is the two token-frequency
+    aggregates — a rebuild-cadence MEASUREMENT, not an ingest-tick cost.
+    ``frozen_vocab`` substitutes a pre-built (token) frame for the frozen
+    side — the prepare ladder passes the stream's ACTUAL frozen
+    original-corpus vocabulary while ``corpus`` holds the accumulated
+    state the rebuild would see.
+    """
+    cd = corpus.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    bd = batch.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    vf = (
+        frozen_vocab.select("token")
+        if frozen_vocab is not None
+        else corpus_vocabulary(cd, rel_threshold=rel_threshold)
+    )
+    vr = corpus_vocabulary(cd.unionByName(bd), rel_threshold=rel_threshold)
+    btok = bd.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    sc = (
+        btok.join(F.broadcast(vf.withColumn("__f", F.lit(1))), on="token", how="left")
+        .join(F.broadcast(vr.withColumn("__r", F.lit(1))), on="token", how="left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("nt"),
+            F.count("__f").alias("nf"),
+            F.count("__r").alias("nr"),
+        )
+    )
+    fl = sc.select(
+        (2 * F.col("nf") < F.col("nt")).cast("int").alias("rf"),
+        (2 * F.col("nr") < F.col("nt")).cast("int").alias("rr"),
+    )
+    return fl.agg(
+        F.count("*").alias("n_scored"),
+        F.coalesce(F.sum("rf"), F.lit(0)).cast("long").alias("n_rare_frozen"),
+        F.coalesce(F.sum("rr"), F.lit(0)).cast("long").alias("n_rare_rebuilt"),
+        F.coalesce(F.sum((F.col("rf") != F.col("rr")).cast("int")), F.lit(0))
+        .cast("long")
+        .alias("n_disagree"),
+    ).select(
+        "n_scored",
+        "n_rare_frozen",
+        "n_rare_rebuilt",
+        "n_disagree",
+        F.when(
+            F.col("n_scored") > 0,
+            F.round(F.col("n_disagree") / F.col("n_scored"), 6),
+        ).alias("drift_frac"),
+    )
+
+
 def incremental_prepare_tick(
     corpus: DataFrame,
     batch: DataFrame,
@@ -1021,6 +1095,9 @@ def incremental_prepare_tick(
     rel_threshold: float = 1e-4,
     corpus_bands: DataFrame | None = None,
     vocab: DataFrame | None = None,
+    corpus_digests: DataFrame | None = None,
+    corpus_grams: DataFrame | None = None,
+    span_gram_len: int = 30,
 ) -> DataFrame:
     """Per-arrival decision rows for ONE ingest tick — the incremental
     sibling of ``corpus_prepare``/``corpus_prepare_v2``: each BATCH
@@ -1034,33 +1111,48 @@ def incremental_prepare_tick(
     - ``near_dup``: the ``incremental_dedup_merge`` rejection — band
       collision + exact shingle Jaccard >= 0.5 vs corpus or an earlier
       arrival (``return_rejected=True`` surface, identical plan);
+    - ``span_dup`` (r14 — the fifth v2 gate, now present at tick time):
+      >= 30% of the arrival's characters are covered by length-
+      ``span_gram_len`` grams already seen — in the corpus, or on a
+      batch arrival with a smaller id (the same arrival-ordered
+      seen-set rule; coverage is the pair-free interval-union sweep
+      ``duplicated_span_coverage`` uses, run over BATCH positions only);
     - ``gopher``: the scan-local Gopher rules on the arrival text;
     - ``rare_tokens``: OOV fraction vs the CORPUS vocabulary — the
       production shape: arrivals are scored against the standing vocab
       (tokens holding >= ``rel_threshold`` of CORPUS token mass), not
       against a vocabulary the batch itself distorts.
 
-    The span-coverage gate is deliberately absent at tick time: it
-    thresholds on state (the gram-position table) that the span family
-    owns; a deployment gates arrivals against that table the same way
-    the band state is probed here.
-
     Plan: the near-dup stage is the candidate-bounded merge plan (band
     equi-join, verify restricted to candidate docs); the exact gate is
-    one digest shuffle over corpus ∪ batch; the corpus vocabulary is
-    bounded by 1/rel_threshold entries so it broadcasts; every output
-    row is a batch doc — corpus rows are read, never emitted.
+    one digest shuffle over corpus ∪ batch (or a state probe, below);
+    the span gate sweeps BATCH gram positions only; the corpus
+    vocabulary is bounded by 1/rel_threshold entries so it broadcasts;
+    every output row is a batch doc — corpus rows are read, never
+    emitted.
 
-    Stream/state hooks: ``corpus_bands`` is the stored
-    ``corpus_signature_state`` substitution (passed through to the merge
-    — the tick never re-sketches the corpus); ``vocab`` is a pre-built
-    frozen (token) vocabulary frame — the streaming twin freezes the
-    ORIGINAL corpus's vocabulary across micro-batches (the rare-token
-    analogue of the frozen IVF quantizer: vocab refreshes on rebuild
-    ticks, not ingest ticks), which is also what keeps multi-tick
-    decisions bit-identical to the one-shot tick.
+    Stream/state hooks — each the stored substitution for the one
+    corpus-proportional stage of its gate, so a production tick is
+    batch/candidate-proportional end to end: ``corpus_bands`` is the
+    stored ``corpus_signature_state`` (passed through to the merge — the
+    tick never re-sketches the corpus); ``corpus_digests`` the stored
+    ``corpus_digest_state`` (the exact gate probes it with the batch's
+    digests instead of re-hashing the corpus); ``corpus_grams`` the
+    stored ``corpus_gram_state`` (the span gate probes it instead of
+    re-gramming the corpus; de-duplicated on entry, so cross-tick
+    append overlap is harmless); ``vocab`` a pre-built frozen (token)
+    vocabulary frame — the streaming twin freezes the ORIGINAL corpus's
+    vocabulary across micro-batches (the rare-token analogue of the
+    frozen IVF quantizer: vocab refreshes on rebuild ticks, not ingest
+    ticks), which is also what keeps multi-tick decisions bit-identical
+    to the one-shot tick.
     """
-    from mistocksync_spark.operators.dedup import incremental_dedup_merge
+    from mistocksync_spark.operators.dedup import (
+        char_gram_positions,
+        corpus_gram_state,
+        dup_position_coverage,
+        incremental_dedup_merge,
+    )
 
     corpus_docs = corpus.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
@@ -1073,28 +1165,79 @@ def incremental_prepare_tick(
     # precedence is a lexicographic struct MIN, valid for any id range
     # (r13 ADVICE: the previous is_batch*1e10 + doc_id BIGINT encoding
     # silently mis-ordered once doc_id reached 1e10)
-    seen = corpus_docs.withColumn("is_batch", F.lit(0)).unionByName(
-        batch_docs.withColumn("is_batch", F.lit(1))
-    )
-    xh = seen.select("doc_id", "is_batch", F.md5("text").alias("__h"))
-    first = xh.groupBy("__h").agg(
-        F.min(F.struct("is_batch", "doc_id")).alias("__first")
-    )
-    exact = (
-        xh.filter(F.col("is_batch") == 1)
-        .join(first, on="__h")
-        .select(
-            "doc_id",
-            (
-                (F.col("__first.is_batch") != 1)
-                | (F.col("__first.doc_id") != F.col("doc_id"))
-            ).alias("__xdup"),
+    if corpus_digests is None:
+        # self-contained: one digest shuffle over corpus ∪ batch
+        seen = corpus_docs.withColumn("is_batch", F.lit(0)).unionByName(
+            batch_docs.withColumn("is_batch", F.lit(1))
         )
-    )
+        xh = seen.select("doc_id", "is_batch", F.md5("text").alias("__h"))
+        first = xh.groupBy("__h").agg(
+            F.min(F.struct("is_batch", "doc_id")).alias("__first")
+        )
+        exact = (
+            xh.filter(F.col("is_batch") == 1)
+            .join(first, on="__h")
+            .select(
+                "doc_id",
+                (
+                    (F.col("__first.is_batch") != 1)
+                    | (F.col("__first.doc_id") != F.col("doc_id"))
+                ).alias("__xdup"),
+            )
+        )
+    else:
+        # stored-state: the corpus is never re-hashed — a batch digest is
+        # a dup iff it exists in the digest state (every corpus row
+        # precedes every batch row in (is_batch, doc_id) order) or a
+        # smaller-id batch arrival shares it; both probes are
+        # batch-proportional
+        bh = batch_docs.select("doc_id", F.md5("text").alias("__h"))
+        hit = (
+            corpus_digests.select(F.col("digest").alias("__h"))
+            .distinct()
+            .withColumn("__in_c", F.lit(1))
+        )
+        bmin_h = bh.groupBy("__h").agg(F.min("doc_id").alias("__hmin"))
+        exact = (
+            bh.join(hit, on="__h", how="left")
+            .join(bmin_h, on="__h")
+            .select(
+                "doc_id",
+                (
+                    F.col("__in_c").isNotNull()
+                    | (F.col("__hmin") < F.col("doc_id"))
+                ).alias("__xdup"),
+            )
+        )
 
     rejected = incremental_dedup_merge(
         corpus_docs, batch_docs, corpus_bands=corpus_bands, return_rejected=True
     ).withColumn("__rej", F.lit(1))
+
+    # span gate: duplicated-character coverage of the ARRIVAL text vs
+    # grams seen in the corpus or on a smaller-id arrival — the
+    # arrival-ordered analogue of corpus_prepare_v2's pair-free coverage
+    # gate.  Positions are extracted from the BATCH only; the corpus
+    # enters through the (stored or derived) distinct-gram seen-set, and
+    # the interval-union sweep runs over batch positions, so the gate is
+    # batch-bounded given stored state.
+    bpos = char_gram_positions(
+        batch_docs, text_col="text", id_col="doc_id", gram_len=span_gram_len
+    ).localCheckpoint(eager=False)
+    cg = (
+        corpus_grams.select("g").distinct()
+        if corpus_grams is not None
+        else corpus_gram_state(corpus_docs, gram_len=span_gram_len)
+    )
+    bmin_g = bpos.groupBy("g").agg(F.min("doc_id").alias("__gmin"))
+    dup_pos = (
+        bpos.join(bmin_g, on="g")
+        .join(cg.withColumn("__in_cg", F.lit(1)), on="g", how="left")
+        .filter(F.col("__in_cg").isNotNull() | (F.col("__gmin") < F.col("doc_id")))
+        .select("doc_id", "pos")
+    )
+    scov = dup_position_coverage(dup_pos, gram_len=span_gram_len)
+    blen = batch_docs.select("doc_id", F.length("text").alias("__len"))
 
     g = gopher_rules(batch_docs).select("doc_id", "pass_gopher")
 
@@ -1116,12 +1259,19 @@ def incremental_prepare_tick(
         batch_docs.select("doc_id")
         .join(exact, on="doc_id")
         .join(F.broadcast(rejected), on="doc_id", how="left")
+        .join(scov, on="doc_id", how="left")
+        .join(blen, on="doc_id")
         .join(g, on="doc_id")
         .join(bscore, on="doc_id", how="left")
         .select(
             "doc_id",
             F.when(F.col("__xdup"), F.lit("exact_dup"))
             .when(F.col("__rej").isNotNull(), F.lit("near_dup"))
+            .when(
+                (F.col("__len") > 0)
+                & (10 * F.coalesce(F.col("dup_chars"), F.lit(0)) >= 3 * F.col("__len")),
+                F.lit("span_dup"),
+            )
             .when(F.col("pass_gopher") == 0, F.lit("gopher"))
             .when(2 * F.col("__niv") < F.col("__nt"), F.lit("rare_tokens"))
             .otherwise(F.lit("ok"))

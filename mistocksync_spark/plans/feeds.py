@@ -128,8 +128,13 @@ def docs_aug(spark, sf_dir: str):
 # corpus is the raw documents table; the incoming batch (ids offset above
 # 3M so arrival precedence == id order) plants every rejection path —
 # near-dup of corpus (%9=0, appended tail), exact copy of corpus (%9=4),
-# genuinely fresh docs (%9=1, reversed text shares no shingles), and an
-# intra-batch near-dup of a fresh arrival (%18=1, the %9=1 text + a tail).
+# genuinely fresh docs (%9=1, reversed text shares no shingles), an
+# intra-batch near-dup of a fresh arrival (%18=1, the %9=1 text + a tail),
+# and a SPAN-dup of corpus (%9=2, r14: the corpus doc's 40% character
+# prefix + a unique tail — shares long verbatim substrings, so the
+# prepare tick's span gate fires, while 3-word-shingle Jaccard stays
+# ~0.4 < 0.5 so the near-dup gate does NOT; prefixes shorter than one
+# 30-char gram fall through to the quality gates).
 # Pure dialect-portable SQL — the same text builds the Spark input and the
 # DuckDB-oracle CTE.
 DOCS_INCR_CORPUS_SQL = """
@@ -150,6 +155,11 @@ SELECT doc_id + 6000000 AS doc_id,
   'новый документ номер ' || CAST(doc_id AS STRING) || ' ' || reverse(text)
     || ' поздняя копия' AS text
 FROM documents WHERE doc_id % 18 = 1
+UNION ALL
+SELECT doc_id + 7000000 AS doc_id,
+  substr(text, 1, CAST(floor(length(text) * 0.4) AS INT))
+    || ' совершенно новое продолжение номер ' || CAST(doc_id AS STRING) AS text
+FROM documents WHERE doc_id % 9 = 2
 """
 
 

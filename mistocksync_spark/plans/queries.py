@@ -9386,11 +9386,58 @@ def corpus_prepare_v2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Span-gate replay for the prepare tick, restricted to batch docs: gram
+# positions come from the BATCH only; a position is duplicated iff its
+# gram occurs in the corpus or on a smaller-id batch arrival, and the
+# covered-character count is the same gaps-and-islands interval-union
+# sweep the one-shot coverage oracle runs.
+_SQL_TICK_SPAN = f"""
+    , bgp AS (
+        SELECT doc_id, i AS pos, md5(substr(text, i, {_SPAN_GRAM})) AS g
+        FROM (SELECT doc_id, text FROM docs WHERE is_batch = 1),
+             UNNEST(generate_series(1, greatest(length(text) - {_SPAN_GRAM - 1}, 0))) AS u(i)
+    )
+    , cgr AS (
+        SELECT DISTINCT md5(substr(text, i, {_SPAN_GRAM})) AS g
+        FROM (SELECT text FROM docs WHERE is_batch = 0),
+             UNNEST(generate_series(1, greatest(length(text) - {_SPAN_GRAM - 1}, 0))) AS u(i)
+    )
+    , gmin AS (SELECT g, MIN(doc_id) AS gmind FROM bgp GROUP BY g)
+    , dpos AS (
+        SELECT p.doc_id, p.pos, p.pos + {_SPAN_GRAM - 1} AS e
+        FROM bgp p
+        JOIN gmin m USING (g)
+        LEFT JOIN (SELECT g, 1 AS c FROM cgr) cg USING (g)
+        WHERE cg.c IS NOT NULL OR m.gmind < p.doc_id
+    )
+    , sfl AS (
+        SELECT doc_id, pos, e,
+               MAX(e) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_e
+        FROM dpos
+    )
+    , sisl AS (
+        SELECT doc_id, pos, e,
+               SUM(CASE WHEN prev_e IS NULL OR pos > prev_e + 1 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+        FROM sfl
+    )
+    , scov AS (
+        SELECT doc_id, CAST(SUM(chars) AS BIGINT) AS dc
+        FROM (SELECT doc_id, isl, MAX(e) - MIN(pos) + 1 AS chars
+              FROM sisl GROUP BY doc_id, isl)
+        GROUP BY doc_id
+    )
+    , blen AS (SELECT doc_id, length(text) AS dl FROM docs WHERE is_batch = 1)
+"""
+
+
 @query(
     "incremental_prepare_tick",
     _incr_docs_cte()
     + _SQL_SHINGLES
     + _SQL_INCR_TAIL
+    + _SQL_TICK_SPAN
     + r"""
     , xh AS (
         SELECT doc_id, is_batch,
@@ -9426,12 +9473,16 @@ def corpus_prepare_v2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT d.doc_id,
            CASE WHEN x.rn > 1 THEN 'exact_dup'
                 WHEN r.later_id IS NOT NULL THEN 'near_dup'
+                WHEN bl.dl > 0 AND 10 * COALESCE(cv.dc, 0) >= 3 * bl.dl
+                     THEN 'span_dup'
                 WHEN g.pass_gopher = 0 THEN 'gopher'
                 WHEN 2 * s.niv < s.nt THEN 'rare_tokens'
                 ELSE 'ok' END AS reason
     FROM docs d
     JOIN xh x ON x.doc_id = d.doc_id
     LEFT JOIN rejected r ON r.later_id = d.doc_id
+    LEFT JOIN scov cv ON cv.doc_id = d.doc_id
+    JOIN blen bl ON bl.doc_id = d.doc_id
     JOIN bg g ON g.doc_id = d.doc_id
     LEFT JOIN bscore s ON s.doc_id = d.doc_id
     WHERE d.is_batch = 1
@@ -9442,11 +9493,14 @@ def incremental_prepare_tick_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     incremental_prepare_tick): per-arrival decision rows against the
     standing corpus — exact-digest seen-set, the incremental MERGE
     near-dup rejection (band collision + Jaccard >= 0.5, arrival-ordered
-    and prefix-decomposable), Gopher rules on the arrival text, and OOV
-    vs the CORPUS vocabulary.  The production counterpart of
-    ``corpus_prepare_v2``'s one-shot decisions: v2 re-decides the world,
-    this decides ONLY the batch, reading corpus-scale state through the
-    same candidate-bounded plans the incremental dedup family grades."""
+    and prefix-decomposable), the arrival-ordered span-coverage gate
+    (>= 30% of the arrival's chars covered by grams seen in the corpus
+    or on a smaller-id arrival — r14, closing the v2/tick gate
+    asymmetry), Gopher rules on the arrival text, and OOV vs the CORPUS
+    vocabulary.  The production counterpart of ``corpus_prepare_v2``'s
+    one-shot decisions: v2 re-decides the world, this decides ONLY the
+    batch, reading corpus-scale state through the same candidate-bounded
+    plans the incremental dedup family grades."""
     from mistocksync_spark.operators.textual import incremental_prepare_tick
     from mistocksync_spark.plans.feeds import docs_incr_batch, docs_incr_corpus
 
@@ -9455,13 +9509,157 @@ def incremental_prepare_tick_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("incremental_prepare_tick_stored")
+def incremental_prepare_tick_stored_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The prepare tick against PERSISTED keyed-append state under PRUNED
+    reads (r14 — closing the r13 verdict's "last corpus-proportional
+    stage"): band, DIGEST, and GRAM state are written partitioned by
+    pmod(xxhash64(key)) buckets (sinks/layout.keyed_state_append), the
+    tick computes its batch's touched-bucket sets (bounded driver
+    fetches, <= 64 ints each) and reads ONLY those partitions.  The
+    exact gate probes the digest state with the batch's own digests
+    instead of re-hashing the standing corpus, and the span gate probes
+    the gram state instead of re-gramming it — so every gate's
+    corpus-side read is O(batch + probed buckets).  Pruning is lossless
+    for every probe (equi-joins on the bucketed key), so this must
+    hash-match the self-contained tick — oracle shared with
+    ``incremental_prepare_tick``.  This grades the state shape the
+    prepare ladder and the streaming twin run."""
+    import hashlib
+    import shutil
+
+    from mistocksync_spark.operators.dedup import (
+        char_gram_positions,
+        corpus_digest_state,
+        corpus_gram_state,
+        corpus_signature_state,
+    )
+    from mistocksync_spark.operators.textual import incremental_prepare_tick
+    from mistocksync_spark.plans.feeds import docs_incr_batch, docs_incr_corpus
+    from mistocksync_spark.sinks.layout import (
+        keyed_state_append,
+        keyed_state_read,
+        touched_buckets,
+    )
+
+    corpus = docs_incr_corpus(spark, sf_dir).select("doc_id", "text")
+    batch = (
+        docs_incr_batch(spark, sf_dir).select("doc_id", "text")
+        .localCheckpoint(eager=False)
+    )
+    root = (
+        "/tmp/spark_graft_prep_state/"
+        + hashlib.md5(
+            f"incremental_prepare_tick_stored:{sf_dir}".encode()
+        ).hexdigest()[:10]
+    )
+    shutil.rmtree(root, ignore_errors=True)  # append sink: start clean
+    keyed_state_append(
+        corpus_signature_state(corpus), f"{root}/bands", ["band", "band_key"]
+    )
+    keyed_state_append(corpus_digest_state(corpus), f"{root}/digests", ["digest"])
+    keyed_state_append(corpus_gram_state(corpus), f"{root}/grams", ["g"])
+    bbands = corpus_signature_state(batch).localCheckpoint(eager=False)
+    bdig = corpus_digest_state(batch).localCheckpoint(eager=False)
+    bgrams = (
+        char_gram_positions(batch).select("g").distinct()
+        .localCheckpoint(eager=False)
+    )
+    bands = keyed_state_read(
+        spark, f"{root}/bands", touched_buckets(bbands, ["band", "band_key"])
+    )
+    digests = keyed_state_read(
+        spark, f"{root}/digests", touched_buckets(bdig, ["digest"])
+    )
+    grams = keyed_state_read(spark, f"{root}/grams", touched_buckets(bgrams, ["g"]))
+    return incremental_prepare_tick(
+        corpus,
+        batch,
+        corpus_bands=bands,
+        corpus_digests=digests,
+        corpus_grams=grams,
+    )
+
+
+ORACLES["incremental_prepare_tick_stored"] = ORACLES["incremental_prepare_tick"]
+
+
+@query(
+    "prepare_vocab_drift",
+    _incr_docs_cte()
+    + r"""
+    , ctok AS (
+        SELECT token FROM (
+            SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+            FROM docs WHERE is_batch = 0
+        ) WHERE token <> ''
+    )
+    , cfreq AS (SELECT token, COUNT(*) AS cnt FROM ctok GROUP BY token)
+    , ctot AS (SELECT SUM(cnt) AS t FROM cfreq)
+    , vf AS (SELECT token FROM cfreq, ctot WHERE cnt >= ceil(t * 0.0001))
+    , atok AS (
+        SELECT token FROM (
+            SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+            FROM docs
+        ) WHERE token <> ''
+    )
+    , afreq AS (SELECT token, COUNT(*) AS cnt FROM atok GROUP BY token)
+    , atot AS (SELECT SUM(cnt) AS t FROM afreq)
+    , vr AS (SELECT token FROM afreq, atot WHERE cnt >= ceil(t * 0.0001))
+    , btok AS (
+        SELECT doc_id, token FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+            FROM docs WHERE is_batch = 1
+        ) WHERE token <> ''
+    )
+    , sc AS (
+        SELECT t.doc_id, COUNT(*) AS nt, COUNT(f.token) AS nf, COUNT(r.token) AS nr
+        FROM btok t
+        LEFT JOIN vf f USING (token)
+        LEFT JOIN vr r USING (token)
+        GROUP BY t.doc_id
+    )
+    , fl AS (
+        SELECT CASE WHEN 2 * nf < nt THEN 1 ELSE 0 END AS rf,
+               CASE WHEN 2 * nr < nt THEN 1 ELSE 0 END AS rr
+        FROM sc
+    )
+    SELECT COUNT(*) AS n_scored,
+           CAST(COALESCE(SUM(rf), 0) AS BIGINT) AS n_rare_frozen,
+           CAST(COALESCE(SUM(rr), 0) AS BIGINT) AS n_rare_rebuilt,
+           CAST(COALESCE(SUM(CASE WHEN rf <> rr THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS n_disagree,
+           CASE WHEN COUNT(*) > 0
+                THEN round(CAST(SUM(CASE WHEN rf <> rr THEN 1 ELSE 0 END) AS DOUBLE)
+                           / COUNT(*), 6)
+           END AS drift_frac
+    FROM fl
+""",
+)
+def prepare_vocab_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-staleness gate for the streaming prepare tick
+    (operators/textual.vocabulary_drift, r14): the frozen corpus
+    vocabulary vs a freshly rebuilt corpus∪batch vocabulary, read out as
+    per-arrival rare-token decision disagreement — the OOV analogue of
+    the graded ``ivf_recall_drift``, so "when to rebuild the frozen
+    vocab" is a measured number, not folklore."""
+    from mistocksync_spark.operators.textual import vocabulary_drift
+    from mistocksync_spark.plans.feeds import docs_incr_batch, docs_incr_corpus
+
+    return vocabulary_drift(
+        docs_incr_corpus(spark, sf_dir), docs_incr_batch(spark, sf_dir)
+    )
+
+
 @query("incremental_prepare_stream")
 def incremental_prepare_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming parity for the corpus-prepare ingest tick: the batch
     arrives as two id-ordered parquet files consumed one per micro-batch
-    (foreachBatch against versioned docs/bands state + a FROZEN
-    initial-corpus vocabulary, streaming/merge.incremental_prepare_stream);
-    the union of per-micro-batch decisions must equal the one-shot
+    (foreachBatch against KEYED-APPEND docs/bands/digests/grams state
+    under pruned probes + a FROZEN initial-corpus vocabulary,
+    streaming/merge.incremental_prepare_stream); the union of
+    per-micro-batch decisions must equal the one-shot
     ``incremental_prepare_tick`` — oracle shared.  The id-ordered arrival
     split makes every gate prefix-decomposable (see the operator's
     docstring), so this grade asserts decision/batch-boundary

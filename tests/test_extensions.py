@@ -3129,4 +3129,8 @@ def test_incremental_prepare_tick_consistent_with_merge(spark, sf_dir):
     }
     assert non_dedup == accepted
     reasons = {r.reason for r in tick}
-    assert reasons <= {"exact_dup", "near_dup", "gopher", "rare_tokens", "ok"}
+    assert reasons <= {
+        "exact_dup", "near_dup", "span_dup", "gopher", "rare_tokens", "ok",
+    }
+    # the %9=2 prefix-dup feed tier exists so the span gate is non-vacuous
+    assert "span_dup" in reasons

@@ -146,6 +146,85 @@ def test_keyed_state_append_prune_compact_roundtrip(spark, sf_dir, tmp_path):
     assert after_rows == before_rows
 
 
+def test_prepare_tick_stored_digest_gram_state(spark, sf_dir, tmp_path):
+    """r14 (verdict asks #1/#3): the prepare tick's exact and span gates
+    probe PERSISTED keyed-append digest/gram state under PRUNED reads,
+    bit-identically to the self-contained tick, and the pruning is real
+    partition pruning (PartitionFilters on the bucket column) in both
+    state scans."""
+    from mistocksync_spark.operators.dedup import (
+        char_gram_positions,
+        corpus_digest_state,
+        corpus_gram_state,
+        corpus_signature_state,
+    )
+    from mistocksync_spark.operators.textual import incremental_prepare_tick
+    from mistocksync_spark.sinks.layout import (
+        keyed_state_append,
+        keyed_state_read,
+        touched_buckets,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(240)
+        .localCheckpoint(eager=False)
+    )
+    corpus = docs.filter(F.col("doc_id") < 120)
+    # arrivals: an exact copy, a 40%-prefix span-dup, and fresh docs
+    batch = (
+        corpus.filter(F.col("doc_id") < 20)
+        .select((F.col("doc_id") + 1000).alias("doc_id"), "text")
+        .unionByName(
+            corpus.filter((F.col("doc_id") >= 20) & (F.col("doc_id") < 40)).select(
+                (F.col("doc_id") + 2000).alias("doc_id"),
+                F.concat(
+                    F.expr("substr(text, 1, CAST(floor(length(text) * 0.4) AS INT))"),
+                    F.lit(" new tail "),
+                    F.col("doc_id").cast("string"),
+                ).alias("text"),
+            )
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") >= 120).select(
+                (F.col("doc_id") + 3000).alias("doc_id"), "text"
+            )
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    p_bands = str(tmp_path / "bands")
+    p_dig = str(tmp_path / "digests")
+    p_grams = str(tmp_path / "grams")
+    keyed_state_append(corpus_signature_state(corpus), p_bands, ["band", "band_key"])
+    keyed_state_append(corpus_digest_state(corpus), p_dig, ["digest"])
+    keyed_state_append(corpus_gram_state(corpus), p_grams, ["g"])
+    bdig = corpus_digest_state(batch)
+    bgrams = char_gram_positions(batch).select("g").distinct()
+    digests = keyed_state_read(spark, p_dig, touched_buckets(bdig, ["digest"]))
+    grams = keyed_state_read(spark, p_grams, touched_buckets(bgrams, ["g"]))
+    bands = keyed_state_read(
+        spark, p_bands,
+        touched_buckets(corpus_signature_state(batch), ["band", "band_key"]),
+    )
+
+    stored = incremental_prepare_tick(
+        corpus, batch, corpus_bands=bands, corpus_digests=digests, corpus_grams=grams
+    )
+    plain = incremental_prepare_tick(corpus, batch)
+    got = {(r.doc_id, r.reason) for r in stored.collect()}
+    want = {(r.doc_id, r.reason) for r in plain.collect()}
+    assert got == want
+    reasons = {r for _, r in got}
+    assert "exact_dup" in reasons and "span_dup" in reasons
+
+    for pruned in (digests, grams):
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "bucket" in plan
+
+
 def test_window_order_prioritizes_failures_and_oracle_changes(monkeypatch):
     """The driver grades a bounded prefix of queries(): never-graded
     queries must come first, then latest-grade failures, then queries

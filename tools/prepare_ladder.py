@@ -1,21 +1,27 @@
 """N-tick ladder for the corpus-prepare ingest: split the incremental
 batch feed into id-ordered arrival files, run them as successive
-`incremental_prepare_tick` calls against accumulating versioned state
-(docs + bands, frozen vocabulary — exactly what
-streaming/merge.incremental_prepare_stream does per micro-batch), and
-report per-tick wall + state size, then assert the unioned decisions are
+`incremental_prepare_tick` calls against accumulating KEYED-APPEND state
+(docs + bands + digests + grams in the sinks/layout bucketed layout,
+frozen vocabulary — exactly what streaming/merge.incremental_prepare_stream
+does per micro-batch), and report per-tick wall, seen-set size, and the
+BYTES APPENDED to state that tick, then assert the unioned decisions are
 bit-identical to the one-shot tick.
 
-The reading this produces: tick wall stays flat while the seen-set
-grows, because each tick's work is batch/candidate-proportional (the
-corpus enters only through the stored band join, the digest shuffle,
-and the frozen broadcast vocabulary).
+The two readings this produces (r13 verdict asks #1/#2):
+- tick wall stays flat while the seen-set grows, because each tick's
+  work is batch/candidate-proportional — the corpus enters only through
+  PRUNED band/digest/gram state probes and the frozen broadcast
+  vocabulary (no corpus-proportional digest shuffle, no corpus
+  re-gramming);
+- per-tick appended state bytes track the BATCH size, not the state
+  size (the old v{k} layout rewrote the full state every tick).
 
 Usage: python tools/prepare_ladder.py [sf_dir] [n_ticks]
 """
 
 from __future__ import annotations
 
+import glob
 import os
 import shutil
 import sys
@@ -26,23 +32,45 @@ REPO = "/root/repo"
 sys.path.insert(0, REPO)
 
 
+def tree_bytes(*paths: str) -> int:
+    return sum(
+        os.path.getsize(f)
+        for p in paths
+        for f in glob.glob(os.path.join(p, "**", "*.parquet"), recursive=True)
+    )
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     n_ticks = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 
     from pyspark.sql import functions as F
 
-    from mistocksync_spark.operators.dedup import corpus_signature_state
+    from mistocksync_spark.operators.dedup import (
+        char_gram_positions,
+        corpus_digest_state,
+        corpus_gram_state,
+        corpus_signature_state,
+    )
     from mistocksync_spark.operators.textual import (
         corpus_vocabulary,
         incremental_prepare_tick,
+        vocabulary_drift,
     )
     from mistocksync_spark.plans.feeds import docs_incr_batch, docs_incr_corpus
     from mistocksync_spark.session import get_spark
+    from mistocksync_spark.sinks.layout import (
+        keyed_state_append,
+        keyed_state_read,
+        touched_buckets,
+    )
 
     spark = get_spark("prepare-ladder")
     work = tempfile.mkdtemp(prefix="prep_ladder_")
     state = os.path.join(work, "state")
+    p_docs, p_bands = os.path.join(state, "docs"), os.path.join(state, "bands")
+    p_dig, p_grams = os.path.join(state, "digests"), os.path.join(state, "grams")
+    state_paths = (p_docs, p_bands, p_dig, p_grams)
 
     corpus = docs_incr_corpus(spark, sf_dir).select("doc_id", "text")
     batch = docs_incr_batch(spark, sf_dir).select("doc_id", "text")
@@ -51,34 +79,64 @@ def main() -> None:
         ids[-1] + 1
     ]
 
-    corpus.write.parquet(os.path.join(state, "v0", "docs"))
-    corpus_signature_state(corpus).write.parquet(os.path.join(state, "v0", "bands"))
+    keyed_state_append(corpus, p_docs, ["doc_id"])
+    keyed_state_append(corpus_signature_state(corpus), p_bands, ["band", "band_key"])
+    keyed_state_append(corpus_digest_state(corpus), p_dig, ["digest"])
+    keyed_state_append(corpus_gram_state(corpus), p_grams, ["g"])
     corpus_vocabulary(corpus).write.parquet(os.path.join(state, "vocab"))
     vocab = spark.read.parquet(os.path.join(state, "vocab"))
 
     decisions = []
     lo = ids[0]
+    seen = corpus.count()
     for k, hi in enumerate(cuts):
-        arrivals = batch.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
-        docs = spark.read.parquet(os.path.join(state, f"v{k}", "docs"))
-        bands = spark.read.parquet(os.path.join(state, f"v{k}", "bands"))
+        arrivals = (
+            batch.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+            .localCheckpoint(eager=False)
+        )
+        bytes_before = tree_bytes(*state_paths)
         t0 = time.monotonic()
-        dec = incremental_prepare_tick(docs, arrivals, corpus_bands=bands, vocab=vocab)
+        bbands = corpus_signature_state(arrivals).localCheckpoint(eager=False)
+        bdig = corpus_digest_state(arrivals).localCheckpoint(eager=False)
+        bgrams = (
+            char_gram_positions(arrivals).select("g").distinct()
+            .localCheckpoint(eager=False)
+        )
+        docs = keyed_state_read(spark, p_docs)
+        bands = keyed_state_read(
+            spark, p_bands, touched_buckets(bbands, ["band", "band_key"])
+        )
+        digests = keyed_state_read(spark, p_dig, touched_buckets(bdig, ["digest"]))
+        grams = keyed_state_read(spark, p_grams, touched_buckets(bgrams, ["g"]))
+        dec = incremental_prepare_tick(
+            docs,
+            arrivals,
+            corpus_bands=bands,
+            vocab=vocab,
+            corpus_digests=digests,
+            corpus_grams=grams,
+        )
         dec.write.parquet(os.path.join(state, "decisions", f"b{k}"))
-        docs.unionByName(arrivals).write.parquet(
-            os.path.join(state, f"v{k + 1}", "docs")
-        )
-        bands.unionByName(corpus_signature_state(arrivals)).write.parquet(
-            os.path.join(state, f"v{k + 1}", "bands")
-        )
+        keyed_state_append(arrivals, p_docs, ["doc_id"])
+        keyed_state_append(bbands, p_bands, ["band", "band_key"])
+        keyed_state_append(bdig, p_dig, ["digest"])
+        keyed_state_append(bgrams, p_grams, ["g"])
         wall = time.monotonic() - t0
+        appended = tree_bytes(*state_paths) - bytes_before
         n_arr = arrivals.count()
-        n_state = docs.count()
+        # vocabulary drift curve (r13 verdict ask #4), measured OUTSIDE
+        # the timed tick: the stream's frozen original-corpus vocabulary
+        # vs a rebuild over the state this tick's rebuild would see
+        dr = vocabulary_drift(docs, arrivals, frozen_vocab=vocab).collect()[0]
         print(
-            f"tick {k + 1:2d}: arrivals={n_arr:5d} seen_set={n_state:6d} "
-            f"wall={wall:6.2f}s",
+            f"tick {k + 1:2d}: arrivals={n_arr:5d} seen_set={seen:6d} "
+            f"wall={wall:6.2f}s appended={appended / 1e6:7.3f} MB "
+            f"state={tree_bytes(*state_paths) / 1e6:8.3f} MB "
+            f"vocab_drift={dr.n_disagree}/{dr.n_scored}"
+            f" (frozen_rare={dr.n_rare_frozen} rebuilt_rare={dr.n_rare_rebuilt})",
             flush=True,
         )
+        seen += n_arr
         decisions.append(spark.read.parquet(os.path.join(state, "decisions", f"b{k}")))
         lo = hi
 
