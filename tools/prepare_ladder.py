@@ -16,6 +16,12 @@ The two readings this produces (r13 verdict asks #1/#2):
 - per-tick appended state bytes track the BATCH size, not the state
   size (the old v{k} layout rewrote the full state every tick).
 
+Every 5th tick runs the compaction cadence (sinks/layout.
+compact_keyed_state on all four state tables — the dedup merge ladder's
+discipline), so the per-partition file count stays cadence-bounded
+instead of growing one file per tick per touched bucket; compaction
+wall and file counts are reported separately from tick wall.
+
 Usage: python tools/prepare_ladder.py [sf_dir] [n_ticks]
 """
 
@@ -60,8 +66,10 @@ def main() -> None:
     from mistocksync_spark.plans.feeds import docs_incr_batch, docs_incr_corpus
     from mistocksync_spark.session import get_spark
     from mistocksync_spark.sinks.layout import (
+        compact_keyed_state,
         keyed_state_append,
         keyed_state_read,
+        state_file_count,
         touched_buckets,
     )
 
@@ -138,6 +146,17 @@ def main() -> None:
         )
         seen += n_arr
         decisions.append(spark.read.parquet(os.path.join(state, "decisions", f"b{k}")))
+        if (k + 1) % 5 == 0:
+            tc = time.monotonic()
+            fb = fa = 0
+            for p in state_paths:
+                b, a = compact_keyed_state(spark, p)
+                fb, fa = fb + b, fa + a
+            print(
+                f"  compaction tick: files {fb} -> {fa} "
+                f"wall={time.monotonic() - tc:6.2f}s",
+                flush=True,
+            )
         lo = hi
 
     union = decisions[0]

@@ -69,8 +69,16 @@ def main() -> None:
         hashed.groupBy("h").agg(F.min("doc_id").alias("keep")), on="h"
     ).select("doc_id", (F.col("doc_id") != F.col("keep")).alias("f_exact"))
 
+    # the near-dup chain runs over the AUGMENTED corpus (docs_aug: raw +
+    # planted near/exact twins), exactly like v2's _minhash_pairs_shared
+    # — the twins are part of the graded cluster structure, and at
+    # zipf-sf1 they shift two clusters' canonicals (this tool's first
+    # version built pairs over raw documents and caught the difference
+    # as a 2-count near_dup mismatch; the stage flags below stay raw)
+    from mistocksync_spark.plans.feeds import docs_aug
+
     pairs = lsh_candidate_pairs(
-        lsh_bands(minhash_signatures(shingle_table(docs), 8), 2)
+        lsh_bands(minhash_signatures(shingle_table(docs_aug(spark, sf_dir)), 8), 2)
     ).localCheckpoint(eager=False)
     cc = connected_components(pairs)
     canon = cluster_canonicals(cc, similarity_pagerank(pairs, iterations=5))
