@@ -261,6 +261,7 @@ def main():
             "events_cusum_drift",
             "doc_hashed_tfidf",
             "corpus_prepare_v2",
+            "corpus_prepare_v3",
             "incremental_prepare_tick",
             "incremental_prepare_tick_stored",
             "incremental_prepare_stream",

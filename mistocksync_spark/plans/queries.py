@@ -9064,7 +9064,7 @@ ORACLES["user_hll_stream"] = ORACLES["user_hll_estimate"]
 _V2_SAMPLE_PER_CLUSTER = 20
 
 
-def _sql_corpus_prepare_v2() -> str:
+def _sql_corpus_prepare_v2(v3: bool = False) -> str:
     """Oracle for ``corpus_prepare_v2``: the full training-data pipeline
     replayed in one SQL statement — MinHash-LSH pairs → integer PageRank
     → connected components → canonical pick, exact-dup window, span
@@ -9073,12 +9073,74 @@ def _sql_corpus_prepare_v2() -> str:
     the seeded-md5 balanced-sample rank, and the 6-round BPE merge chain
     with per-doc token accounting.  Every sub-chain is the SAME oracle
     formulation its standalone graded entry uses (cited per block), so
-    this grade transitively re-asserts each stage AND their composition."""
+    this grade transitively re-asserts each stage AND their composition.
+
+    ``v3=True`` (r14) extends the SAME template with the emission tier:
+    a ``holdout`` gate (the doc_id % 50 = 0 eval slice — never trained
+    on), a ``contaminated`` gate after the five v2 gates (>= 2 distinct
+    word-trigram shingles shared with the holdout slice — the
+    ``contamination_check`` oracle verbatim), and packed-sequence
+    assignment for the sampled kept docs (the ``doc_packing``
+    concat-then-chunk replay, stratum = cluster, 2048-token windows).
+    With the default ``v3=False`` every injection is the empty string,
+    so the v2 oracle text is BYTE-IDENTICAL to its graded r13 form."""
     km_blocks, final_cents = _sql_kmeans_blocks(
         "kv", "k2", str(_DOC_VEC_K), _DOC_VEC_ITERS
     )
     hex8_t = _SQL_HEX8.format(sha="md5(t)")
     bpe = _sql_bpe_chain(6, src="kdocs").replace("\nWITH words", "\n, words", 1)
+    contam_ctes = (
+        """, v3tok AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents)
+    , v3sh AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        FROM v3tok, UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)
+    )
+    , v3ev AS (SELECT DISTINCT shingle FROM v3sh WHERE doc_id % 50 = 0)
+    , contam AS (
+        SELECT s.doc_id FROM v3sh s JOIN v3ev USING (shingle)
+        WHERE s.doc_id % 50 <> 0
+        GROUP BY s.doc_id HAVING COUNT(DISTINCT s.shingle) >= 2
+    )
+    """
+        if v3
+        else ""
+    )
+    holdout_case = (
+        "CASE WHEN d.doc_id % 50 = 0 THEN 'holdout'\n                    WHEN"
+        if v3
+        else "CASE WHEN"
+    )
+    contam_case = (
+        "\n                    WHEN cm.doc_id IS NOT NULL THEN 'contaminated'"
+        if v3
+        else ""
+    )
+    contam_join = "\n        LEFT JOIN contam cm USING (doc_id)" if v3 else ""
+    pack_ctes = (
+        f"""
+    , v3samp AS (
+        SELECT r.vec_id, r.cidx, t.n_bpe_tokens
+        FROM ranked r JOIN dtokn t ON t.doc_id = r.vec_id
+        WHERE r.rnk <= {_V2_SAMPLE_PER_CLUSTER}
+    )
+    , v3pack AS (
+        SELECT vec_id AS doc_id,
+               COALESCE(SUM(n_bpe_tokens) OVER (
+                   PARTITION BY cidx ORDER BY vec_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before_tok
+        FROM v3samp
+    )"""
+        if v3
+        else ""
+    )
+    pack_cols = (
+        """,
+           CAST(pk.before_tok // 2048 AS BIGINT) AS pack_id,
+           CAST(pk.before_tok % 2048 AS BIGINT) AS pack_offset"""
+        if v3
+        else ""
+    )
+    pack_join = "\n    LEFT JOIN v3pack pk ON pk.doc_id = dec.doc_id" if v3 else ""
     return (
         _sql_mh_cte(recursive=True)
         + _sql_pagerank_ctes(5)
@@ -9146,22 +9208,22 @@ def _sql_corpus_prepare_v2() -> str:
     )
     , g AS ({_sql_gopher()})
     , rts AS ({ORACLES["rare_token_score"]})
-    , decision AS MATERIALIZED (
+    {contam_ctes}, decision AS MATERIALIZED (
         SELECT d.doc_id,
-               CASE WHEN xd.is_exact_dup THEN 'exact_dup'
+               {holdout_case} xd.is_exact_dup THEN 'exact_dup'
                     WHEN nr.canonical_id IS NOT NULL
                          AND nr.canonical_id <> d.doc_id THEN 'near_dup'
                     WHEN sp.doc_len > 0
                          AND 10 * sp.dup_chars >= 3 * sp.doc_len THEN 'span_dup'
                     WHEN g.pass_gopher = 0 THEN 'gopher'
-                    WHEN 2 * r.n_in_vocab < r.n_tokens THEN 'rare_tokens'
+                    WHEN 2 * r.n_in_vocab < r.n_tokens THEN 'rare_tokens'{contam_case}
                     ELSE 'ok' END AS reason
         FROM documents d
         JOIN xd USING (doc_id)
         LEFT JOIN near nr USING (doc_id)
         JOIN spanf sp USING (doc_id)
         JOIN g USING (doc_id)
-        LEFT JOIN rts r USING (doc_id)
+        LEFT JOIN rts r USING (doc_id){contam_join}
     )
     , kdocs AS MATERIALIZED (
         SELECT d.doc_id, d.text
@@ -9218,17 +9280,17 @@ def _sql_corpus_prepare_v2() -> str:
         JOIN wtok t ON t.w = dw.w
         WHERE dw.w <> ''
         GROUP BY dw.doc_id
-    )
+    ){pack_ctes}
     SELECT dec.doc_id, dec.reason,
            ka.cidx AS cluster,
            CASE WHEN dec.reason = 'ok'
                 THEN CAST(COALESCE(r2.rnk <= {_V2_SAMPLE_PER_CLUSTER}, FALSE) AS INTEGER)
            END AS sampled,
-           CASE WHEN dec.reason = 'ok' THEN tn.n_bpe_tokens END AS n_bpe_tokens
+           CASE WHEN dec.reason = 'ok' THEN tn.n_bpe_tokens END AS n_bpe_tokens{pack_cols}
     FROM decision dec
     LEFT JOIN kassign ka ON ka.vec_id = dec.doc_id
     LEFT JOIN ranked r2 ON r2.vec_id = dec.doc_id
-    LEFT JOIN dtokn tn ON tn.doc_id = dec.doc_id
+    LEFT JOIN dtokn tn ON tn.doc_id = dec.doc_id{pack_join}
 """
     )
 
@@ -9267,11 +9329,20 @@ def corpus_prepare_v2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     stops at the keep decision; v2 adds the near-dup canonical and span
     gates and carries the kept corpus through clustering, sampling, and
     token budgeting — the full prepare-for-training loop."""
+    return _prepare_pipeline(spark, sf_dir, v3=False)
+
+
+def _prepare_pipeline(spark: SparkSession, sf_dir: str, v3: bool) -> DataFrame:
+    """Shared body of ``corpus_prepare_v2`` and ``corpus_prepare_v3``:
+    with ``v3=False`` this is the r13 v2 plan unchanged; ``v3=True``
+    adds the holdout + decontamination gates and the packed-sequence
+    emission (see ``corpus_prepare_v3_q``)."""
     from pyspark.sql import Window
 
     from mistocksync_spark.operators.dedup import (
         cluster_canonicals,
         connected_components,
+        contamination_check,
         duplicated_span_coverage,
         similarity_pagerank,
     )
@@ -9279,6 +9350,7 @@ def corpus_prepare_v2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe_word_token_counts,
         gopher_rules,
         hashed_tfidf_vectors,
+        pack_documents,
         rare_token_score,
     )
     from mistocksync_spark.operators.vectors import ivf_assign, ivf_train
@@ -9311,33 +9383,52 @@ def corpus_prepare_v2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = gopher_rules(docs).select("doc_id", "pass_gopher")
     rts = rare_token_score(docs).select("doc_id", "n_tokens", "n_in_vocab")
 
-    decision = (
+    dec_in = (
         docs.select("doc_id")
         .join(exact, on="doc_id")
         .join(near, on="doc_id", how="left")
         .join(cov, on="doc_id")
         .join(g, on="doc_id")
         .join(rts, on="doc_id", how="left")
-        .select(
-            "doc_id",
-            F.when(F.col("is_exact_dup"), F.lit("exact_dup"))
-            .when(
-                F.col("canonical_id").isNotNull()
-                & (F.col("canonical_id") != F.col("doc_id")),
-                F.lit("near_dup"),
-            )
-            .when(
-                (F.col("doc_len") > 0)
-                & (10 * F.col("dup_chars") >= 3 * F.col("doc_len")),
-                F.lit("span_dup"),
-            )
-            .when(F.col("pass_gopher") == 0, F.lit("gopher"))
-            .when(2 * F.col("n_in_vocab") < F.col("n_tokens"), F.lit("rare_tokens"))
-            .otherwise(F.lit("ok"))
-            .alias("reason"),
-        )
-        .localCheckpoint(eager=False)  # consumed by kept + the final select
     )
+    reason = F.when(F.col("is_exact_dup"), F.lit("exact_dup"))
+    if v3:
+        # v3 gate 0: the doc_id % 50 == 0 holdout slice is never trained
+        # on (checked FIRST — corpus membership, not content quality);
+        # v3 gate 6: decontamination vs that slice, the graded
+        # contamination_check plan verbatim (eval shingles broadcast)
+        contam = (
+            contamination_check(
+                docs.filter(F.col("doc_id") % 50 != 0),
+                docs.filter(F.col("doc_id") % 50 == 0),
+                min_overlap=2,
+            )
+            .select("doc_id")
+            .withColumn("__cont", F.lit(1))
+        )
+        dec_in = dec_in.join(contam, on="doc_id", how="left")
+        reason = F.when(F.col("doc_id") % 50 == 0, F.lit("holdout")).when(
+            F.col("is_exact_dup"), F.lit("exact_dup")
+        )
+    reason = (
+        reason.when(
+            F.col("canonical_id").isNotNull()
+            & (F.col("canonical_id") != F.col("doc_id")),
+            F.lit("near_dup"),
+        )
+        .when(
+            (F.col("doc_len") > 0)
+            & (10 * F.col("dup_chars") >= 3 * F.col("doc_len")),
+            F.lit("span_dup"),
+        )
+        .when(F.col("pass_gopher") == 0, F.lit("gopher"))
+        .when(2 * F.col("n_in_vocab") < F.col("n_tokens"), F.lit("rare_tokens"))
+    )
+    if v3:
+        reason = reason.when(F.col("__cont").isNotNull(), F.lit("contaminated"))
+    decision = dec_in.select(
+        "doc_id", reason.otherwise(F.lit("ok")).alias("reason")
+    ).localCheckpoint(eager=False)  # consumed by kept + the final select
 
     kept = (
         docs.join(decision.filter(F.col("reason") == "ok").select("doc_id"), "doc_id")
@@ -9371,7 +9462,7 @@ def corpus_prepare_v2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("n_tok").cast("long").alias("__ntok"))
     )
 
-    return (
+    out = (
         decision.join(samp, on="doc_id", how="left")
         .join(dtokn, on="doc_id", how="left")
         .select(
@@ -9384,6 +9475,62 @@ def corpus_prepare_v2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("reason") == "ok", F.col("__ntok")).alias("n_bpe_tokens"),
         )
     )
+    if not v3:
+        return out
+    # v3 emission tier: packed-sequence assignment for the sampled kept
+    # docs — the doc_packing concat-then-chunk replay (one shuffle on
+    # the cluster stratum, id-ordered running token sum, 2048-token
+    # windows); non-sampled docs carry NULL pack columns
+    sampd = (
+        samp.filter(F.col("__samp") == 1)
+        .join(dtokn, on="doc_id")
+        .select("doc_id", "cluster", "__ntok")
+    )
+    packed = pack_documents(
+        sampd,
+        seq_len=2048,
+        token_count_col="__ntok",
+        stratum_col="cluster",
+        id_col="doc_id",
+    ).select("doc_id", "pack_id", "pack_offset")
+    return out.join(packed, on="doc_id", how="left").select(
+        "doc_id",
+        "reason",
+        "cluster",
+        "sampled",
+        "n_bpe_tokens",
+        "pack_id",
+        "pack_offset",
+    )
+
+
+@query("corpus_prepare_v3", _sql_corpus_prepare_v2(v3=True))
+def corpus_prepare_v3_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data pipeline with the EMISSION tier (r14) — v2 plus
+    the two hygiene gates a training run demands and the layout it
+    consumes:
+
+    - ``holdout`` (gate 0): the doc_id % 50 == 0 eval slice is never
+      trained on — checked first (corpus membership, not quality);
+    - the five v2 gates unchanged (exact_dup → near_dup → span_dup →
+      gopher → rare_tokens);
+    - ``contaminated`` (gate 6): >= 2 distinct word-trigram shingles
+      shared with the holdout slice (the graded ``contamination_check``
+      plan: eval shingles collapse to a DISTINCT broadcast, corpus-side
+      hits aggregate map-side — no cross join at any scale);
+    - then clustering / balanced sampling / BPE token accounting over
+      the kept corpus as in v2, plus PACKED-SEQUENCE assignment for the
+      sampled docs (``pack_documents``: stratum = cluster, id-ordered
+      running token sum, fixed 2048-token windows — one shuffle, no
+      global sort): (doc_id, reason, cluster, sampled, n_bpe_tokens,
+      pack_id, pack_offset).
+
+    One decision row per document; pack columns are NULL except for
+    sampled kept docs.  The oracle is the v2 template with the three
+    injections rendered (holdout CASE arm, contamination CTEs, packing
+    window replay) — v2's own oracle text stays byte-identical, so its
+    standing grade is untouched."""
+    return _prepare_pipeline(spark, sf_dir, v3=True)
 
 
 # Span-gate replay for the prepare tick, restricted to batch docs: gram

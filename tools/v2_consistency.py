@@ -15,7 +15,9 @@ localCheckpoints with v2's plan), so checkpoint staleness, join row
 duplication, or precedence drift in the v2 composition would all
 surface as count mismatches.
 
-Usage: python tools/v2_consistency.py [sf_dir]
+Usage: python tools/v2_consistency.py [sf_dir] [--v3]
+With --v3 the same invariant runs against `corpus_prepare_v3` (adds the
+holdout and contamination gate flags to the expected side).
 Exit 0 iff every reason count matches.
 """
 
@@ -29,13 +31,18 @@ sys.path.insert(0, REPO)
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = [a for a in sys.argv[1:]]
+    v3 = "--v3" in args
+    if v3:
+        args.remove("--v3")
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
 
     from pyspark.sql import functions as F
 
     from mistocksync_spark.operators.dedup import (
         cluster_canonicals,
         connected_components,
+        contamination_check,
         duplicated_span_coverage,
         lsh_bands,
         lsh_candidate_pairs,
@@ -48,9 +55,10 @@ def main() -> None:
     from mistocksync_spark.session import get_spark
 
     spark = get_spark("v2-consistency")
+    entry = "corpus_prepare_v3" if v3 else "corpus_prepare_v2"
 
     t0 = time.monotonic()
-    v2 = QUERIES["corpus_prepare_v2"](spark, sf_dir)
+    v2 = QUERIES[entry](spark, sf_dir)
     got = {
         r.reason: r.n
         for r in v2.groupBy("reason").agg(F.count("*").alias("n")).collect()
@@ -101,23 +109,39 @@ def main() -> None:
         "doc_id", (2 * F.col("n_in_vocab") < F.col("n_tokens")).alias("f_rare")
     )
 
-    expected_df = (
+    joined = (
         docs.select("doc_id")
         .join(exact, "doc_id")
         .join(near, "doc_id", "left")
         .join(span, "doc_id")
         .join(gop, "doc_id")
         .join(rare, "doc_id", "left")
-        .select(
-            F.when(F.col("f_exact"), F.lit("exact_dup"))
-            .when(F.coalesce(F.col("f_near"), F.lit(False)), F.lit("near_dup"))
-            .when(F.col("f_span"), F.lit("span_dup"))
-            .when(F.col("f_gopher"), F.lit("gopher"))
-            .when(F.coalesce(F.col("f_rare"), F.lit(False)), F.lit("rare_tokens"))
-            .otherwise(F.lit("ok"))
-            .alias("reason")
-        )
     )
+    reason = F.when(F.col("f_exact"), F.lit("exact_dup"))
+    if v3:
+        joined = joined.join(
+            contamination_check(
+                docs.filter(F.col("doc_id") % 50 != 0),
+                docs.filter(F.col("doc_id") % 50 == 0),
+                min_overlap=2,
+            ).select("doc_id").withColumn("f_cont", F.lit(True)),
+            "doc_id",
+            "left",
+        )
+        reason = F.when(F.col("doc_id") % 50 == 0, F.lit("holdout")).when(
+            F.col("f_exact"), F.lit("exact_dup")
+        )
+    reason = (
+        reason.when(F.coalesce(F.col("f_near"), F.lit(False)), F.lit("near_dup"))
+        .when(F.col("f_span"), F.lit("span_dup"))
+        .when(F.col("f_gopher"), F.lit("gopher"))
+        .when(F.coalesce(F.col("f_rare"), F.lit(False)), F.lit("rare_tokens"))
+    )
+    if v3:
+        reason = reason.when(
+            F.coalesce(F.col("f_cont"), F.lit(False)), F.lit("contaminated")
+        )
+    expected_df = joined.select(reason.otherwise(F.lit("ok")).alias("reason"))
     want = {
         r.reason: r.n
         for r in expected_df.groupBy("reason").agg(F.count("*").alias("n")).collect()
