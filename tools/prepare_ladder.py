@@ -53,7 +53,6 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from mistocksync_spark.operators.dedup import (
-        char_gram_positions,
         corpus_digest_state,
         corpus_gram_state,
         corpus_signature_state,
@@ -69,9 +68,8 @@ def main() -> None:
         compact_keyed_state,
         keyed_state_append,
         keyed_state_read,
-        state_file_count,
-        touched_buckets,
     )
+    from mistocksync_spark.streaming.merge import prepare_tick_against_state
 
     spark = get_spark("prepare-ladder")
     work = tempfile.mkdtemp(prefix="prep_ladder_")
@@ -87,10 +85,12 @@ def main() -> None:
         ids[-1] + 1
     ]
 
-    keyed_state_append(corpus, p_docs, ["doc_id"])
-    keyed_state_append(corpus_signature_state(corpus), p_bands, ["band", "band_key"])
-    keyed_state_append(corpus_digest_state(corpus), p_dig, ["digest"])
-    keyed_state_append(corpus_gram_state(corpus), p_grams, ["g"])
+    keyed_state_append(corpus, p_docs, ["doc_id"], batch_id=-1)
+    keyed_state_append(
+        corpus_signature_state(corpus), p_bands, ["band", "band_key"], batch_id=-1
+    )
+    keyed_state_append(corpus_digest_state(corpus), p_dig, ["digest"], batch_id=-1)
+    keyed_state_append(corpus_gram_state(corpus), p_grams, ["g"], batch_id=-1)
     corpus_vocabulary(corpus).write.parquet(os.path.join(state, "vocab"))
     vocab = spark.read.parquet(os.path.join(state, "vocab"))
 
@@ -104,37 +104,18 @@ def main() -> None:
         )
         bytes_before = tree_bytes(*state_paths)
         t0 = time.monotonic()
-        bbands = corpus_signature_state(arrivals).localCheckpoint(eager=False)
-        bdig = corpus_digest_state(arrivals).localCheckpoint(eager=False)
-        bgrams = (
-            char_gram_positions(arrivals).select("g").distinct()
-            .localCheckpoint(eager=False)
-        )
-        docs = keyed_state_read(spark, p_docs)
-        bands = keyed_state_read(
-            spark, p_bands, touched_buckets(bbands, ["band", "band_key"])
-        )
-        digests = keyed_state_read(spark, p_dig, touched_buckets(bdig, ["digest"]))
-        grams = keyed_state_read(spark, p_grams, touched_buckets(bgrams, ["g"]))
-        dec = incremental_prepare_tick(
-            docs,
-            arrivals,
-            corpus_bands=bands,
-            vocab=vocab,
-            corpus_digests=digests,
-            corpus_grams=grams,
-        )
-        dec.write.parquet(os.path.join(state, "decisions", f"b{k}"))
-        keyed_state_append(arrivals, p_docs, ["doc_id"])
-        keyed_state_append(bbands, p_bands, ["band", "band_key"])
-        keyed_state_append(bdig, p_dig, ["digest"])
-        keyed_state_append(bgrams, p_grams, ["g"])
+        # the PRODUCTION tick body (streaming/merge.prepare_tick_against_
+        # state): folded bucket fetch, candidate-pruned docs read,
+        # before_batch-pinned reads, idempotent batch-id appends — the
+        # ladder times exactly what the stream's foreachBatch runs
+        prepare_tick_against_state(arrivals, k, state)
         wall = time.monotonic() - t0
         appended = tree_bytes(*state_paths) - bytes_before
         n_arr = arrivals.count()
         # vocabulary drift curve (r13 verdict ask #4), measured OUTSIDE
         # the timed tick: the stream's frozen original-corpus vocabulary
         # vs a rebuild over the state this tick's rebuild would see
+        docs = keyed_state_read(spark, p_docs, before_batch=k)
         dr = vocabulary_drift(docs, arrivals, frozen_vocab=vocab).collect()[0]
         print(
             f"tick {k + 1:2d}: arrivals={n_arr:5d} seen_set={seen:6d} "
@@ -162,7 +143,9 @@ def main() -> None:
     union = decisions[0]
     for d in decisions[1:]:
         union = union.unionByName(d)
-    one_shot = incremental_prepare_tick(corpus, batch)
+    one_shot = incremental_prepare_tick(
+        corpus, batch, allow_corpus_derived_state=True
+    )
     u = {(r.doc_id, r.reason) for r in union.collect()}
     o = {(r.doc_id, r.reason) for r in one_shot.collect()}
     print(f"ladder decisions: {len(u)}; one-shot: {len(o)}; identical: {u == o}")
