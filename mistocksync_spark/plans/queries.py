@@ -9586,13 +9586,45 @@ _SQL_TICK_SPAN = f"""
 """
 
 
-@query(
-    "incremental_prepare_tick",
-    _incr_docs_cte()
-    + _SQL_SHINGLES
-    + _SQL_INCR_TAIL
-    + _SQL_TICK_SPAN
-    + r"""
+def _sql_incr_tick(v3: bool = False) -> str:
+    """The tick oracle as a template (the ``_sql_corpus_prepare_v2``
+    byte-identity trick): with ``v3=False`` every injection renders
+    empty and the text is BYTE-IDENTICAL to the r14 tick oracle, so the
+    shared standing grade of tick/stored/stream is provably untouched;
+    ``v3=True`` splices the holdout CASE arm (first), the frozen-holdout
+    shingle + contamination CTEs, and the contaminated arm (last)."""
+    h_cte = (
+        r"""
+    , hsh AS (
+        SELECT DISTINCT s.shingle
+        FROM sh s JOIN docs d ON d.doc_id = s.doc_id
+        WHERE d.is_batch = 0 AND d.doc_id % 50 = 0
+    )
+    , contam AS (
+        SELECT s.doc_id
+        FROM sh s
+        JOIN docs d ON d.doc_id = s.doc_id
+        JOIN hsh h ON h.shingle = s.shingle
+        WHERE d.is_batch = 1
+        GROUP BY s.doc_id
+        HAVING COUNT(DISTINCT s.shingle) >= 2
+    )"""
+        if v3
+        else ""
+    )
+    h_arm = "WHEN d.doc_id % 50 = 0 THEN 'holdout'\n                " if v3 else ""
+    c_arm = (
+        "\n                WHEN ct.doc_id IS NOT NULL THEN 'contaminated'"
+        if v3
+        else ""
+    )
+    c_join = "\n    LEFT JOIN contam ct ON ct.doc_id = d.doc_id" if v3 else ""
+    return (
+        _incr_docs_cte()
+        + _SQL_SHINGLES
+        + _SQL_INCR_TAIL
+        + _SQL_TICK_SPAN
+        + r"""
     , xh AS (
         SELECT doc_id, is_batch,
                ROW_NUMBER() OVER (
@@ -9601,8 +9633,8 @@ _SQL_TICK_SPAN = f"""
         FROM docs
     )
     , bg AS ("""
-    + _sql_gopher(src="(SELECT doc_id, text FROM docs WHERE is_batch = 1)")
-    + r""")
+        + _sql_gopher(src="(SELECT doc_id, text FROM docs WHERE is_batch = 1)")
+        + r""")
     , cvtok AS (
         SELECT token FROM (
             SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS token
@@ -9623,14 +9655,20 @@ _SQL_TICK_SPAN = f"""
         SELECT t.doc_id, COUNT(*) AS nt, COUNT(v.token) AS niv
         FROM btok t LEFT JOIN cvocab v USING (token)
         GROUP BY t.doc_id
-    )
+    )"""
+        + h_cte
+        + r"""
     SELECT d.doc_id,
-           CASE WHEN x.rn > 1 THEN 'exact_dup'
+           CASE """
+        + h_arm
+        + r"""WHEN x.rn > 1 THEN 'exact_dup'
                 WHEN r.later_id IS NOT NULL THEN 'near_dup'
                 WHEN bl.dl > 0 AND 10 * COALESCE(cv.dc, 0) >= 3 * bl.dl
                      THEN 'span_dup'
                 WHEN g.pass_gopher = 0 THEN 'gopher'
-                WHEN 2 * s.niv < s.nt THEN 'rare_tokens'
+                WHEN 2 * s.niv < s.nt THEN 'rare_tokens'"""
+        + c_arm
+        + r"""
                 ELSE 'ok' END AS reason
     FROM docs d
     JOIN xh x ON x.doc_id = d.doc_id
@@ -9638,10 +9676,15 @@ _SQL_TICK_SPAN = f"""
     LEFT JOIN scov cv ON cv.doc_id = d.doc_id
     JOIN blen bl ON bl.doc_id = d.doc_id
     JOIN bg g ON g.doc_id = d.doc_id
-    LEFT JOIN bscore s ON s.doc_id = d.doc_id
+    LEFT JOIN bscore s ON s.doc_id = d.doc_id"""
+        + c_join
+        + r"""
     WHERE d.is_batch = 1
-""",
-)
+"""
+    )
+
+
+@query("incremental_prepare_tick", _sql_incr_tick())
 def incremental_prepare_tick_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One ingest tick of the corpus-prepare pipeline (operators/textual.
     incremental_prepare_tick): per-arrival decision rows against the
@@ -9665,6 +9708,43 @@ def incremental_prepare_tick_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         # derived inline from the corpus (the stored twin is the
         # production path; deriving state per tick is opt-in, r14 ADVICE)
         allow_corpus_derived_state=True,
+    )
+
+
+@query("incremental_prepare_tick_v3", _sql_incr_tick(v3=True))
+def incremental_prepare_tick_v3_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The prepare tick with the v3 EMISSION gates (r14 verdict ask #2):
+    ``corpus_prepare_v3``'s two hygiene gates, at tick time —
+
+    - ``holdout`` (checked FIRST): arrivals in the doc_id % 50 == 0 eval
+      slice are never trained on — corpus membership, not quality;
+    - the five tick gates unchanged between them;
+    - ``contaminated`` (checked LAST, the v3 one-shot's reason order):
+      >= 2 distinct word-trigram shingles shared with the corpus
+      version's holdout slice.
+
+    The holdout shingle set is FROZEN per corpus version (the eval slice
+    never changes on ingest ticks — the vocabulary/IVF-quantizer freeze),
+    which keeps this gate prefix-decomposable across micro-batches like
+    every other: the ladder's v3 tick union is bit-identical to this
+    one-shot (tools/prepare_ladder.py --v3, run at two scales).  Packing
+    stays emission-scoped by design — packs are artifacts of a sampling
+    pass over the accumulated corpus, not per-arrival verdicts.  The
+    oracle is the tick oracle template with the v3 injections rendered
+    (holdout CASE arm, frozen-holdout shingle + contamination CTEs) —
+    the v1 text stays byte-identical, so the shared standing grade of
+    tick/stored/stream is untouched.  Production ticks run the stored
+    shape (``streaming/merge.prepare_tick_against_state(holdout_mod=50)``
+    probing persisted ``holdout_shingle_state``); this graded entry is
+    the self-contained semantic definition."""
+    from mistocksync_spark.operators.textual import incremental_prepare_tick
+    from mistocksync_spark.plans.feeds import docs_incr_batch, docs_incr_corpus
+
+    return incremental_prepare_tick(
+        docs_incr_corpus(spark, sf_dir),
+        docs_incr_batch(spark, sf_dir),
+        allow_corpus_derived_state=True,
+        holdout_mod=50,
     )
 
 

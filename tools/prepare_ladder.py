@@ -47,8 +47,16 @@ def tree_bytes(*paths: str) -> int:
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    n_ticks = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    args = [a for a in sys.argv[1:]]
+    # --v3: run the EMISSION-gate tick (holdout + decontamination vs the
+    # frozen holdout shingle state) and assert the union against the
+    # one-shot v3 tick (r14 verdict ask #2's two-scale evidence)
+    v3 = "--v3" in args
+    if v3:
+        args.remove("--v3")
+    holdout_mod = 50 if v3 else None
+    sf_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
+    n_ticks = int(args[1]) if len(args) > 1 else 10
 
     from pyspark.sql import functions as F
 
@@ -93,6 +101,12 @@ def main() -> None:
     keyed_state_append(corpus_gram_state(corpus), p_grams, ["g"], batch_id=-1)
     corpus_vocabulary(corpus).write.parquet(os.path.join(state, "vocab"))
     vocab = spark.read.parquet(os.path.join(state, "vocab"))
+    if v3:
+        from mistocksync_spark.operators.dedup import holdout_shingle_state
+
+        holdout_shingle_state(corpus, holdout_mod=holdout_mod).write.parquet(
+            os.path.join(state, "holdout_shingles")
+        )
 
     decisions = []
     lo = ids[0]
@@ -108,7 +122,7 @@ def main() -> None:
         # state): folded bucket fetch, candidate-pruned docs read,
         # before_batch-pinned reads, idempotent batch-id appends — the
         # ladder times exactly what the stream's foreachBatch runs
-        prepare_tick_against_state(arrivals, k, state)
+        prepare_tick_against_state(arrivals, k, state, holdout_mod=holdout_mod)
         wall = time.monotonic() - t0
         appended = tree_bytes(*state_paths) - bytes_before
         n_arr = arrivals.count()
@@ -144,7 +158,7 @@ def main() -> None:
     for d in decisions[1:]:
         union = union.unionByName(d)
     one_shot = incremental_prepare_tick(
-        corpus, batch, allow_corpus_derived_state=True
+        corpus, batch, allow_corpus_derived_state=True, holdout_mod=holdout_mod
     )
     u = {(r.doc_id, r.reason) for r in union.collect()}
     o = {(r.doc_id, r.reason) for r in one_shot.collect()}
