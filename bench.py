@@ -267,6 +267,7 @@ def main():
             "incremental_prepare_tick_stored",
             "incremental_prepare_stream",
             "prepare_vocab_drift",
+            "prepare_vocab_rebuild",
             # r13: the three warmup-tuple entries, timed explicitly so
             # "registered => recorded cost" holds with no exceptions
             "top_event_types",

@@ -9935,6 +9935,95 @@ def prepare_vocab_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "prepare_vocab_rebuild",
+    _incr_docs_cte()
+    + r"""
+    , ctok AS (
+        SELECT token FROM (
+            SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+            FROM docs WHERE is_batch = 0
+        ) WHERE token <> ''
+    )
+    , cfreq AS (SELECT token, COUNT(*) AS cnt FROM ctok GROUP BY token)
+    , ctot AS (SELECT SUM(cnt) AS t FROM cfreq)
+    , vf AS (SELECT token FROM cfreq, ctot WHERE cnt >= ceil(t * 0.0001))
+    , atok AS (
+        SELECT token FROM (
+            SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+            FROM docs
+        ) WHERE token <> ''
+    )
+    , afreq AS (SELECT token, COUNT(*) AS cnt FROM atok GROUP BY token)
+    , atot AS (SELECT SUM(cnt) AS t FROM afreq)
+    , vr AS (SELECT token FROM afreq, atot WHERE cnt >= ceil(t * 0.0001))
+    , tj AS (
+        SELECT f.token AS ftok, r.token AS rtok
+        FROM vf f FULL OUTER JOIN vr r ON f.token = r.token
+    )
+    , vc AS (
+        SELECT COUNT(ftok) AS n_frozen, COUNT(rtok) AS n_rebuilt,
+               COUNT(*) FILTER (WHERE ftok IS NULL) AS n_added,
+               COUNT(*) FILTER (WHERE rtok IS NULL) AS n_removed
+        FROM tj
+    )
+    , btok AS (
+        SELECT doc_id, token FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+            FROM docs WHERE is_batch = 1
+        ) WHERE token <> ''
+    )
+    , sc AS (
+        SELECT t.doc_id, COUNT(*) AS nt, COUNT(f.token) AS nf, COUNT(r.token) AS nr
+        FROM btok t
+        LEFT JOIN vf f USING (token)
+        LEFT JOIN vr r USING (token)
+        GROUP BY t.doc_id
+    )
+    , dd AS (
+        SELECT COUNT(*) AS n_scored,
+               COALESCE(SUM(CASE WHEN (CASE WHEN 2 * nf < nt THEN 1 ELSE 0 END)
+                                   <> (CASE WHEN 2 * nr < nt THEN 1 ELSE 0 END)
+                            THEN 1 ELSE 0 END), 0) AS ndb
+        FROM sc
+    )
+    SELECT CAST(vc.n_frozen AS BIGINT) AS n_frozen,
+           CAST(vc.n_rebuilt AS BIGINT) AS n_rebuilt,
+           CAST(vc.n_added AS BIGINT) AS n_added,
+           CAST(vc.n_removed AS BIGINT) AS n_removed,
+           CAST(dd.n_scored AS BIGINT) AS n_scored,
+           CAST(dd.ndb AS BIGINT) AS n_disagree_before,
+           CASE WHEN dd.n_scored > 0
+                THEN round(CAST(dd.ndb AS DOUBLE) / dd.n_scored, 6)
+           END AS drift_before,
+           -- rebuilt-vs-independently-rebuilt disagreement is identically
+           -- zero in SQL; the Spark side derives BOTH vocabularies and
+           -- must EARN the 0 (a non-canonical rebuild hash-fails here)
+           CAST(0 AS BIGINT) AS n_disagree_after
+    FROM vc, dd
+""",
+)
+def prepare_vocab_rebuild_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vocabulary REBUILD tick (operators/textual.vocabulary_rebuild,
+    r14 verdict ask #3 — the missing half of the vocab lifecycle):
+    ``prepare_vocab_drift`` measures when the frozen vocabulary is stale;
+    this is the tick a deployment runs when the threshold trips —
+    re-derive the vocabulary over corpus + arrivals, re-freeze, and audit
+    the rebuild in one row: token churn (added/removed — the
+    ``ivf_index_rebuild`` cell-diff analogue), the pre-rebuild decision
+    drift that triggered it, and the post-rebuild disagreement, which
+    must be 0 (pinned by the oracle — the drift curve collapsing is also
+    shown live by ``tools/prepare_ladder.py --rebuild-at``)."""
+    from mistocksync_spark.operators.textual import vocabulary_rebuild
+    from mistocksync_spark.plans.feeds import docs_incr_batch, docs_incr_corpus
+
+    _, audit = vocabulary_rebuild(
+        docs_incr_corpus(spark, sf_dir), docs_incr_batch(spark, sf_dir)
+    )
+    return audit
+
+
 @query("incremental_prepare_stream")
 def incremental_prepare_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming parity for the corpus-prepare ingest tick: the batch

@@ -268,10 +268,14 @@ def test_registry_wide_no_cartesian_bnlj_budget(spark, sf_dir):
         # 1-row corpus-token-mass attach for the vocabulary threshold
         # (same class as rare_token_score)
         "incremental_prepare_tick": 1,
+        "incremental_prepare_tick_v3": 1,
         "incremental_prepare_tick_stored": 1,
         # two bounded vocab builds (frozen + rebuilt), each a 1-row
         # token-mass attach
         "prepare_vocab_drift": 2,
+        # three bounded vocab builds: frozen + rebuilt + the independent
+        # canonical re-derivation the after-audit must match
+        "prepare_vocab_rebuild": 3,
     }
     failures = []
     for name, fn in QUERIES.items():

@@ -55,6 +55,17 @@ def main() -> None:
     if v3:
         args.remove("--v3")
     holdout_mod = 50 if v3 else None
+    # --rebuild-at K: after tick K, run the vocabulary REBUILD tick
+    # (operators/textual.vocabulary_rebuild) against the accumulated docs
+    # state, re-freeze state/vocab, and show the per-tick drift curve
+    # collapse (r14 verdict ask #3's ladder evidence).  Decisions after a
+    # rebuild are a NEW corpus version by definition, so the final
+    # union == one-shot assertion is skipped in this mode.
+    rebuild_at = 0
+    for a in list(args):
+        if a.startswith("--rebuild-at="):
+            rebuild_at = int(a.split("=", 1)[1])
+            args.remove(a)
     sf_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
     n_ticks = int(args[1]) if len(args) > 1 else 10
 
@@ -141,6 +152,33 @@ def main() -> None:
         )
         seen += n_arr
         decisions.append(spark.read.parquet(os.path.join(state, "decisions", f"b{k}")))
+        if rebuild_at and (k + 1) == rebuild_at:
+            from mistocksync_spark.operators.textual import vocabulary_rebuild
+
+            tr = time.monotonic()
+            # corpus = state BEFORE this tick's append, batch = this
+            # tick's arrivals — their union is exactly the grown corpus
+            # (no row duplicated into the token-mass aggregate)
+            new_vocab, audit = vocabulary_rebuild(
+                keyed_state_read(spark, p_docs, before_batch=k),
+                arrivals,
+                frozen_vocab=vocab,
+            )
+            a = audit.collect()[0]
+            new_vocab.write.mode("overwrite").parquet(
+                os.path.join(state, "vocab.rebuilt")
+            )
+            spark.read.parquet(os.path.join(state, "vocab.rebuilt")).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(state, "vocab"))
+            vocab = spark.read.parquet(os.path.join(state, "vocab"))
+            print(
+                f"  vocab REBUILD tick: frozen={a.n_frozen} -> "
+                f"rebuilt={a.n_rebuilt} (+{a.n_added}/-{a.n_removed}) "
+                f"drift_before={a.n_disagree_before}/{a.n_scored} "
+                f"after={a.n_disagree_after} wall={time.monotonic() - tr:6.2f}s",
+                flush=True,
+            )
         if (k + 1) % 5 == 0:
             tc = time.monotonic()
             fb = fa = 0
@@ -154,6 +192,15 @@ def main() -> None:
             )
         lo = hi
 
+    if rebuild_at:
+        print(
+            "rebuild mode: union == one-shot assertion skipped by design "
+            "(a vocab rebuild starts a new corpus version; the evidence "
+            "here is the drift curve collapsing after the rebuild tick)"
+        )
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
+        sys.exit(0)
     union = decisions[0]
     for d in decisions[1:]:
         union = union.unionByName(d)
