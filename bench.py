@@ -262,6 +262,7 @@ def main():
             "doc_hashed_tfidf",
             "corpus_prepare_v2",
             "corpus_prepare_v3",
+            "pack_emission_manifest",
             "incremental_prepare_tick",
             "incremental_prepare_tick_v3",
             "incremental_prepare_tick_stored",

@@ -9540,6 +9540,54 @@ def corpus_prepare_v3_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _prepare_pipeline(spark, sf_dir, v3=True)
 
 
+@query(
+    "pack_emission_manifest",
+    "SELECT cluster, pack_id,\n"
+    "       COUNT(*) AS n_docs,\n"
+    "       CAST(SUM(n_bpe_tokens) AS BIGINT) AS n_tokens,\n"
+    "       'pack_bucket=' || CAST((cluster * 1000000 + pack_id) % 16 AS STRING)"
+    " AS file\n"
+    f"FROM ({_sql_corpus_prepare_v2(v3=True)})\n"
+    "WHERE pack_id IS NOT NULL\n"
+    "GROUP BY cluster, pack_id",
+)
+def pack_emission_manifest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pack EMISSION sink graded end-to-end (r14 verdict ask #4 — the
+    pipeline's final artifact gets the same "graded decision + graded
+    layout" treatment as the state tables): the v3 pipeline's packed
+    sampled docs are physically WRITTEN in the loader-consumable layout
+    (``sinks/layout.pack_emission_write``: partitioned by pack bucket,
+    range-clustered by (cluster, pack_id, pack_offset) inside each
+    bucket), and the returned manifest — one row per pack: (cluster,
+    pack_id, n_docs, n_tokens, file) — is derived by READING BACK the
+    emitted files, with ``file`` the actual partition directory each
+    pack landed in (NULL if a pack's rows ever split across directories,
+    which the oracle's predicted ``pack_bucket=<b>`` would then
+    hash-fail).  So the grade covers the physical write: bucket routing,
+    pack integrity, and token accounting against the DuckDB v3 replay.
+    Footer range-clustering is pinned separately by
+    tests/test_layout.py."""
+    import os
+    import tempfile
+
+    from mistocksync_spark.sinks.layout import (
+        pack_emission_manifest,
+        pack_emission_write,
+    )
+
+    out = _prepare_pipeline(spark, sf_dir, v3=True)
+    packed = out.filter(F.col("pack_id").isNotNull()).select(
+        "doc_id",
+        "cluster",
+        "pack_id",
+        "pack_offset",
+        F.col("n_bpe_tokens").alias("n_tokens"),
+    )
+    work = tempfile.mkdtemp(prefix="pack_emission_")
+    path = pack_emission_write(packed, os.path.join(work, "packs"))
+    return pack_emission_manifest(spark, path)
+
+
 # Span-gate replay for the prepare tick, restricted to batch docs: gram
 # positions come from the BATCH only; a position is duplicated iff its
 # gram occurs in the corpus or on a smaller-id batch arrival, and the

@@ -364,6 +364,75 @@ def test_prepare_tick_docs_read_is_pruned_and_batch_pinned(spark, sf_dir, tmp_pa
     assert multi["b"] == touched_buckets(batch, ["doc_id"])
 
 
+def test_pack_emission_layout_is_bucket_routed_and_clustered(spark, tmp_path):
+    """r14 verdict ask #4: the pack emission sink's physical layout —
+    every row lands in the directory its (stratum, pack_id) bucket
+    predicts, rows inside each file are range-clustered by (cluster,
+    pack_id, pack_offset) so one pack is one contiguous byte range, and
+    the parquet footers carry the pack_id min/max statistics a loader's
+    row-group pruning needs.  The manifest read-back must agree with a
+    direct aggregation of the input."""
+    import pyarrow.parquet as papq
+
+    from mistocksync_spark.sinks.layout import (
+        pack_emission_manifest,
+        pack_emission_write,
+    )
+
+    rows = [
+        # (doc_id, cluster, pack_id, pack_offset, n_tokens)
+        (i, c, p, o, t)
+        for i, (c, p, o, t) in enumerate(
+            [(c, p, 97 * j % 2048, 100 + j) for c in range(3) for p in range(4) for j in range(5)]
+        )
+    ]
+    packed = spark.createDataFrame(
+        rows, "doc_id long, cluster int, pack_id long, pack_offset long, n_tokens long"
+    )
+    path = pack_emission_write(packed, str(tmp_path / "packs"), n_buckets=4)
+
+    files = glob.glob(os.path.join(path, "pack_bucket=*", "*.parquet"))
+    assert files
+    saw_stats = False
+    for f in files:
+        b = int(f.split("pack_bucket=")[1].split("/")[0])
+        t = papq.read_table(f)
+        d = t.to_pydict()
+        trip = list(zip(d["cluster"], d["pack_id"], d["pack_offset"]))
+        # bucket routing: the directory is the bucket formula
+        for c, p, _ in trip:
+            assert (c * 1000000 + p) % 4 == b
+        # in-file range clustering: one pack = one contiguous sorted run
+        assert trip == sorted(trip)
+        md = papq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                if col.path_in_schema == "pack_id" and col.statistics is not None:
+                    saw_stats = True
+    assert saw_stats  # the footer min/max a loader prunes row groups on
+
+    man = pack_emission_manifest(spark, path)
+    got = {
+        (r.cluster, r.pack_id): (r.n_docs, r.n_tokens, r.file)
+        for r in man.collect()
+    }
+    want = {
+        (r.cluster, r.pack_id): (
+            r.n_docs,
+            r.n_tokens,
+            f"pack_bucket={(r.cluster * 1000000 + r.pack_id) % 4}",
+        )
+        for r in packed.groupBy("cluster", "pack_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
 def test_window_order_prioritizes_failures_and_oracle_changes(monkeypatch):
     """The driver grades a bounded prefix of queries(): never-graded
     queries must come first, then latest-grade failures, then queries
