@@ -566,6 +566,80 @@ def test_digest_snapshot_merge_only_touches_graded_queries(tmp_path, monkeypatch
     assert got["pending_q"] == "old_flag"                 # pending flag preserved
 
 
+def test_digest_snapshot_never_certifies_post_grade_edits():
+    """r14 verdict ask #6 — the digest-snapshot ritual, enforced by the
+    suite instead of remembered: the snapshot must NEVER certify the
+    current tree's oracle for a windowed query unless it matches the
+    GRADE-TIME oracle (reconstructed from the driver commit that added
+    the latest CORRECTNESS file).  snap[q] == digest(now) while
+    digest(now) != digest(grade-time) is exactly the merge-after-edit
+    signature that slipped through in r13 and r14 (the merge stored the
+    EDITED digest as if graded, erasing the pending-regrade flag); every
+    legitimate state — steady, merge-pending, post-merge mid-round edit,
+    sentinel-pinned — passes regardless of when in the round the suite
+    runs."""
+    import glob as _glob
+    import hashlib
+    import json
+    import re
+    import subprocess
+    import sys
+    import tempfile
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rounds = []
+    for p in _glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)\.json$", p)
+        if m:
+            rounds.append((int(m.group(1)), p))
+    if not rounds:
+        return  # no grade yet — nothing to certify
+    n, cpath = max(rounds)
+    commit = subprocess.run(
+        ["git", "log", "-n1", "--format=%H", "--", f"CORRECTNESS_r{n}.json"],
+        cwd=repo, capture_output=True, text=True,
+    ).stdout.strip()
+    if not commit:
+        return  # grade file not committed yet — no grade-time tree exists
+    tmp = tempfile.mkdtemp(prefix="grade_time_oracles_")
+    subprocess.run(
+        f"git archive {commit} mistocksync_spark | tar -x -C {tmp}",
+        shell=True, cwd=repo, check=True,
+    )
+    probe = (
+        "import hashlib, json\n"
+        "from mistocksync_spark.plans.queries import ORACLES\n"
+        "print(json.dumps({k: hashlib.sha256(v.encode()).hexdigest()[:16]"
+        " for k, v in ORACLES.items()}))\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", probe], cwd=tmp, capture_output=True, text=True
+    )
+    assert out.returncode == 0, f"grade-time oracle import failed: {out.stderr[-500:]}"
+    grade_time = json.loads(out.stdout)
+
+    import __spark_entry__ as entry
+    from mistocksync_spark.plans.queries import ORACLES
+
+    with open(os.path.join(repo, "tools", "oracle_digests.json")) as f:
+        snap = json.load(f)
+    window = set(json.load(open(cpath)).keys())
+    bad = []
+    for q in window:
+        if q not in snap or q not in ORACLES or q not in grade_time:
+            continue
+        if not re.fullmatch(r"[0-9a-f]{16}", str(snap[q])):
+            continue  # sentinel pin (rN-oracle-changed-pending-regrade)
+        if snap[q] == entry.oracle_digest(ORACLES[q]) and snap[q] != grade_time[q]:
+            bad.append(q)
+    assert not bad, (
+        f"oracle_digests.json certifies the CURRENT oracle of {bad} but it "
+        f"differs from the r{n} grade-time oracle — the digest merge ran "
+        "AFTER an oracle edit; pin these to a sentinel "
+        "(rN-oracle-changed-pending-regrade) so they re-grade"
+    )
+
+
 def test_registry_rows_only_set_is_closed():
     """Every queries() entry must carry an oracle, except the documented
     rows-only set (difflib scoring, approx sketches, ANN showcase rows

@@ -33,6 +33,49 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
+def _warn_if_plans_dirty() -> None:
+    """Merge mode assumes the tree is unchanged since the driver graded it
+    (round start, BEFORE any oracle edit).  If mistocksync_spark/plans/
+    differs from the commit that added the newest CORRECTNESS file, the
+    merge would store EDITED digests as if graded — warn loudly and name
+    the sentinel procedure (tests/test_layout.py's
+    test_digest_snapshot_never_certifies_post_grade_edits fails on the
+    resulting state until the pins are in)."""
+    import subprocess
+
+    best = None
+    for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)\.json$", path)
+        if m and (best is None or int(m.group(1)) > best[0]):
+            best = (int(m.group(1)), path)
+    if best is None:
+        return
+    commit = subprocess.run(
+        ["git", "log", "-n1", "--format=%H", "--", f"CORRECTNESS_r{best[0]}.json"],
+        cwd=REPO, capture_output=True, text=True,
+    ).stdout.strip()
+    if not commit:
+        return
+    diff = subprocess.run(
+        ["git", "diff", commit, "--name-only", "--", "mistocksync_spark/plans"],
+        cwd=REPO, capture_output=True, text=True,
+    ).stdout.strip()
+    status = subprocess.run(
+        ["git", "status", "--porcelain", "--", "mistocksync_spark/plans"],
+        cwd=REPO, capture_output=True, text=True,
+    ).stdout.strip()
+    if diff or status:
+        print(
+            "WARNING: mistocksync_spark/plans/ differs from the "
+            f"r{best[0]} grade commit — this merge runs AFTER oracle "
+            "edits.  Pin every edited r-window query in "
+            "tools/oracle_digests.json to a sentinel "
+            f"(r{best[0]}-oracle-changed-pending-regrade) or the suite's "
+            "snapshot-coherence test will fail.\n"
+            f"  changed: {diff or status}"
+        )
+
+
 def _latest_correctness_keys() -> set[str]:
     best: tuple[int, str] | None = None
     for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
@@ -67,6 +110,7 @@ def main() -> None:
         snap = {k: oracle_digest(v) for k, v in ORACLES.items()}
         updated = len(snap)
     else:
+        _warn_if_plans_dirty()
         graded = _latest_correctness_keys()
         updated = 0
         for k in graded:
