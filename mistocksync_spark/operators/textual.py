@@ -1127,16 +1127,23 @@ def vocabulary_rebuild(
     union + max aggregate, never a scalar crossJoin."""
     cd = corpus.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
     bd = batch.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    # each vocabulary is consumed twice (token diff + batch scoring):
+    # materialize ONCE behind lazy localCheckpoints, or Catalyst re-plans
+    # the corpus-scale token aggregate per consumer
     vf = (
         frozen_vocab.select("token")
         if frozen_vocab is not None
         else corpus_vocabulary(cd, rel_threshold=rel_threshold)
-    )
+    ).localCheckpoint(eager=False)
     grown = cd.unionByName(bd)
-    vr = corpus_vocabulary(grown, rel_threshold=rel_threshold)
+    vr = corpus_vocabulary(grown, rel_threshold=rel_threshold).localCheckpoint(
+        eager=False
+    )
     # the canonical next-state vocabulary, derived independently: the
     # rebuild must reproduce it exactly for n_disagree_after to be 0
-    vr2 = corpus_vocabulary(grown, rel_threshold=rel_threshold)
+    vr2 = corpus_vocabulary(grown, rel_threshold=rel_threshold).localCheckpoint(
+        eager=False
+    )
 
     tj = vf.withColumn("__f", F.lit(1)).join(
         vr.select(F.col("token"), F.lit(1).alias("__r")), on="token", how="full_outer"
