@@ -54,6 +54,16 @@ def main() -> None:
     v3 = "--v3" in args
     if v3:
         args.remove("--v3")
+    # --emit (with --v3): after the decision-equality assertion, run the
+    # EMISSION over the accepted sets of both paths — pack assignment +
+    # physical pack_emission_write + manifest read-back — and assert the
+    # two manifests are identical.  Since decisions are bit-equal, this
+    # pins the remaining claim of r14 verdict ask #8: emission is a pure
+    # function of (stratum, id order), indifferent to whether ingest was
+    # one-shot or 10 ticks (and to physical row order/partitioning).
+    emit = "--emit" in args
+    if emit:
+        args.remove("--emit")
     holdout_mod = 50 if v3 else None
     # --rebuild-at K: after tick K, run the vocabulary REBUILD tick
     # (operators/textual.vocabulary_rebuild) against the accumulated docs
@@ -209,10 +219,70 @@ def main() -> None:
     )
     u = {(r.doc_id, r.reason) for r in union.collect()}
     o = {(r.doc_id, r.reason) for r in one_shot.collect()}
+    from collections import Counter
+
+    per_reason = Counter(r for _, r in u)
+    print(f"per-reason counts: {dict(sorted(per_reason.items()))}")
     print(f"ladder decisions: {len(u)}; one-shot: {len(o)}; identical: {u == o}")
+    ok = u == o
+    if emit and ok:
+        from mistocksync_spark.operators.textual import pack_documents
+        from mistocksync_spark.sinks.layout import (
+            pack_emission_manifest,
+            pack_emission_write,
+        )
+
+        def emit_manifest(dec_rows, docs_df, tag):
+            # the emission corpus = standing corpus + accepted arrivals
+            # (production: the sampling/packing pass runs over the WHOLE
+            # kept corpus, not just the latest batch); docs_df is each
+            # path's own physical source — the bucketed state files for
+            # the ladder, the feed for the one-shot — so manifest
+            # equality also pins that packing is a pure function of
+            # (stratum, id order), indifferent to row order/partitioning
+            rejected = [int(d) for d, r in dec_rows if r != "ok"]
+            rej = spark.createDataFrame(
+                [(d,) for d in rejected] or spark.sparkContext.emptyRDD(),
+                "doc_id long",
+            )
+            toks = (
+                docs_df.join(rej, on="doc_id", how="left_anti")
+                .select(
+                    "doc_id",
+                    F.pmod(F.col("doc_id"), F.lit(8)).cast("int").alias("cluster"),
+                    F.size(F.split(F.col("text"), r"\s+")).cast("long").alias(
+                        "n_tokens"
+                    ),
+                )
+            )
+            packed = pack_documents(
+                toks, seq_len=2048, token_count_col="n_tokens",
+                stratum_col="cluster", id_col="doc_id",
+            ).select(
+                "doc_id", F.col("stratum").alias("cluster"),
+                F.col("n_tokens"), "pack_id", "pack_offset",
+            )
+            path = pack_emission_write(packed, os.path.join(work, f"packs_{tag}"))
+            return {
+                (r.cluster, r.pack_id): (r.n_docs, r.n_tokens, r.file)
+                for r in pack_emission_manifest(spark, path).collect()
+            }
+
+        t0 = time.monotonic()
+        m_ladder = emit_manifest(
+            u, keyed_state_read(spark, p_docs), "ladder"
+        )
+        m_oneshot = emit_manifest(o, corpus.unionByName(batch), "oneshot")
+        same = m_ladder == m_oneshot
+        print(
+            f"pack manifests: ladder={len(m_ladder)} packs, "
+            f"one-shot={len(m_oneshot)} packs, identical: {same} "
+            f"(emission wall={time.monotonic() - t0:.2f}s)"
+        )
+        ok = ok and same
     shutil.rmtree(work, ignore_errors=True)
     spark.stop()
-    sys.exit(0 if u == o else 1)
+    sys.exit(0 if ok else 1)
 
 
 if __name__ == "__main__":
