@@ -266,7 +266,9 @@ def main():
             "incremental_prepare_tick",
             "incremental_prepare_tick_v3",
             "incremental_prepare_tick_stored",
+            "incremental_prepare_tick_v3_stored",
             "incremental_prepare_stream",
+            "incremental_prepare_stream_v3",
             "prepare_vocab_drift",
             "prepare_vocab_rebuild",
             # r13: the three warmup-tuple entries, timed explicitly so

@@ -9829,6 +9829,16 @@ def incremental_prepare_tick_stored_q(spark: SparkSession, sf_dir: str) -> DataF
     tick.  A ``_STATE_READY`` marker written after the last append makes
     an interrupted build rebuild from clean instead of probing a partial
     table."""
+    return _stored_prepare_tick(spark, sf_dir)
+
+
+def _stored_prepare_tick(
+    spark: SparkSession, sf_dir: str, holdout_mod: int | None = None
+) -> DataFrame:
+    """Shared body of ``incremental_prepare_tick_stored`` and its v3 twin:
+    produce-once keyed-append state (docs/bands/digests/grams + frozen
+    vocab, plus the frozen holdout shingle set under ``holdout_mod``),
+    folded bucket fetch, candidate-pruned docs read, corpus=None."""
     import hashlib
     import os
     import shutil
@@ -9838,6 +9848,7 @@ def incremental_prepare_tick_stored_q(spark: SparkSession, sf_dir: str) -> DataF
         corpus_digest_state,
         corpus_gram_state,
         corpus_signature_state,
+        holdout_shingle_state,
     )
     from mistocksync_spark.operators.textual import (
         corpus_vocabulary,
@@ -9858,7 +9869,7 @@ def incremental_prepare_tick_stored_q(spark: SparkSession, sf_dir: str) -> DataF
     )
     tag = _parquet_content_tag(f"{sf_dir}/documents.parquet")
     h = hashlib.md5(
-        f"incremental_prepare_tick_stored:v2:{sf_dir}:{tag}".encode()
+        f"incremental_prepare_tick_stored:v3:{sf_dir}:{tag}".encode()
     ).hexdigest()[:10]
     root = _scratch_root("/tmp/spark_graft_prep_state", h)
     marker = os.path.join(root, "_STATE_READY")
@@ -9871,6 +9882,11 @@ def incremental_prepare_tick_stored_q(spark: SparkSession, sf_dir: str) -> DataF
         keyed_state_append(corpus_digest_state(corpus), f"{root}/digests", ["digest"])
         keyed_state_append(corpus_gram_state(corpus), f"{root}/grams", ["g"])
         corpus_vocabulary(corpus).write.mode("overwrite").parquet(f"{root}/vocab")
+        # the frozen per-corpus-version holdout shingle set (v3 tick
+        # probe) — built unconditionally so both twins share one root
+        holdout_shingle_state(corpus, holdout_mod=50).write.mode(
+            "overwrite"
+        ).parquet(f"{root}/holdout_shingles")
         with open(marker, "w") as mf:
             mf.write(tag)
     bbands = corpus_signature_state(batch).localCheckpoint(eager=False)
@@ -9909,10 +9925,31 @@ def incremental_prepare_tick_stored_q(spark: SparkSession, sf_dir: str) -> DataF
         corpus_digests=digests,
         corpus_grams=grams,
         corpus_fetch=fetch_docs,
+        holdout_mod=holdout_mod,
+        holdout_shingles=(
+            spark.read.parquet(f"{root}/holdout_shingles")
+            if holdout_mod is not None
+            else None
+        ),
     )
 
 
 ORACLES["incremental_prepare_tick_stored"] = ORACLES["incremental_prepare_tick"]
+
+
+@query("incremental_prepare_tick_v3_stored")
+def incremental_prepare_tick_v3_stored_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The v3 tick against persisted state under pruned reads — the
+    production shape of ``incremental_prepare_tick_v3``, graded: the
+    emission gates probe the FROZEN ``holdout_shingle_state`` table
+    (built once per corpus version in the same produce-once root as the
+    other five state artifacts) while every other gate runs the stored
+    twin's pruned-probe plan.  Must hash-match the self-contained v3
+    tick — oracle shared with ``incremental_prepare_tick_v3``."""
+    return _stored_prepare_tick(spark, sf_dir, holdout_mod=50)
+
+
+ORACLES["incremental_prepare_tick_v3_stored"] = ORACLES["incremental_prepare_tick_v3"]
 
 
 @query(
@@ -10084,6 +10121,15 @@ def incremental_prepare_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     split makes every gate prefix-decomposable (see the operator's
     docstring), so this grade asserts decision/batch-boundary
     independence, not just plumbing."""
+    return _run_prepare_stream(spark, sf_dir)
+
+
+def _run_prepare_stream(
+    spark: SparkSession, sf_dir: str, holdout_mod: int | None = None
+) -> DataFrame:
+    """Shared body of the prepare-stream twins: split the incremental
+    batch feed into two id-ordered arrival files and run them through
+    ``incremental_prepare_stream``."""
     import os
     import tempfile
     import time
@@ -10114,7 +10160,25 @@ def incremental_prepare_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         arrivals,
         os.path.join(work, "state"),
         os.path.join(work, "ckpt"),
+        holdout_mod=holdout_mod,
     )
 
 
 ORACLES["incremental_prepare_stream"] = ORACLES["incremental_prepare_tick"]
+
+
+@query("incremental_prepare_stream_v3")
+def incremental_prepare_stream_v3_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming parity for the v3 (emission-gate) prepare tick: the same
+    two id-ordered micro-batches, with the decontamination gate probing
+    the FROZEN ``holdout_shingle_state`` written once beside the vocab —
+    the holdout freeze is exactly what makes the 'contaminated' verdict
+    prefix-decomposable, so the union of per-micro-batch decisions must
+    equal the one-shot v3 tick bit-for-bit — oracle shared with
+    ``incremental_prepare_tick_v3``.  With this entry every v3 shape is
+    graded: self-contained (semantic definition), stored (pruned-probe
+    production tick), and streaming (continuous ingest)."""
+    return _run_prepare_stream(spark, sf_dir, holdout_mod=50)
+
+
+ORACLES["incremental_prepare_stream_v3"] = ORACLES["incremental_prepare_tick_v3"]

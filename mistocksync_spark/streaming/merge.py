@@ -382,6 +382,7 @@ def incremental_prepare_stream(
     state_dir: str,
     checkpoint: str,
     rel_threshold: float = 1e-4,
+    holdout_mod: int | None = None,
 ) -> "DataFrame":
     """Streaming twin of ``operators.textual.incremental_prepare_tick`` —
     the corpus-prepare ingest as a continuously-running pipeline: every
@@ -449,6 +450,14 @@ def incremental_prepare_stream(
     corpus_vocabulary(corpus_docs, rel_threshold=rel_threshold).write.mode(
         "overwrite"
     ).parquet(os.path.join(state_dir, "vocab"))
+    if holdout_mod is not None:
+        # v3: the frozen per-corpus-version holdout shingle state the
+        # decontamination gate probes (never grows on ingest ticks)
+        from mistocksync_spark.operators.dedup import holdout_shingle_state
+
+        holdout_shingle_state(corpus_docs, holdout_mod=holdout_mod).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(state_dir, "holdout_shingles"))
 
     schema = spark.read.parquet(arrivals_dir).schema
     stream = (
@@ -458,7 +467,9 @@ def incremental_prepare_stream(
     )
 
     def apply_batch(batch_df, batch_id: int) -> None:
-        prepare_tick_against_state(batch_df, int(batch_id), state_dir)
+        prepare_tick_against_state(
+            batch_df, int(batch_id), state_dir, holdout_mod=holdout_mod
+        )
 
     q = (
         stream.writeStream.foreachBatch(apply_batch)

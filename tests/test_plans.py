@@ -270,6 +270,7 @@ def test_registry_wide_no_cartesian_bnlj_budget(spark, sf_dir):
         "incremental_prepare_tick": 1,
         "incremental_prepare_tick_v3": 1,
         "incremental_prepare_tick_stored": 1,
+        "incremental_prepare_tick_v3_stored": 1,
         # two bounded vocab builds (frozen + rebuilt), each a 1-row
         # token-mass attach
         "prepare_vocab_drift": 2,
