@@ -3112,6 +3112,64 @@ def test_corpus_prepare_v2_invariants(spark, sf_dir):
         out.unpersist()
 
 
+def test_v3_tick_contaminated_gate_fires_on_true_positive(spark):
+    """The graded incr feeds never reach the 'contaminated' arm (their
+    holdout-overlapping arrivals are prefix copies, so span_dup wins
+    first) — this pins the arm with a constructed TRUE positive: an
+    arrival sharing exactly 2 word trigrams with a holdout doc (< 30
+    chars, so zero char-30-gram span coverage), all tokens in-vocab,
+    gopher-passing, no verified near-dup — and a control arrival that
+    must come out 'ok'.  Both the self-contained and the stored
+    (frozen holdout_shingle_state probe) paths must agree."""
+    from mistocksync_spark.operators.dedup import holdout_shingle_state
+    from mistocksync_spark.operators.textual import incremental_prepare_tick
+
+    words = [f"word{i:02d}x" for i in range(60)]
+    hold = [f"hold{i:02d}q" for i in range(60)]
+    corpus = spark.createDataFrame(
+        [
+            (1, " ".join(words)),
+            (2, " ".join(reversed(words))),
+            (3, " ".join(words[i] for i in range(0, 60, 3))
+                + " " + " ".join(words[i] for i in range(1, 60, 3))
+                + " " + " ".join(words[i] for i in range(2, 60, 3))),
+            (50, " ".join(hold)),  # the holdout doc (50 % 50 == 0)
+        ],
+        "doc_id long, text string",
+    )
+    perm_a = [words[(7 * i + 1) % 60] for i in range(56)]
+    perm_b = [words[(11 * i + 5) % 60] for i in range(60)]
+    batch = spark.createDataFrame(
+        [
+            # 2 shared holdout trigrams (hold00..hold03 = 23 chars), then
+            # in-vocab filler in an order matching no corpus 30-char run
+            (1001, " ".join(hold[:4]) + " " + " ".join(perm_a)),
+            (1002, " ".join(perm_b)),  # control: every gate passes
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.reason
+        for r in incremental_prepare_tick(
+            corpus, batch, allow_corpus_derived_state=True, holdout_mod=50
+        ).collect()
+    }
+    assert got == {1001: "contaminated", 1002: "ok"}
+    # stored-probe parity: the frozen holdout shingle state path
+    hs = holdout_shingle_state(corpus, holdout_mod=50)
+    got_stored = {
+        r.doc_id: r.reason
+        for r in incremental_prepare_tick(
+            corpus,
+            batch,
+            allow_corpus_derived_state=True,
+            holdout_mod=50,
+            holdout_shingles=hs,
+        ).collect()
+    }
+    assert got_stored == got
+
+
 def test_incremental_prepare_tick_consistent_with_merge(spark, sf_dir):
     """The tick's dedup reasons must tie out EXACTLY with the graded
     merge: identical text is always a verified near-dup of its earlier
