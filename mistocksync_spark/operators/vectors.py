@@ -611,7 +611,7 @@ def incremental_embedding_dedup(
 
 
 def incremental_embedding_dedup_ivf(
-    corpus: DataFrame,
+    corpus: DataFrame | None,
     batch: DataFrame,
     centroids: list[list[float]],
     threshold: float = 0.99,
@@ -620,6 +620,8 @@ def incremental_embedding_dedup_ivf(
     id_col: str = "vec_id",
     dim: int | None = None,
     corpus_cells: DataFrame | None = None,
+    return_rejected: bool = False,
+    corpus_fetch=None,
 ) -> DataFrame:
     """Vector ingest tick with IVF-CELL candidates against a FROZEN
     quantizer — the structural fix for the banded tick's candidate growth
@@ -646,10 +648,36 @@ def incremental_embedding_dedup_ivf(
     natural boundary pair is missed only if it shares none of its
     n_assign nearest cells (the ``embedding_near_dup_ivf_recall`` gate
     family); production corpora re-train the quantizer on index-rebuild
-    ticks, not ingest ticks, exactly as modeled here."""
+    ticks, not ingest ticks, exactly as modeled here.
+
+    ``corpus_fetch`` (state path only) is the vector-store pruning hook —
+    the embedding twin of ``incremental_dedup_merge``'s docs-store
+    pruning: a callable ``(candidate_corpus_ids_df) -> vectors_df`` the
+    exact-rescore stage calls AFTER the cell probe has produced the
+    corpus-side candidate ids, so the caller can bucket-prune the
+    embedding fetch; the semi-join below still restricts to exact ids
+    (lossless).  With ``corpus_fetch`` + ``corpus_cells`` +
+    ``return_rejected``, ``corpus`` may be None and the tick touches no
+    corpus-proportional surface.  ``return_rejected`` returns the
+    rejected batch ids instead of the merged corpus — the streaming
+    twin's verdict surface (same plan up to the final select)."""
+    if corpus is None and (
+        corpus_cells is None
+        or corpus_fetch is None
+        or not return_rejected
+        or dim is None
+    ):
+        raise ValueError(
+            "corpus=None requires corpus_cells + corpus_fetch + "
+            "return_rejected + explicit dim"
+        )
     if dim is None:
         dim = inferred_dim(corpus, vec_col)
-    cd = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("emb"))
+    cd = (
+        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("emb"))
+        if corpus is not None
+        else None
+    )
     bd = batch.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("emb"))
     if corpus_cells is None:
         corpus_cells = ivf_assign(
@@ -670,17 +698,32 @@ def incremental_embedding_dedup_ivf(
         )
     )
     later = bcells.select("centroid", F.col("vec_id").alias("later_id"))
-    cand = (
+    # earlier_batch is functionally determined by earlier_id (unique-id
+    # precondition), so the distinct on the triple equals the pair's —
+    # retained so corpus_fetch can derive the corpus-side candidate ids
+    cand3 = (
         earlier.join(later, on="centroid")
         .filter(
             (F.col("earlier_batch") == 0)
             | (F.col("earlier_id") < F.col("later_id"))
         )
-        .select("earlier_id", "later_id")
+        .select("earlier_id", "later_id", "earlier_batch")
         .distinct()
         .localCheckpoint(eager=False)
     )
-    allv = cd.unionByName(bd).select(
+    cand = cand3.select("earlier_id", "later_id")
+    if corpus_fetch is not None:
+        c_ids = (
+            cand3.filter(F.col("earlier_batch") == 0)
+            .select(F.col("earlier_id").alias("vec_id"))
+            .distinct()
+        )
+        csrc = corpus_fetch(c_ids).select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("emb")
+        )
+    else:
+        csrc = cd
+    allv = csrc.unionByName(bd).select(
         "vec_id", _to_double(F.col("emb")).alias("v"), norm(F.col("emb")).alias("nrm")
     )
     av = allv.join(
@@ -704,6 +747,11 @@ def incremental_embedding_dedup_ivf(
         .select(F.col("later_id").alias("vec_id"))
         .distinct()
     )
+    if return_rejected:
+        # verdict surface for the streaming twin: the rejected batch ids,
+        # exactly the frame the anti-join below consumes — same plan up
+        # to here, no behavior change when False
+        return rejected
     return cd.select("vec_id", F.lit("corpus").alias("origin")).unionByName(
         bd.join(F.broadcast(rejected), on="vec_id", how="left_anti").select(
             "vec_id", F.lit("batch").alias("origin")
