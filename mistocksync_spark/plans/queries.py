@@ -10167,6 +10167,138 @@ def _run_prepare_stream(
 ORACLES["incremental_prepare_stream"] = ORACLES["incremental_prepare_tick"]
 
 
+def _sql_tombstone_purge() -> str:
+    return (
+        _docs_cte()
+        + r"""
+    , keepmin AS (
+        SELECT md5(text) AS digest, MIN(doc_id) AS keeper
+        FROM docs GROUP BY md5(text)
+    )
+    , rem AS (
+        SELECT doc_id, text FROM docs
+        WHERE NOT (doc_id % 50 = 0 AND doc_id < 1000000)
+    )
+    , g AS ("""
+        + _sql_gopher(src="(SELECT doc_id, text FROM rem)")
+        + r""")
+    , ctok AS (
+        SELECT token FROM (
+            SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+            FROM docs
+        ) WHERE token <> ''
+    )
+    , cfreq AS (SELECT token, COUNT(*) AS cnt FROM ctok GROUP BY token)
+    , ctot AS (SELECT SUM(cnt) AS t FROM cfreq)
+    , vf AS (SELECT token FROM cfreq, ctot WHERE cnt >= ceil(t * 0.0001))
+    , btok AS (
+        SELECT doc_id, token FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+            FROM rem
+        ) WHERE token <> ''
+    )
+    , bscore AS (
+        SELECT t.doc_id, COUNT(*) AS nt, COUNT(v.token) AS niv
+        FROM btok t LEFT JOIN vf v USING (token)
+        GROUP BY t.doc_id
+    )
+    SELECT r.doc_id,
+           CASE WHEN k.keeper <> r.doc_id THEN 'exact_dup'
+                WHEN g.pass_gopher = 0 THEN 'gopher'
+                WHEN 2 * s.niv < s.nt THEN 'rare_tokens'
+                ELSE 'ok' END AS reason
+    FROM rem r
+    JOIN keepmin k ON k.digest = md5(r.text)
+    JOIN g ON g.doc_id = r.doc_id
+    LEFT JOIN bscore s ON s.doc_id = r.doc_id
+"""
+    )
+
+
+@query("tombstone_purge_emission", _sql_tombstone_purge())
+def tombstone_purge_emission_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten, graded END TO END (r15 — the governance
+    tick a production training-data pipeline needs): tombstone the
+    doc_id % 50 == 0 original docs, PHYSICALLY purge them from the
+    bucketed docs store (``sinks/layout.purge_keyed_state`` — a partial
+    rewrite of only the buckets the purged ids hash to, never the whole
+    table), then emit decisions for the REMAINING corpus read back from
+    the purged store:
+
+    - ``exact_dup`` still fires for surviving COPIES of purged docs —
+      the digest-keeper table is dedup MEMORY, deliberately not purged
+      (deleted content must stay un-trainable even when it re-arrives
+      from another source), so the keeper id may reference a doc that no
+      longer physically exists;
+    - ``gopher`` / ``rare_tokens`` run on the remaining text, scored
+      against the FROZEN original-corpus vocabulary (aggregate token
+      statistics; per-content remediation happens on the graded
+      ``prepare_vocab_rebuild`` tick, the documented lifecycle path).
+
+    The oracle replays the purge as a WHERE-clause exclusion over the
+    same augmented feed — so a purge that leaves tombstoned rows behind,
+    drops innocent buckets, or corrupts survivors hash-fails here.  The
+    physical pruning contract (untouched buckets' files not rewritten)
+    is pinned separately by tests/test_layout.py."""
+    import os
+    import tempfile
+
+    from mistocksync_spark.operators.textual import corpus_vocabulary, gopher_rules
+    from mistocksync_spark.plans.feeds import docs_aug
+    from mistocksync_spark.sinks.layout import (
+        keyed_state_append,
+        keyed_state_read,
+        purge_keyed_state,
+    )
+
+    docs = docs_aug(spark, sf_dir).select("doc_id", "text").localCheckpoint(
+        eager=False
+    )
+    work = tempfile.mkdtemp(prefix="tombstone_purge_")
+    p_docs = os.path.join(work, "docs")
+    p_dig = os.path.join(work, "digest_keepers")
+    keyed_state_append(docs, p_docs, ["doc_id"], batch_id=-1)
+    keyed_state_append(
+        docs.select(F.md5("text").alias("digest"), "doc_id")
+        .groupBy("digest")
+        .agg(F.min("doc_id").alias("keeper")),
+        p_dig,
+        ["digest"],
+    )
+    tomb = docs.filter(
+        (F.col("doc_id") % 50 == 0) & (F.col("doc_id") < 1000000)
+    ).select("doc_id")
+    purge_keyed_state(spark, p_docs, tomb, ["doc_id"])
+
+    remaining = keyed_state_read(spark, p_docs).localCheckpoint(eager=False)
+    dig = keyed_state_read(spark, p_dig)
+    g = gopher_rules(remaining).select("doc_id", "pass_gopher")
+    vocab = corpus_vocabulary(docs)  # frozen ORIGINAL-corpus vocabulary
+    btok = remaining.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    score = (
+        btok.join(F.broadcast(vocab.withColumn("__v", F.lit(1))), on="token", how="left")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("__nt"), F.count("__v").alias("__niv"))
+    )
+    return (
+        remaining.select("doc_id", F.md5("text").alias("digest"))
+        .join(dig, on="digest")
+        .join(g, on="doc_id")
+        .join(score, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.when(F.col("keeper") != F.col("doc_id"), F.lit("exact_dup"))
+            .when(F.col("pass_gopher") == 0, F.lit("gopher"))
+            .when(2 * F.col("__niv") < F.col("__nt"), F.lit("rare_tokens"))
+            .otherwise(F.lit("ok"))
+            .alias("reason"),
+        )
+    )
+
+
 @query("incremental_prepare_stream_v3")
 def incremental_prepare_stream_v3_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming parity for the v3 (emission-gate) prepare tick: the same

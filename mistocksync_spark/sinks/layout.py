@@ -225,6 +225,64 @@ def compact_keyed_state(
     return before, state_file_count(path)
 
 
+def purge_keyed_state(
+    spark: SparkSession,
+    path: str,
+    ids: DataFrame,
+    key_cols: list[str],
+    n_buckets: int = 64,
+) -> tuple[int, int]:
+    """Right-to-be-forgotten purge of a ``keyed_state_append`` table
+    (r15 — the data-governance tick a training-data pipeline needs):
+    physically remove every row whose key appears in ``ids``, rewriting
+    ONLY the bucket directories those keys hash to — a deletion request
+    is small, so the purge is a partial rewrite proportional to the
+    touched buckets, never a full-table rewrite (at 100 TB this is
+    Delta/Iceberg ``DELETE WHERE`` with file-level pruning; the classic
+    mistake is the rewrite-the-world anti-shape).  Handles both layouts
+    (``bucket=`` and ``batch=/bucket=``) via a per-leaf rewrite-and-swap;
+    a leaf left empty is removed outright.  Returns
+    (rows_removed, leaf_dirs_rewritten).  Untouched buckets' files are
+    not opened, moved, or rewritten (pinned by tests/test_layout.py).
+
+    Governance note: purging the CONTENT store does not erase derived
+    dedup memory (digest/band tables) — copies of deleted content must
+    still be rejected, so those tables keep their keys; aggregate
+    artifacts (vocabulary, quantizer) are remediated on their graded
+    REBUILD ticks, not here."""
+    import glob as _glob
+    import os
+    import shutil
+
+    key_ids = ids.select(*key_cols).distinct().localCheckpoint(eager=False)
+    removed = 0
+    rewritten = 0
+    for b in touched_buckets(key_ids, key_cols, n_buckets):
+        for d in sorted(
+            _glob.glob(os.path.join(path, "**", f"bucket={b}"), recursive=True)
+        ):
+            cur = spark.read.parquet(d).localCheckpoint(eager=False)
+            n_cur = cur.count()
+            kept = cur.join(key_ids, on=key_cols, how="left_anti").localCheckpoint(
+                eager=False
+            )
+            n_kept = kept.count()
+            if n_kept == n_cur:
+                continue
+            old = d + ".purge_old"
+            if n_kept == 0:
+                os.rename(d, old)
+            else:
+                tmp = d + ".purge_tmp"
+                kept.write.mode("overwrite").parquet(tmp)
+                os.rename(d, old)
+                os.rename(tmp, d)
+            shutil.rmtree(old, ignore_errors=True)
+            removed += n_cur - n_kept
+            rewritten += 1
+    return removed, rewritten
+
+
 def zorder_key(a, b, bits: int = 16):
     """Z-order (Morton) interleave of two non-negative integer columns —
     the multi-dimension clustering key range clustering can't provide:

@@ -364,6 +364,55 @@ def test_prepare_tick_docs_read_is_pruned_and_batch_pinned(spark, sf_dir, tmp_pa
     assert multi["b"] == touched_buckets(batch, ["doc_id"])
 
 
+def test_purge_keyed_state_rewrites_only_touched_buckets(spark, sf_dir, tmp_path):
+    """r15 governance tick: the right-to-be-forgotten purge must remove
+    exactly the tombstoned keys' rows, and must NOT open/rewrite any
+    bucket the purged keys don't hash to — deletion requests are small,
+    so the purge is a partial rewrite (the DELETE-WHERE-with-file-pruning
+    shape), never a full-table rewrite."""
+    from mistocksync_spark.sinks.layout import (
+        keyed_state_append,
+        keyed_state_read,
+        purge_keyed_state,
+        state_bucket,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(300)
+        .localCheckpoint(eager=False)
+    )
+    path = str(tmp_path / "docs")
+    keyed_state_append(docs, path, ["doc_id"], batch_id=-1)
+    tomb_ids = [r.doc_id for r in docs.limit(7).select("doc_id").collect()]
+    tomb = docs.filter(F.col("doc_id").isin(tomb_ids)).select("doc_id")
+    tomb_buckets = {
+        r.b
+        for r in tomb.select(state_bucket(["doc_id"], 64).alias("b"))
+        .distinct()
+        .collect()
+    }
+    before = {
+        f: (os.path.getmtime(f), os.path.getsize(f))
+        for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    }
+    removed, rewritten = purge_keyed_state(spark, path, tomb, ["doc_id"])
+    assert removed == len(tomb_ids)
+    assert rewritten <= len(tomb_buckets)
+    after_ids = {r.doc_id for r in keyed_state_read(spark, path).select("doc_id").collect()}
+    assert not (after_ids & set(tomb_ids))
+    assert len(after_ids) == 300 - len(tomb_ids)
+    # untouched buckets: files byte-for-byte undisturbed (same path, size,
+    # mtime — never opened for rewrite)
+    for f, sig in before.items():
+        b = int(f.split("bucket=")[1].split("/")[0])
+        if b not in tomb_buckets:
+            assert os.path.exists(f)
+            assert (os.path.getmtime(f), os.path.getsize(f)) == sig
+
+
 def test_pack_emission_layout_is_bucket_routed_and_clustered(spark, tmp_path):
     """r14 verdict ask #4: the pack emission sink's physical layout —
     every row lands in the directory its (stratum, pack_id) bucket

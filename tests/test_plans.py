@@ -277,6 +277,8 @@ def test_registry_wide_no_cartesian_bnlj_budget(spark, sf_dir):
         # three bounded vocab builds: frozen + rebuilt + the independent
         # canonical re-derivation the after-audit must match
         "prepare_vocab_rebuild": 3,
+        # one bounded vocab build (frozen original-corpus OOV reference)
+        "tombstone_purge_emission": 1,
     }
     failures = []
     for name, fn in QUERIES.items():
