@@ -10125,7 +10125,10 @@ def incremental_prepare_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _run_prepare_stream(
-    spark: SparkSession, sf_dir: str, holdout_mod: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    holdout_mod: int | None = None,
+    compact_every: int = 1,
 ) -> DataFrame:
     """Shared body of the prepare-stream twins: split the incremental
     batch feed into two id-ordered arrival files and run them through
@@ -10161,6 +10164,7 @@ def _run_prepare_stream(
         os.path.join(work, "state"),
         os.path.join(work, "ckpt"),
         holdout_mod=holdout_mod,
+        compact_every=compact_every,
     )
 
 
@@ -10309,8 +10313,11 @@ def incremental_prepare_stream_v3_q(spark: SparkSession, sf_dir: str) -> DataFra
     equal the one-shot v3 tick bit-for-bit — oracle shared with
     ``incremental_prepare_tick_v3``.  With this entry every v3 shape is
     graded: self-contained (semantic definition), stored (pruned-probe
-    production tick), and streaming (continuous ingest)."""
-    return _run_prepare_stream(spark, sf_dir, holdout_mod=50)
+    production tick), and streaming (continuous ingest).  The in-stream
+    compaction cadence is exercised (and its cost benched) on the v1
+    stream entry; the v3 twin runs cadence-off over the IDENTICAL state
+    shape rather than paying the same compaction twice in the bench."""
+    return _run_prepare_stream(spark, sf_dir, holdout_mod=50, compact_every=0)
 
 
 ORACLES["incremental_prepare_stream_v3"] = ORACLES["incremental_prepare_tick_v3"]
