@@ -544,17 +544,22 @@ def incremental_prepare_stream(
         if compact_every and int(batch_id) > 0 and int(batch_id) % compact_every == 0:
             # compaction cadence ON the stream's own state, at tick START
             # (r14 advisory: the cadence previously lived only in the
-            # ladder tool): every batch < batch_id is checkpoint-committed
-            # and the in-flight batch has written nothing yet, so the
-            # rebase-to-max rewrite touches only committed rows — a crash
-            # here replays batch_id, which re-runs compaction (a no-op on
-            # a compacted table) and then reads the same pre-batch state;
-            # state content is unchanged, so the shared oracle is
-            # untouched
+            # ladder tool).  current_batch=batch_id makes the cadence
+            # replay-safe (r15 ADVICE high): if a prior attempt of THIS
+            # batch crashed after appending but before its checkpoint
+            # committed, those uncommitted batch>=batch_id partitions are
+            # physically dropped before the rebase-to-max fold — without
+            # the drop they became the max, before_batch=batch_id reads
+            # returned zero pre-batch rows, and the replay's dynamic
+            # overwrite wiped the rebased history.  Committed state
+            # content is unchanged either way, so the shared oracle is
+            # untouched.
             from mistocksync_spark.sinks.layout import compact_keyed_state
 
             for p in (p_docs, p_bands, p_dig, p_grams):
-                compact_keyed_state(batch_df.sparkSession, p)
+                compact_keyed_state(
+                    batch_df.sparkSession, p, current_batch=int(batch_id)
+                )
         prepare_tick_against_state(
             batch_df, int(batch_id), state_dir, holdout_mod=holdout_mod
         )

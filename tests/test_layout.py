@@ -768,3 +768,176 @@ def test_scratch_root_isolates_pid_and_reaps_dead_sessions(tmp_path):
     assert root == f"{base}/{os.getpid()}-cafebabe00"
     assert not os.path.exists(f"{base}/999999999-deadbeef00")  # reaped
     assert os.path.exists(f"{base}/{os.getpid()}-aaaaaaaaaa")  # live pid kept
+
+
+def test_compaction_drops_uncommitted_replay_rows(spark, sf_dir, tmp_path):
+    """r15 ADVICE high: a crashed attempt of batch k leaves batch=k rows
+    on disk with no checkpoint commit; the replayed tick's tick-START
+    compaction must NOT fold them into the rebase-to-max rewrite (that
+    made before_batch=k reads return ZERO pre-batch rows, every arrival
+    judged fresh, and the replay's dynamic overwrite then wiped the
+    rebased history).  current_batch=k drops them physically; the
+    replayed tick then re-appends its own partitions idempotently."""
+    from mistocksync_spark.sinks.layout import (
+        compact_keyed_state,
+        keyed_state_append,
+        keyed_state_read,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(120)
+        .localCheckpoint(eager=False)
+    )
+    corpus = docs.filter(F.col("doc_id") < 60)
+    b0 = docs.filter((F.col("doc_id") >= 60) & (F.col("doc_id") < 90))
+    b1 = docs.filter(F.col("doc_id") >= 90)
+    path = str(tmp_path / "docs_state")
+    keyed_state_append(corpus, path, ["doc_id"], batch_id=-1)
+    keyed_state_append(b0, path, ["doc_id"], batch_id=0)
+    # crashed attempt of batch 1: rows on disk, checkpoint never committed
+    keyed_state_append(b1, path, ["doc_id"], batch_id=1)
+    pre = {
+        r.doc_id
+        for r in keyed_state_read(spark, path, before_batch=1)
+        .select("doc_id")
+        .collect()
+    }
+    assert len(pre) == 90  # corpus + b0
+
+    # replay of batch 1 starts with the compaction cadence
+    compact_keyed_state(spark, path, current_batch=1)
+    assert not glob.glob(os.path.join(path, "batch=1*"))  # leftovers gone
+    post = {
+        r.doc_id
+        for r in keyed_state_read(spark, path, before_batch=1)
+        .select("doc_id")
+        .collect()
+    }
+    assert post == pre  # the pre-batch state survived the fold intact
+
+    # the replayed tick re-appends its own partitions and the table is whole
+    keyed_state_append(b1, path, ["doc_id"], batch_id=1)
+    total = {
+        r.doc_id for r in keyed_state_read(spark, path).select("doc_id").collect()
+    }
+    assert len(total) == 120
+
+
+def test_compaction_is_incremental_and_skips_compact_leaves(
+    spark, sf_dir, tmp_path
+):
+    """r15 verdict advisory: the cadence must rewrite ONLY leaves whose
+    file count exceeds the threshold — already-compact buckets' files
+    stay byte-for-byte untouched (same path, size, mtime), so the
+    compaction tax is O(new small files), never O(state)."""
+    from mistocksync_spark.sinks.layout import (
+        compact_keyed_state,
+        keyed_state_append,
+        keyed_state_read,
+        state_bucket,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(200)
+        .localCheckpoint(eager=False)
+    )
+    corpus = docs.filter(F.col("doc_id") < 150)
+    small = docs.filter(F.col("doc_id") >= 150).limit(5)
+    path = str(tmp_path / "docs_state")
+    keyed_state_append(corpus, path, ["doc_id"], batch_id=-1)
+    keyed_state_append(
+        docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 150)),
+        path,
+        ["doc_id"],
+        batch_id=0,
+    )
+    compact_keyed_state(spark, path, current_batch=1)  # fold everything once
+    rows_before = sorted(
+        tuple(r) for r in keyed_state_read(spark, path).collect()
+    )
+    # a small tick touches only a few buckets
+    keyed_state_append(small, path, ["doc_id"], batch_id=1)
+    touched = {
+        r.b
+        for r in small.select(state_bucket(["doc_id"], 64).alias("b"))
+        .distinct()
+        .collect()
+    }
+    sig = {
+        f: (os.path.getmtime(f), os.path.getsize(f))
+        for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    }
+    nb, na = compact_keyed_state(spark, path, current_batch=2)
+    assert na <= nb
+    for f, s in sig.items():
+        b = int(f.split("bucket=")[1].split("/")[0])
+        if b not in touched:
+            assert os.path.exists(f), f"untouched leaf rewritten: {f}"
+            assert (os.path.getmtime(f), os.path.getsize(f)) == s
+    # touched buckets folded to one file each; zero row drift
+    for b in touched:
+        leaves = glob.glob(os.path.join(path, "**", f"bucket={b}"), recursive=True)
+        assert len(leaves) == 1
+        assert len(glob.glob(os.path.join(leaves[0], "*.parquet"))) == 1
+    rows_after = sorted(
+        tuple(r)
+        for r in keyed_state_read(spark, path)
+        .filter(F.col("doc_id") < 150)
+        .collect()
+    )
+    assert rows_after == [t for t in rows_before]
+
+
+def test_keyed_state_layout_sidecar_guards_appends_and_purge(
+    spark, sf_dir, tmp_path
+):
+    """r15 ADVICE low ×2: (1) mixing batch/flat layouts or bucket counts
+    in one table must fail immediately with a named error, not a
+    downstream AnalysisException; (2) purge_keyed_state must derive the
+    WRITE-TIME n_buckets from the table's sidecar — a disagreeing caller
+    value silently retained rows hashing to unprobed buckets."""
+    import pytest
+
+    from mistocksync_spark.sinks.layout import (
+        keyed_state_append,
+        keyed_state_read,
+        purge_keyed_state,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(100)
+        .localCheckpoint(eager=False)
+    )
+    path = str(tmp_path / "docs_state")
+    keyed_state_append(docs, path, ["doc_id"], n_buckets=16, batch_id=-1)
+    with pytest.raises(ValueError, match="layout mismatch"):  # batch -> flat
+        keyed_state_append(docs, path, ["doc_id"], n_buckets=16)
+    with pytest.raises(ValueError, match="layout mismatch"):  # 16 -> 64
+        keyed_state_append(docs, path, ["doc_id"], n_buckets=64, batch_id=0)
+    with pytest.raises(ValueError, match="layout mismatch"):  # key change
+        keyed_state_append(
+            docs.withColumnRenamed("doc_id", "k"), path, ["k"],
+            n_buckets=16, batch_id=0,
+        )
+
+    tomb = docs.limit(7).select("doc_id")
+    with pytest.raises(ValueError, match="contradicts"):
+        purge_keyed_state(spark, path, tomb, ["doc_id"], n_buckets=64)
+    # no n_buckets given: the sidecar supplies the write-time 16 and the
+    # purge is COMPLETE (under the old caller-trusted 64 default, ids
+    # hashing to unprobed buckets silently survived)
+    removed, _ = purge_keyed_state(spark, path, tomb, ["doc_id"])
+    assert removed == 7
+    left = {r.doc_id for r in keyed_state_read(spark, path).collect()}
+    assert len(left) == 93 and not (
+        left & {r.doc_id for r in tomb.collect()}
+    )
