@@ -264,6 +264,7 @@ def main():
             "corpus_prepare_v3",
             "pack_emission_manifest",
             "tombstone_purge_emission",
+            "vector_purge_emission",
             "incremental_prepare_tick",
             "incremental_prepare_tick_v3",
             "incremental_prepare_tick_stored",

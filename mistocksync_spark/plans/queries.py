@@ -10321,3 +10321,156 @@ def incremental_prepare_stream_v3_q(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 ORACLES["incremental_prepare_stream_v3"] = ORACLES["incremental_prepare_tick_v3"]
+
+
+def _sql_vector_purge() -> str:
+    """Oracle for vector_purge_emission — the WHERE-exclusion replay of the
+    embedding-store purge: exact all-pairs cosine over (remaining corpus ∪
+    batch), with the tombstoned corpus vectors excluded everywhere.  Same
+    fixture-dependent parity as ``incremental_embedding_dedup`` (the feed
+    plants sign-identical copies, which share IVF cells by construction;
+    the natural corpus has no cos >= 0.99 pair)."""
+    from mistocksync_spark.plans.feeds import EMB_INCR_CTE_DUCKDB
+
+    return (
+        EMB_INCR_CTE_DUCKDB
+        + f"""
+    , emb2 AS (
+        SELECT * FROM emb WHERE NOT (is_batch = 0 AND vec_id % 40 = 0)
+    )
+    , withn AS (
+        SELECT vec_id, embedding, is_batch,
+               {_SQL_NORM.format(a='embedding')} AS nrm
+        FROM emb2
+    )
+    , rejected AS (
+        SELECT DISTINCT l.vec_id
+        FROM withn l JOIN withn e
+          ON l.is_batch = 1 AND (e.is_batch = 0 OR e.vec_id < l.vec_id)
+        WHERE CASE WHEN e.nrm * l.nrm > 0
+              THEN {_SQL_DOT_VAR.format(a='e.embedding', b='l.embedding')} / (e.nrm * l.nrm)
+              ELSE 0.0 END >= 0.99
+    )
+    SELECT vec_id, 'corpus' AS origin FROM emb2 WHERE is_batch = 0
+    UNION ALL
+    SELECT vec_id, 'batch' AS origin FROM emb2
+    WHERE is_batch = 1 AND vec_id NOT IN (SELECT vec_id FROM rejected)
+"""
+    )
+
+
+@query("vector_purge_emission", _sql_vector_purge())
+def vector_purge_emission_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten for the VECTOR store, graded end to end
+    (r16 — the embedding twin of ``tombstone_purge_emission``, the r15
+    verdict's top ask): embeddings of deleted documents are DERIVED
+    personal data under the same purge obligation as the text itself.
+
+    Tombstone the ``vec_id % 40 == 0`` corpus vectors and physically
+    purge BOTH embedding state tables built by the ingest stack
+    (streaming/merge.incremental_embedding_dedup_stream's layout):
+
+    - ``vecs`` (keyed/bucketed on vec_id) — a direct key purge;
+    - ``cells`` (the IVF inverted table, keyed/bucketed on CENTROID) —
+      purged via ``match_cols``: the tombstoned vectors' own
+      deterministic cell assignments supply the touched centroid buckets
+      (lossless — a cells row for a tombstoned id can only live in one
+      of its n_assign assigned cells), and the per-leaf anti-join
+      deletes on vec_id, so innocent rows sharing a centroid survive.
+
+    Both purges are partial rewrites of only the touched buckets
+    (untouched-file byte-identity pinned by tests/test_layout.py).
+
+    GOVERNANCE RULE — opposite of the docs store's digest-keeper memory,
+    documented here deliberately: the embedding tables keep NO memory of
+    purged vectors (band/cell entries are derived from the vector values
+    and are exactly the data the deletion request covers), so a
+    re-arriving COPY of a purged vector is ACCEPTED.  The emission below
+    makes that observable and graded: the IVF ingest tick runs a batch of
+    exact/scaled/negated copies against the PURGED store read back, and
+    batch copies of tombstoned vectors flip to accepted — the oracle
+    replays the purge as a WHERE exclusion, so an incomplete purge (a
+    surviving vecs or cells row still rejecting its copy) hash-fails.
+    The frozen quantizer goes stale by design; the graded remediation is
+    ``ivf_index_rebuild`` (run post-purge in the SCALE_r16 ladder)."""
+    import os
+    import tempfile
+
+    from mistocksync_spark.operators.vectors import (
+        incremental_embedding_dedup_ivf,
+        inferred_dim,
+        ivf_assign,
+        ivf_train,
+    )
+    from mistocksync_spark.plans.feeds import emb_incr_batch, emb_incr_corpus
+    from mistocksync_spark.sinks.layout import (
+        keyed_state_append,
+        keyed_state_read,
+        purge_keyed_state,
+        touched_buckets,
+    )
+
+    corpus = emb_incr_corpus(spark, sf_dir).localCheckpoint(eager=False)
+    dim = inferred_dim(corpus, "embedding")
+    n_cells = max(16, corpus.count() // 200)
+    cents = ivf_train(corpus, n_centroids=n_cells, iterations=2)
+    work = tempfile.mkdtemp(prefix="vector_purge_")
+    p_vecs = os.path.join(work, "vecs")
+    p_cells = os.path.join(work, "cells")
+    keyed_state_append(
+        corpus.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        ),
+        p_vecs,
+        ["vec_id"],
+        batch_id=-1,
+    )
+    keyed_state_append(
+        ivf_assign(corpus, cents, n_assign=2), p_cells, ["centroid"], batch_id=-1
+    )
+
+    tomb = corpus.filter(F.col("vec_id") % 40 == 0).localCheckpoint(eager=False)
+    purge_keyed_state(spark, p_vecs, tomb.select("vec_id"), ["vec_id"])
+    purge_keyed_state(
+        spark,
+        p_cells,
+        ivf_assign(tomb, cents, n_assign=2),
+        ["centroid"],
+        match_cols=["vec_id"],
+    )
+
+    # emission over the purged store: the production ingest tick, reads
+    # pruned exactly as the stream runs them
+    batch = (
+        emb_incr_batch(spark, sf_dir)
+        .select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        .localCheckpoint(eager=False)
+    )
+    bcells = ivf_assign(batch, cents, n_assign=2)
+    cells = keyed_state_read(
+        spark, p_cells, touched_buckets(bcells, ["centroid"])
+    )
+
+    def fetch_vecs(c_ids):
+        return keyed_state_read(spark, p_vecs, touched_buckets(c_ids, ["vec_id"]))
+
+    rejected = incremental_embedding_dedup_ivf(
+        None,
+        batch,
+        cents,
+        dim=dim,
+        corpus_cells=cells,
+        return_rejected=True,
+        corpus_fetch=fetch_vecs,
+    )
+    return (
+        keyed_state_read(spark, p_vecs)
+        .select("vec_id", F.lit("corpus").alias("origin"))
+        .unionByName(
+            batch.join(F.broadcast(rejected), on="vec_id", how="left_anti").select(
+                "vec_id", F.lit("batch").alias("origin")
+            )
+        )
+    )

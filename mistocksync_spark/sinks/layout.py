@@ -348,6 +348,7 @@ def purge_keyed_state(
     ids: DataFrame,
     key_cols: list[str],
     n_buckets: int | None = None,
+    match_cols: list[str] | None = None,
 ) -> tuple[int, int]:
     """Right-to-be-forgotten purge of a ``keyed_state_append`` table
     (r15 — the data-governance tick a training-data pipeline needs):
@@ -374,7 +375,17 @@ def purge_keyed_state(
     buckets and silently RETAINED rows hashing elsewhere — an
     incompleteness failure for a right-to-be-forgotten operation).
     Passing a value that contradicts the sidecar raises; passing one
-    explicitly is only for sidecar-less legacy tables."""
+    explicitly is only for sidecar-less legacy tables.
+
+    ``match_cols`` (r16, the vector-store purge): when the rows to delete
+    are identified by columns OTHER than the table's bucket key — e.g.
+    the IVF inverted table is keyed/bucketed on ``centroid`` but a
+    right-to-be-forgotten request names ``vec_id`` — pass ``ids`` rows
+    carrying BOTH column sets: ``key_cols`` still drive the bucket
+    pruning (lossless when every matching row's key value appears in
+    ``ids`` — for the inverted table that is exactly the tombstoned
+    vectors' own deterministic cell assignments), and the per-leaf
+    anti-join deletes on ``match_cols``."""
     import glob as _glob
     import os
     import shutil
@@ -393,7 +404,9 @@ def purge_keyed_state(
             f"purge_keyed_state: no _layout.json sidecar at {path} and no "
             "n_buckets given — cannot derive the write-time bucket count"
         )
+    mc = list(match_cols) if match_cols is not None else list(key_cols)
     key_ids = ids.select(*key_cols).distinct().localCheckpoint(eager=False)
+    match_ids = ids.select(*mc).distinct().localCheckpoint(eager=False)
     removed = 0
     rewritten = 0
     for b in touched_buckets(key_ids, key_cols, n_buckets):
@@ -402,7 +415,7 @@ def purge_keyed_state(
         ):
             cur = spark.read.parquet(d).localCheckpoint(eager=False)
             n_cur = cur.count()
-            kept = cur.join(key_ids, on=key_cols, how="left_anti").localCheckpoint(
+            kept = cur.join(match_ids, on=mc, how="left_anti").localCheckpoint(
                 eager=False
             )
             n_kept = kept.count()

@@ -941,3 +941,63 @@ def test_keyed_state_layout_sidecar_guards_appends_and_purge(
     assert len(left) == 93 and not (
         left & {r.doc_id for r in tomb.collect()}
     )
+
+
+def test_purge_match_cols_deletes_by_nonkey_with_bucket_pruning(
+    spark, sf_dir, tmp_path
+):
+    """r16 vector-store purge: the IVF inverted table is bucketed on
+    centroid but deletion requests name vec_id.  ids rows carrying the
+    tombstoned vectors' own cell assignments drive the bucket pruning
+    (key_cols=centroid) while the per-leaf anti-join deletes on
+    match_cols=vec_id — innocent rows sharing a centroid survive, and
+    buckets no tombstoned assignment hashes to stay byte-identical."""
+    from mistocksync_spark.sinks.layout import (
+        keyed_state_append,
+        keyed_state_read,
+        purge_keyed_state,
+        state_bucket,
+    )
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id")
+        .orderBy("vec_id")
+        .limit(300)
+    )
+    # synthetic inverted table: each vec assigned to 2 deterministic cells
+    cells = emb.select(
+        "vec_id", (F.col("vec_id") % 10).alias("centroid")
+    ).unionByName(
+        emb.select("vec_id", ((F.col("vec_id") + 3) % 10).alias("centroid"))
+    ).localCheckpoint(eager=False)
+    path = str(tmp_path / "cells")
+    keyed_state_append(cells, path, ["centroid"], batch_id=-1)
+
+    tomb = cells.filter(F.col("vec_id") % 40 == 0).localCheckpoint(eager=False)
+    tomb_ids = {r.vec_id for r in tomb.select("vec_id").distinct().collect()}
+    tomb_buckets = {
+        r.b
+        for r in tomb.select(state_bucket(["centroid"], 64).alias("b"))
+        .distinct()
+        .collect()
+    }
+    sig = {
+        f: (os.path.getmtime(f), os.path.getsize(f))
+        for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    }
+    removed, rewritten = purge_keyed_state(
+        spark, path, tomb, ["centroid"], match_cols=["vec_id"]
+    )
+    assert removed == 2 * len(tomb_ids)  # both assignments of every tomb id
+    left = keyed_state_read(spark, path).localCheckpoint(eager=False)
+    assert not (
+        {r.vec_id for r in left.select("vec_id").distinct().collect()} & tomb_ids
+    )
+    # innocent rows in the touched centroids survived
+    assert left.count() == 2 * 300 - removed
+    for f, s in sig.items():
+        b = int(f.split("bucket=")[1].split("/")[0])
+        if b not in tomb_buckets:
+            assert os.path.exists(f)
+            assert (os.path.getmtime(f), os.path.getsize(f)) == s
