@@ -273,6 +273,7 @@ def main():
             "incremental_prepare_stream_v3",
             "prepare_vocab_drift",
             "prepare_vocab_rebuild",
+            "prepare_holdout_rebuild",
             # r13: the three warmup-tuple entries, timed explicitly so
             # "registered => recorded cost" holds with no exceptions
             "top_event_types",

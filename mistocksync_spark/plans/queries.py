@@ -10474,3 +10474,86 @@ def vector_purge_emission_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@query(
+    "prepare_holdout_rebuild",
+    _incr_docs_cte()
+    + _SQL_SHINGLES
+    + r"""
+    , hf AS (
+        SELECT DISTINCT s.shingle
+        FROM sh s JOIN docs d ON d.doc_id = s.doc_id
+        WHERE d.is_batch = 0 AND d.doc_id % 50 = 0
+    )
+    , hr AS (
+        SELECT DISTINCT s.shingle
+        FROM sh s JOIN docs d ON d.doc_id = s.doc_id
+        WHERE d.doc_id % 50 = 0
+    )
+    , tj AS (
+        SELECT f.shingle AS fs, r.shingle AS rs
+        FROM hf f FULL OUTER JOIN hr r ON f.shingle = r.shingle
+    )
+    , vc AS (
+        SELECT COUNT(fs) AS n_frozen, COUNT(rs) AS n_rebuilt,
+               COUNT(*) FILTER (WHERE fs IS NULL) AS n_added,
+               COUNT(*) FILTER (WHERE rs IS NULL) AS n_removed
+        FROM tj
+    )
+    , scored AS (
+        SELECT doc_id FROM docs WHERE is_batch = 1 AND doc_id % 50 <> 0
+    )
+    , hits AS (
+        SELECT s.doc_id,
+               COUNT(DISTINCT CASE WHEN f.shingle IS NOT NULL
+                                   THEN s.shingle END) AS nf,
+               COUNT(DISTINCT CASE WHEN r.shingle IS NOT NULL
+                                   THEN s.shingle END) AS nr
+        FROM sh s
+        JOIN scored sc ON sc.doc_id = s.doc_id
+        LEFT JOIN hf f ON f.shingle = s.shingle
+        LEFT JOIN hr r ON r.shingle = s.shingle
+        GROUP BY s.doc_id
+    )
+    , dd AS (
+        SELECT COUNT(*) AS n_scored,
+               COALESCE(SUM(CASE WHEN
+                   (CASE WHEN COALESCE(h.nf, 0) >= 2 THEN 1 ELSE 0 END)
+                   <> (CASE WHEN COALESCE(h.nr, 0) >= 2 THEN 1 ELSE 0 END)
+                   THEN 1 ELSE 0 END), 0) AS ndb
+        FROM scored sc LEFT JOIN hits h ON h.doc_id = sc.doc_id
+    )
+    SELECT CAST(vc.n_frozen AS BIGINT) AS n_frozen,
+           CAST(vc.n_rebuilt AS BIGINT) AS n_rebuilt,
+           CAST(vc.n_added AS BIGINT) AS n_added,
+           CAST(vc.n_removed AS BIGINT) AS n_removed,
+           CAST(dd.n_scored AS BIGINT) AS n_scored,
+           CAST(dd.ndb AS BIGINT) AS n_disagree_before,
+           CASE WHEN dd.n_scored > 0
+                THEN round(CAST(dd.ndb AS DOUBLE) / dd.n_scored, 6)
+           END AS drift_before,
+           -- rebuilt-vs-independently-rebuilt disagreement is identically
+           -- zero in SQL; the Spark side derives BOTH holdout states and
+           -- must EARN the 0 (a non-canonical rebuild hash-fails)
+           CAST(0 AS BIGINT) AS n_disagree_after
+    FROM vc, dd
+""",
+)
+def prepare_holdout_rebuild_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The holdout VERSION-BUMP tick (operators/dedup.holdout_rebuild,
+    r16 — the r15 verdict's ask #2, the last missing aggregate-artifact
+    lifecycle): ``holdout_shingle_state`` is frozen per corpus version;
+    this is the tick that bumps the version — re-derive the eval slice
+    and its shingle set over corpus + arrivals, re-freeze, and audit in
+    one row: shingle churn, the pre-rebuild contaminated-verdict drift
+    over non-holdout arrivals, and the post-rebuild disagreement, pinned
+    to 0 by the oracle.  The decision-flip evidence at scale lives in
+    the SCALE_r16 ladder (--holdout-rebuild-at)."""
+    from mistocksync_spark.operators.dedup import holdout_rebuild
+    from mistocksync_spark.plans.feeds import docs_incr_batch, docs_incr_corpus
+
+    _, audit = holdout_rebuild(
+        docs_incr_corpus(spark, sf_dir), docs_incr_batch(spark, sf_dir)
+    )
+    return audit
