@@ -265,6 +265,7 @@ def main():
             "pack_emission_manifest",
             "tombstone_purge_emission",
             "vector_purge_emission",
+            "purge_remediation_emission",
             "incremental_prepare_tick",
             "incremental_prepare_tick_v3",
             "incremental_prepare_tick_stored",

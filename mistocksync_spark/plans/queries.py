@@ -10557,3 +10557,200 @@ def prepare_holdout_rebuild_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs_incr_corpus(spark, sf_dir), docs_incr_batch(spark, sf_dir)
     )
     return audit
+
+
+def _sql_purge_remediation() -> str:
+    return (
+        _docs_cte()
+        + r"""
+    , keepmin AS (
+        SELECT md5(text) AS digest, MIN(doc_id) AS keeper
+        FROM docs GROUP BY md5(text)
+    )
+    , rem AS (
+        SELECT doc_id, text FROM docs
+        WHERE NOT (doc_id % 50 = 0 AND doc_id < 1000000)
+    )
+    , g AS ("""
+        + _sql_gopher(src="(SELECT doc_id, text FROM rem)")
+        + r""")
+    , rtok AS (
+        SELECT token FROM (
+            SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+            FROM rem
+        ) WHERE token <> ''
+    )
+    , rfreq AS (SELECT token, COUNT(*) AS cnt FROM rtok GROUP BY token)
+    , rtot AS (SELECT SUM(cnt) AS t FROM rfreq)
+    , vr AS (SELECT token FROM rfreq, rtot WHERE cnt >= ceil(t * 0.0001))
+    , btok AS (
+        SELECT doc_id, token FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+            FROM rem
+        ) WHERE token <> ''
+    )
+    , bscore AS (
+        SELECT t.doc_id, COUNT(*) AS nt, COUNT(v.token) AS niv
+        FROM btok t LEFT JOIN vr v USING (token)
+        GROUP BY t.doc_id
+    )
+    , dec AS (
+        SELECT r.doc_id, r.text,
+               CASE WHEN k.keeper <> r.doc_id THEN 'exact_dup'
+                    WHEN g.pass_gopher = 0 THEN 'gopher'
+                    WHEN 2 * s.niv < s.nt THEN 'rare_tokens'
+                    ELSE 'ok' END AS reason
+        FROM rem r
+        JOIN keepmin k ON k.digest = md5(r.text)
+        JOIN g ON g.doc_id = r.doc_id
+        LEFT JOIN bscore s ON s.doc_id = r.doc_id
+    )
+    , d AS (
+        SELECT doc_id, doc_id % 8 AS stratum, """
+        + _SQL_NTOK
+        + r""" AS n_tokens
+        FROM dec WHERE reason = 'ok'
+    )
+    , c AS (
+        SELECT doc_id, stratum, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY stratum ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS before
+        FROM d
+    )
+    , p AS (
+        SELECT stratum, CAST(FLOOR(before / 512) AS BIGINT) AS pack_id,
+               n_tokens
+        FROM c
+    )
+    SELECT stratum AS cluster, pack_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           'pack_bucket=' || CAST((stratum * 1000000 + pack_id) % 16 AS STRING)
+               AS file
+    FROM p
+    GROUP BY stratum, pack_id
+"""
+    )
+
+
+@query("purge_remediation_emission", _sql_purge_remediation())
+def purge_remediation_emission_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The governance COMPOSITION, graded end to end (r16 — r15 verdict
+    ask #3: the halves were graded separately, the composition was not):
+    purge → rebuild → re-emit, in one entry whose final artifact only
+    hash-matches if every stage held.
+
+    1. PURGE: tombstone the doc_id % 50 == 0 originals and physically
+       purge them from the bucketed docs store
+       (``tombstone_purge_emission``'s partial-rewrite contract);
+    2. REBUILD: re-derive the vocabulary over the PURGED corpus — the
+       remediation the tombstone entry's docstring defers to
+       (``prepare_vocab_rebuild``'s canonical-rebuild rule: this entry
+       derives TWO independent rebuilds and raises unless their token
+       sets agree exactly, the drift-returns-to-0 gate run inline);
+    3. RE-EMIT: decide the remaining corpus (digest-keeper memory →
+       gopher → rare_tokens vs the REBUILT vocabulary), pack the 'ok'
+       docs (concat-then-chunk, stratum = doc_id % 8, 512-token
+       windows), physically write the pack-bucket layout, and return
+       the manifest derived by READING BACK the emitted files.
+
+    The oracle replays the whole composition in SQL — the purge as a
+    WHERE exclusion, the rebuild as the post-purge vocabulary, the
+    emission as the packing window over the surviving 'ok' docs — so a
+    purge that leaves tombstoned rows behind, a non-canonical rebuild
+    (different 'ok' set), or a mis-routed pack write all hash-fail on
+    the SAME manifest.  Copies of purged docs stay excluded from packs
+    (digest-keeper memory), which is the composition's own proof that
+    deleted content cannot re-enter the training artifact."""
+    import os
+    import tempfile
+
+    from mistocksync_spark.operators.textual import (
+        corpus_vocabulary,
+        gopher_rules,
+        pack_documents,
+        token_count,
+    )
+    from mistocksync_spark.plans.feeds import docs_aug
+    from mistocksync_spark.sinks.layout import (
+        keyed_state_append,
+        keyed_state_read,
+        pack_emission_manifest,
+        pack_emission_write,
+        purge_keyed_state,
+    )
+
+    docs = docs_aug(spark, sf_dir).select("doc_id", "text").localCheckpoint(
+        eager=False
+    )
+    work = tempfile.mkdtemp(prefix="purge_remediation_")
+    p_docs = os.path.join(work, "docs")
+    p_dig = os.path.join(work, "digest_keepers")
+    keyed_state_append(docs, p_docs, ["doc_id"], batch_id=-1)
+    keyed_state_append(
+        docs.select(F.md5("text").alias("digest"), "doc_id")
+        .groupBy("digest")
+        .agg(F.min("doc_id").alias("keeper")),
+        p_dig,
+        ["digest"],
+    )
+    tomb = docs.filter(
+        (F.col("doc_id") % 50 == 0) & (F.col("doc_id") < 1000000)
+    ).select("doc_id")
+    purge_keyed_state(spark, p_docs, tomb, ["doc_id"])
+    remaining = keyed_state_read(spark, p_docs).localCheckpoint(eager=False)
+
+    # rebuild tick over the purged corpus, canonical-rebuild gate inline:
+    # two independent derivations must agree exactly (drift back to 0)
+    vr = corpus_vocabulary(remaining).localCheckpoint(eager=False)
+    vr2 = corpus_vocabulary(remaining).localCheckpoint(eager=False)
+    n_diff = (
+        vr.withColumn("__a", F.lit(1))
+        .join(vr2.select("token", F.lit(1).alias("__b")), "token", "full_outer")
+        .filter(F.col("__a").isNull() | F.col("__b").isNull())
+        .count()
+    )
+    if n_diff != 0:
+        raise ValueError(
+            f"post-purge vocabulary rebuild is non-canonical: {n_diff} "
+            "token-set disagreements between independent derivations"
+        )
+
+    dig = keyed_state_read(spark, p_dig)
+    g = gopher_rules(remaining).select("doc_id", "pass_gopher")
+    btok = remaining.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    score = (
+        btok.join(F.broadcast(vr.withColumn("__v", F.lit(1))), on="token", how="left")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("__nt"), F.count("__v").alias("__niv"))
+    )
+    dec = (
+        remaining.select("doc_id", "text", F.md5("text").alias("digest"))
+        .join(dig, on="digest")
+        .join(g, on="doc_id")
+        .join(score, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            "text",
+            F.when(F.col("keeper") != F.col("doc_id"), F.lit("exact_dup"))
+            .when(F.col("pass_gopher") == 0, F.lit("gopher"))
+            .when(2 * F.col("__niv") < F.col("__nt"), F.lit("rare_tokens"))
+            .otherwise(F.lit("ok"))
+            .alias("reason"),
+        )
+    )
+    ok = dec.filter(F.col("reason") == "ok").select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(8)).alias("stratum"),
+        token_count(F.col("text")).alias("n_tokens"),
+    )
+    packed = pack_documents(
+        ok, seq_len=512, token_count_col="n_tokens", stratum_col="stratum"
+    ).withColumnRenamed("stratum", "cluster")
+    path = pack_emission_write(packed, os.path.join(work, "packs"))
+    return pack_emission_manifest(spark, path)
