@@ -111,17 +111,8 @@ def incremental_embedding_dedup_stream(
 
     from pyspark.sql import functions as F
 
-    from mistocksync_spark.operators.vectors import (
-        incremental_embedding_dedup_ivf,
-        inferred_dim,
-        ivf_assign,
-    )
-    from mistocksync_spark.sinks.layout import (
-        keyed_state_append,
-        keyed_state_read,
-        touched_buckets,
-        touched_buckets_multi,
-    )
+    from mistocksync_spark.operators.vectors import inferred_dim, ivf_assign
+    from mistocksync_spark.sinks.layout import keyed_state_append, keyed_state_read
 
     if dim is None:
         dim = inferred_dim(corpus, "embedding")
@@ -158,46 +149,15 @@ def incremental_embedding_dedup_stream(
     )
 
     def apply_batch(batch_df, batch_id: int) -> None:
-        s = batch_df.sparkSession
-        batch_id = int(batch_id)
-        batch_df = batch_df.select(
-            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
-        ).localCheckpoint(eager=False)
-        bcells = ivf_assign(
-            batch_df, centroids, n_assign=n_assign
-        ).localCheckpoint(eager=False)
-        tb = touched_buckets_multi({"cells": (bcells, ["centroid"])})
-        cells = keyed_state_read(s, p_cells, tb["cells"], before_batch=batch_id)
-
-        def fetch_vecs(c_ids):
-            return keyed_state_read(
-                s, p_vecs, touched_buckets(c_ids, ["vec_id"]),
-                before_batch=batch_id,
-            )
-
-        rejected = incremental_embedding_dedup_ivf(
-            None,
+        embedding_dedup_tick_against_state(
             batch_df,
+            int(batch_id),
+            state_dir,
             centroids,
             threshold=threshold,
             n_assign=n_assign,
             dim=dim,
-            corpus_cells=cells,
-            return_rejected=True,
-            corpus_fetch=fetch_vecs,
         )
-        new_rows = batch_df.join(
-            F.broadcast(rejected.withColumn("__rej", F.lit(1))),
-            on="vec_id",
-            how="left",
-        ).select(
-            "vec_id",
-            "embedding",
-            F.lit("batch").alias("origin"),
-            F.col("__rej").isNull().alias("accepted"),
-        )
-        keyed_state_append(new_rows, p_vecs, ["vec_id"], batch_id=batch_id)
-        keyed_state_append(bcells, p_cells, ["centroid"], batch_id=batch_id)
 
     q = (
         stream.writeStream.foreachBatch(apply_batch)
@@ -215,6 +175,82 @@ def incremental_embedding_dedup_stream(
         .filter(F.col("accepted"))
         .select("vec_id", "origin")
     )
+
+
+def embedding_dedup_tick_against_state(
+    batch_df,
+    batch_id: int,
+    state_dir: str,
+    centroids: list[list[float]],
+    threshold: float = 0.99,
+    n_assign: int = 2,
+    dim: int | None = None,
+) -> None:
+    """ONE vector ingest tick against the keyed-append vecs/cells state
+    under ``state_dir`` — the ``foreachBatch`` body of
+    ``incremental_embedding_dedup_stream``, module-level (r16, the
+    ``prepare_tick_against_state`` precedent) so the dedup-stream
+    ladders time exactly what the stream runs per micro-batch and its
+    replay idempotency is directly testable.  Reads pin
+    ``before_batch=batch_id``; appends carry ``batch_id`` (dynamic
+    overwrite); the cell probe and the exact-rescore vector fetch are
+    both bucket-pruned."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mistocksync_spark.operators.vectors import (
+        incremental_embedding_dedup_ivf,
+        ivf_assign,
+    )
+    from mistocksync_spark.sinks.layout import (
+        keyed_state_append,
+        keyed_state_read,
+        touched_buckets,
+        touched_buckets_multi,
+    )
+
+    s = batch_df.sparkSession
+    p_vecs = os.path.join(state_dir, "vecs")
+    p_cells = os.path.join(state_dir, "cells")
+    batch_df = batch_df.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).localCheckpoint(eager=False)
+    bcells = ivf_assign(
+        batch_df, centroids, n_assign=n_assign
+    ).localCheckpoint(eager=False)
+    tb = touched_buckets_multi({"cells": (bcells, ["centroid"])})
+    cells = keyed_state_read(s, p_cells, tb["cells"], before_batch=batch_id)
+
+    def fetch_vecs(c_ids):
+        return keyed_state_read(
+            s, p_vecs, touched_buckets(c_ids, ["vec_id"]),
+            before_batch=batch_id,
+        )
+
+    rejected = incremental_embedding_dedup_ivf(
+        None,
+        batch_df,
+        centroids,
+        threshold=threshold,
+        n_assign=n_assign,
+        dim=dim,
+        corpus_cells=cells,
+        return_rejected=True,
+        corpus_fetch=fetch_vecs,
+    )
+    new_rows = batch_df.join(
+        F.broadcast(rejected.withColumn("__rej", F.lit(1))),
+        on="vec_id",
+        how="left",
+    ).select(
+        "vec_id",
+        "embedding",
+        F.lit("batch").alias("origin"),
+        F.col("__rej").isNull().alias("accepted"),
+    )
+    keyed_state_append(new_rows, p_vecs, ["vec_id"], batch_id=batch_id)
+    keyed_state_append(bcells, p_cells, ["centroid"], batch_id=batch_id)
 
 
 def incremental_corpus_dedup(
@@ -261,16 +297,8 @@ def incremental_corpus_dedup(
 
     from pyspark.sql import functions as F
 
-    from mistocksync_spark.operators.dedup import (
-        corpus_signature_state,
-        incremental_dedup_merge,
-    )
-    from mistocksync_spark.sinks.layout import (
-        keyed_state_append,
-        keyed_state_read,
-        touched_buckets,
-        touched_buckets_multi,
-    )
+    from mistocksync_spark.operators.dedup import corpus_signature_state
+    from mistocksync_spark.sinks.layout import keyed_state_append, keyed_state_read
 
     p_docs = os.path.join(state_dir, "docs")
     p_bands = os.path.join(state_dir, "bands")
@@ -297,39 +325,9 @@ def incremental_corpus_dedup(
     )
 
     def apply_batch(batch_df, batch_id: int) -> None:
-        s = batch_df.sparkSession
-        batch_id = int(batch_id)
-        batch_df = batch_df.select("doc_id", "text").localCheckpoint(eager=False)
-        bbands = corpus_signature_state(batch_df).localCheckpoint(eager=False)
-        tb = touched_buckets_multi({"bands": (bbands, ["band", "band_key"])})
-        bands = keyed_state_read(s, p_bands, tb["bands"], before_batch=batch_id)
-
-        def fetch_docs(c_ids):
-            return keyed_state_read(
-                s, p_docs, touched_buckets(c_ids, ["doc_id"]),
-                before_batch=batch_id,
-            )
-
-        rejected = incremental_dedup_merge(
-            None,
-            batch_df,
-            threshold=threshold,
-            corpus_bands=bands,
-            return_rejected=True,
-            corpus_fetch=fetch_docs,
+        corpus_dedup_tick_against_state(
+            batch_df, int(batch_id), state_dir, threshold=threshold
         )
-        new_rows = batch_df.join(
-            F.broadcast(rejected.withColumn("__rej", F.lit(1))),
-            on="doc_id",
-            how="left",
-        ).select(
-            "doc_id",
-            "text",
-            F.lit("batch").alias("origin"),
-            F.col("__rej").isNull().alias("accepted"),
-        )
-        keyed_state_append(new_rows, p_docs, ["doc_id"], batch_id=batch_id)
-        keyed_state_append(bbands, p_bands, ["band", "band_key"], batch_id=batch_id)
 
     q = (
         stream.writeStream.foreachBatch(apply_batch)
@@ -345,6 +343,72 @@ def incremental_corpus_dedup(
         .filter(F.col("accepted"))
         .select("doc_id", "origin")
     )
+
+
+def corpus_dedup_tick_against_state(
+    batch_df,
+    batch_id: int,
+    state_dir: str,
+    threshold: float = 0.5,
+) -> None:
+    """ONE corpus-dedup ingest tick against the keyed-append docs/bands
+    state under ``state_dir`` — the ``foreachBatch`` body of
+    ``incremental_corpus_dedup``, module-level (r16, the
+    ``prepare_tick_against_state`` precedent) so the dedup-stream
+    ladders time exactly what the stream runs per micro-batch and its
+    replay idempotency is directly testable.  Reads pin
+    ``before_batch=batch_id``; appends carry ``batch_id`` (dynamic
+    overwrite); the band probe and the candidate docs fetch are both
+    bucket-pruned."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mistocksync_spark.operators.dedup import (
+        corpus_signature_state,
+        incremental_dedup_merge,
+    )
+    from mistocksync_spark.sinks.layout import (
+        keyed_state_append,
+        keyed_state_read,
+        touched_buckets,
+        touched_buckets_multi,
+    )
+
+    s = batch_df.sparkSession
+    p_docs = os.path.join(state_dir, "docs")
+    p_bands = os.path.join(state_dir, "bands")
+    batch_df = batch_df.select("doc_id", "text").localCheckpoint(eager=False)
+    bbands = corpus_signature_state(batch_df).localCheckpoint(eager=False)
+    tb = touched_buckets_multi({"bands": (bbands, ["band", "band_key"])})
+    bands = keyed_state_read(s, p_bands, tb["bands"], before_batch=batch_id)
+
+    def fetch_docs(c_ids):
+        return keyed_state_read(
+            s, p_docs, touched_buckets(c_ids, ["doc_id"]),
+            before_batch=batch_id,
+        )
+
+    rejected = incremental_dedup_merge(
+        None,
+        batch_df,
+        threshold=threshold,
+        corpus_bands=bands,
+        return_rejected=True,
+        corpus_fetch=fetch_docs,
+    )
+    new_rows = batch_df.join(
+        F.broadcast(rejected.withColumn("__rej", F.lit(1))),
+        on="doc_id",
+        how="left",
+    ).select(
+        "doc_id",
+        "text",
+        F.lit("batch").alias("origin"),
+        F.col("__rej").isNull().alias("accepted"),
+    )
+    keyed_state_append(new_rows, p_docs, ["doc_id"], batch_id=batch_id)
+    keyed_state_append(bbands, p_bands, ["band", "band_key"], batch_id=batch_id)
 
 
 def prepare_tick_against_state(
