@@ -1053,9 +1053,13 @@ def vector_pair_quality(
     pairs materialized here); each statistic is a 1-row aggregate and the
     cross joins are trivial 1×1 combines.
     """
-    b = banded_cand.select("vec_a", "vec_b").distinct()
-    i = ivf_cand.select("vec_a", "vec_b").distinct()
-    e = exact_pairs.select("vec_a", "vec_b").distinct()
+    # lazy checkpoints (r16, guide §2.4): e appears three times in the
+    # audit plan (count + both anti-join probes) and b/i twice each, with
+    # no optimizer subtree reuse — materialize each candidate/exact pair
+    # list once; the aggregates then read the checkpointed lists
+    b = banded_cand.select("vec_a", "vec_b").distinct().localCheckpoint(eager=False)
+    i = ivf_cand.select("vec_a", "vec_b").distinct().localCheckpoint(eager=False)
+    e = exact_pairs.select("vec_a", "vec_b").distinct().localCheckpoint(eager=False)
     on = ["vec_a", "vec_b"]
     row = (
         e.agg(F.count("*").cast("long").alias("n_exact_pairs"))

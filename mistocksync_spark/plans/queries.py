@@ -1860,15 +1860,42 @@ def incremental_dedup_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared with ``incremental_dedup_merge``.  The arrival split (corpus-dup
     arrivals below id 4.5M, fresh + intra-batch-dup arrivals above) is
     id-ordered, so the operator's prefix-decomposable rule guarantees
-    bit-identical output to the one-shot run."""
+    bit-identical output to the one-shot run.
+
+    Setup amortization (r16, the ``_run_prepare_stream`` pattern / r15
+    verdict ask #7): the stream's initial state (docs + bands, both
+    ``batch=-1``) is a pure function of the corpus, so it is produced
+    ONCE per corpus version in a content-tagged scratch root and COPIED
+    pristine per run (the stream mutates state, so runs can't share one
+    live copy).  Decisions are unchanged — the copied state is
+    bit-identical to what the per-call setup built."""
+    import hashlib
     import os
+    import shutil
     import tempfile
     import time
 
     from mistocksync_spark.plans.feeds import docs_incr_batch, docs_incr_corpus
-    from mistocksync_spark.streaming.merge import incremental_corpus_dedup
+    from mistocksync_spark.streaming.merge import (
+        incremental_corpus_dedup,
+        prime_corpus_dedup_state,
+    )
 
     work = tempfile.mkdtemp(prefix="incr_dedup_stream_")
+    tag = _parquet_content_tag(f"{sf_dir}/documents.parquet")
+    h = hashlib.md5(
+        f"incremental_dedup_stream_state:{sf_dir}:{tag}".encode()
+    ).hexdigest()[:10]
+    root = _scratch_root("/tmp/spark_graft_dedup_stream_state", h)
+    marker = os.path.join(root, "_STATE_READY")
+    if not os.path.exists(marker):
+        shutil.rmtree(root, ignore_errors=True)  # append sink: start clean
+        prime_corpus_dedup_state(docs_incr_corpus(spark, sf_dir), root)
+        with open(marker, "w") as mf:
+            mf.write(tag)
+    state_dir = os.path.join(work, "state")
+    shutil.copytree(root, state_dir)
+    os.remove(os.path.join(state_dir, "_STATE_READY"))
     arrivals = os.path.join(work, "arrivals")
     os.makedirs(arrivals)
     batch = docs_incr_batch(spark, sf_dir)
@@ -1886,9 +1913,9 @@ def incremental_dedup_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.utime(dst, (now - 120 + 60 * i, now - 120 + 60 * i))
     return incremental_corpus_dedup(
         spark,
-        docs_incr_corpus(spark, sf_dir),
+        None,  # state primed above (produce-once root, pristine copy)
         arrivals,
-        os.path.join(work, "state"),
+        state_dir,
         os.path.join(work, "ckpt"),
     )
 
@@ -2329,8 +2356,22 @@ def embedding_near_dup_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mistocksync_spark.plans.feeds import emb_aug
 
     emb = emb_aug(spark, sf_dir)
-    lsh = cosine_near_dup_pairs(emb, threshold=0.99).select("vec_a", "vec_b")
-    exact = cosine_near_dup_pairs_brute(emb, threshold=0.99).select("vec_a", "vec_b")
+    # lazy checkpoints (r16, guide §2.4): each arm's subplan appears three
+    # times in the combined audit plan (count + both anti-join sides) and
+    # the optimizer reuses none of it (72 scans, 0 ReusedExchange in the
+    # before-plan) — so the O(n²) brute pass ran three times per audit.
+    # Materializing each arm once leaves the aggregates reading the
+    # checkpointed pair lists; results are identical.
+    lsh = (
+        cosine_near_dup_pairs(emb, threshold=0.99)
+        .select("vec_a", "vec_b")
+        .localCheckpoint(eager=False)
+    )
+    exact = (
+        cosine_near_dup_pairs_brute(emb, threshold=0.99)
+        .select("vec_a", "vec_b")
+        .localCheckpoint(eager=False)
+    )
     on = ["vec_a", "vec_b"]
     # 1-row scalar aggregates; the cross joins are the expected trivial
     # 1×1 combines (see PLANS_APPENDIX.md), not data-sized products
@@ -2560,19 +2601,55 @@ def incremental_embedding_dedup_ivf_stream_q(
     the accepted negated arrivals in micro-batch 0 and the
     dup-of-accepted-negated arrivals in micro-batch 1, so the CROSS-TICK
     seen-set chain (a tick-1 arrival rejected against a tick-0 ACCEPTED
-    arrival) is exercised, not just within-tick dedup."""
+    arrival) is exercised, not just within-tick dedup.
+
+    Setup amortization (r16, the ``_run_prepare_stream`` pattern): the
+    frozen quantizer (``ivf_train`` is deterministic — exact int64
+    accumulation, deterministic seeds) and the initial vecs/cells state
+    are pure functions of the corpus, so they are produced ONCE per
+    corpus version in a content-tagged scratch root (centroids + dim in
+    a JSON sidecar, exact float round-trip) and COPIED pristine per run
+    — the stream mutates state, so runs can't share one live copy.
+    Accepted sets are unchanged."""
+    import hashlib
+    import json as _json
     import os
+    import shutil
     import tempfile
     import time
 
-    from mistocksync_spark.operators.vectors import ivf_train
+    from mistocksync_spark.operators.vectors import inferred_dim, ivf_train
     from mistocksync_spark.plans.feeds import emb_incr_batch, emb_incr_corpus
-    from mistocksync_spark.streaming.merge import incremental_embedding_dedup_stream
+    from mistocksync_spark.streaming.merge import (
+        incremental_embedding_dedup_stream,
+        prime_embedding_dedup_state,
+    )
 
-    corpus = emb_incr_corpus(spark, sf_dir)
-    n_cells = max(16, corpus.count() // 200)
-    cents = ivf_train(corpus, n_centroids=n_cells, iterations=2)
     work = tempfile.mkdtemp(prefix="incr_emb_stream_")
+    tag = _parquet_content_tag(f"{sf_dir}/embeddings.parquet")
+    h = hashlib.md5(
+        f"incremental_embedding_dedup_ivf_stream_state:{sf_dir}:{tag}".encode()
+    ).hexdigest()[:10]
+    root = _scratch_root("/tmp/spark_graft_emb_stream_state", h)
+    marker = os.path.join(root, "_STATE_READY")
+    if not os.path.exists(marker):
+        shutil.rmtree(root, ignore_errors=True)  # append sink: start clean
+        corpus = emb_incr_corpus(spark, sf_dir).localCheckpoint(eager=False)
+        n_cells = max(16, corpus.count() // 200)
+        cents = ivf_train(corpus, n_centroids=n_cells, iterations=2)
+        dim = inferred_dim(corpus, "embedding")
+        prime_embedding_dedup_state(corpus, cents, root)
+        with open(os.path.join(root, "_quantizer.json"), "w") as qf:
+            _json.dump({"centroids": cents, "dim": dim}, qf)
+        with open(marker, "w") as mf:
+            mf.write(tag)
+    with open(os.path.join(root, "_quantizer.json")) as qf:
+        q = _json.load(qf)
+    cents, dim = q["centroids"], q["dim"]
+    state_dir = os.path.join(work, "state")
+    shutil.copytree(root, state_dir)
+    os.remove(os.path.join(state_dir, "_STATE_READY"))
+    os.remove(os.path.join(state_dir, "_quantizer.json"))
     arrivals = os.path.join(work, "arrivals")
     os.makedirs(arrivals)
     batch = emb_incr_batch(spark, sf_dir)
@@ -2588,11 +2665,12 @@ def incremental_embedding_dedup_ivf_stream_q(
         os.utime(dst, (now - 120 + 60 * i, now - 120 + 60 * i))
     return incremental_embedding_dedup_stream(
         spark,
-        corpus,
+        None,  # state primed above (produce-once root, pristine copy)
         arrivals,
-        os.path.join(work, "state"),
+        state_dir,
         os.path.join(work, "ckpt"),
         cents,
+        dim=dim,
     )
 
 
@@ -2682,8 +2760,18 @@ def embedding_near_dup_ivf_recall_q(spark: SparkSession, sf_dir: str) -> DataFra
     from mistocksync_spark.plans.feeds import emb_aug
 
     emb = emb_aug(spark, sf_dir)
-    ivf = cosine_near_dup_pairs_ivf(emb, threshold=0.99).select("vec_a", "vec_b")
-    exact = cosine_near_dup_pairs_brute(emb, threshold=0.99).select("vec_a", "vec_b")
+    # lazy checkpoints (r16): same triple-evaluation shape as
+    # embedding_near_dup_recall — materialize each arm once
+    ivf = (
+        cosine_near_dup_pairs_ivf(emb, threshold=0.99)
+        .select("vec_a", "vec_b")
+        .localCheckpoint(eager=False)
+    )
+    exact = (
+        cosine_near_dup_pairs_brute(emb, threshold=0.99)
+        .select("vec_a", "vec_b")
+        .localCheckpoint(eager=False)
+    )
     on = ["vec_a", "vec_b"]
     return (
         exact.agg(F.count("*").cast("long").alias("n_exact_pairs"))

@@ -114,32 +114,28 @@ def incremental_embedding_dedup_stream(
     from mistocksync_spark.operators.vectors import inferred_dim, ivf_assign
     from mistocksync_spark.sinks.layout import keyed_state_append, keyed_state_read
 
-    if dim is None:
-        dim = inferred_dim(corpus, "embedding")
     p_vecs = os.path.join(state_dir, "vecs")
     p_cells = os.path.join(state_dir, "cells")
-    # one appended table now holds every batch's rows, so the embedding
-    # element type must be uniform across appends: widen to double at
-    # the boundary (exact for float inputs; the cosine math is already
-    # double) — the old per-version layout never mixed batches in one
-    # read and didn't need this
-    keyed_state_append(
-        corpus.select(
-            "vec_id",
-            F.col("embedding").cast("array<double>").alias("embedding"),
-            F.lit("corpus").alias("origin"),
-            F.lit(True).alias("accepted"),
-        ),
-        p_vecs,
-        ["vec_id"],
-        batch_id=-1,
-    )
-    keyed_state_append(
-        ivf_assign(corpus, centroids, n_assign=n_assign),
-        p_cells,
-        ["centroid"],
-        batch_id=-1,
-    )
+    if corpus is not None:
+        if dim is None:
+            dim = inferred_dim(corpus, "embedding")
+        prime_embedding_dedup_state(
+            corpus, centroids, state_dir, n_assign=n_assign
+        )
+    else:
+        # r16 (guide §1.2/§5 — the prepare stream's corpus=None contract):
+        # state_dir must already hold a PRIMED vecs/cells pair (a
+        # prime_embedding_dedup_state output; the graded entry produces it
+        # once per corpus version and copies the pristine root per run)
+        missing = [p for p in (p_vecs, p_cells) if not os.path.isdir(p)]
+        if missing:
+            raise ValueError(
+                "incremental_embedding_dedup_stream(corpus=None) requires "
+                f"a primed state_dir; missing: {missing}"
+            )
+        if dim is None:
+            first = spark.read.parquet(p_vecs).select("embedding").head()
+            dim = len(first["embedding"])
 
     schema = spark.read.parquet(arrivals_dir).schema
     stream = (
@@ -175,6 +171,52 @@ def incremental_embedding_dedup_stream(
         .filter(F.col("accepted"))
         .select("vec_id", "origin")
     )
+
+
+def prime_embedding_dedup_state(
+    corpus,
+    centroids: list[list[float]],
+    state_dir: str,
+    n_assign: int = 2,
+) -> str:
+    """Build the embedding dedup stream's INITIAL state under
+    ``state_dir``: the two ``batch=-1`` keyed-append tables (``vecs`` on
+    vec_id, ``cells`` — the IVF inverted table — on centroid).  Factored
+    out of ``incremental_embedding_dedup_stream`` (r16, the
+    ``prime_prepare_state`` precedent / r15 verdict ask #7's pattern) so
+    the graded entry can produce it once per corpus version in a
+    content-tagged scratch root and copy the pristine directory per run
+    — at 100 TB the initial state is the standing table; only arrivals
+    are recomputed per tick."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mistocksync_spark.operators.vectors import ivf_assign
+    from mistocksync_spark.sinks.layout import keyed_state_append
+
+    # one appended table holds every batch's rows, so the embedding
+    # element type must be uniform across appends: widen to double at
+    # the boundary (exact for float inputs; the cosine math is already
+    # double)
+    keyed_state_append(
+        corpus.select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+            F.lit("corpus").alias("origin"),
+            F.lit(True).alias("accepted"),
+        ),
+        os.path.join(state_dir, "vecs"),
+        ["vec_id"],
+        batch_id=-1,
+    )
+    keyed_state_append(
+        ivf_assign(corpus, centroids, n_assign=n_assign),
+        os.path.join(state_dir, "cells"),
+        ["centroid"],
+        batch_id=-1,
+    )
+    return state_dir
 
 
 def embedding_dedup_tick_against_state(
@@ -297,25 +339,23 @@ def incremental_corpus_dedup(
 
     from pyspark.sql import functions as F
 
-    from mistocksync_spark.operators.dedup import corpus_signature_state
-    from mistocksync_spark.sinks.layout import keyed_state_append, keyed_state_read
+    from mistocksync_spark.sinks.layout import keyed_state_read
 
     p_docs = os.path.join(state_dir, "docs")
     p_bands = os.path.join(state_dir, "bands")
-    keyed_state_append(
-        corpus.select(
-            "doc_id",
-            "text",
-            F.lit("corpus").alias("origin"),
-            F.lit(True).alias("accepted"),
-        ),
-        p_docs,
-        ["doc_id"],
-        batch_id=-1,
-    )
-    keyed_state_append(
-        corpus_signature_state(corpus), p_bands, ["band", "band_key"], batch_id=-1
-    )
+    if corpus is not None:
+        prime_corpus_dedup_state(corpus, state_dir)
+    else:
+        # r16 (the prepare stream's corpus=None contract): state_dir must
+        # already hold a PRIMED docs/bands pair (a prime_corpus_dedup_state
+        # output; the graded entry produces it once per corpus version and
+        # copies the pristine root per run)
+        missing = [p for p in (p_docs, p_bands) if not os.path.isdir(p)]
+        if missing:
+            raise ValueError(
+                "incremental_corpus_dedup(corpus=None) requires a primed "
+                f"state_dir; missing: {missing}"
+            )
 
     schema = spark.read.parquet(arrivals_dir).schema
     stream = (
@@ -343,6 +383,44 @@ def incremental_corpus_dedup(
         .filter(F.col("accepted"))
         .select("doc_id", "origin")
     )
+
+
+def prime_corpus_dedup_state(corpus, state_dir: str) -> str:
+    """Build the corpus dedup stream's INITIAL state under ``state_dir``:
+    the two ``batch=-1`` keyed-append tables (``docs`` on doc_id,
+    ``bands`` — the persisted ``corpus_signature_state`` — on
+    (band, band_key)).  Factored out of ``incremental_corpus_dedup``
+    (r16, the ``prime_prepare_state`` precedent) so the graded entry can
+    produce it once per corpus version in a content-tagged scratch root
+    and copy the pristine directory per run — at 100 TB the initial
+    state is the standing table; only arrivals are recomputed per
+    tick."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mistocksync_spark.operators.dedup import corpus_signature_state
+    from mistocksync_spark.sinks.layout import keyed_state_append
+
+    corpus_docs = corpus.select("doc_id", "text")
+    keyed_state_append(
+        corpus_docs.select(
+            "doc_id",
+            "text",
+            F.lit("corpus").alias("origin"),
+            F.lit(True).alias("accepted"),
+        ),
+        os.path.join(state_dir, "docs"),
+        ["doc_id"],
+        batch_id=-1,
+    )
+    keyed_state_append(
+        corpus_signature_state(corpus_docs),
+        os.path.join(state_dir, "bands"),
+        ["band", "band_key"],
+        batch_id=-1,
+    )
+    return state_dir
 
 
 def corpus_dedup_tick_against_state(
