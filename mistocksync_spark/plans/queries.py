@@ -9946,6 +9946,7 @@ def _stored_prepare_tick(
     from mistocksync_spark.sinks.layout import (
         keyed_state_append,
         keyed_state_read,
+        parallel_actions,
         touched_buckets,
         touched_buckets_multi,
     )
@@ -9963,18 +9964,32 @@ def _stored_prepare_tick(
     marker = os.path.join(root, "_STATE_READY")
     if not os.path.exists(marker):
         shutil.rmtree(root, ignore_errors=True)  # append sink: start clean
-        keyed_state_append(corpus, f"{root}/docs", ["doc_id"])
-        keyed_state_append(
-            corpus_signature_state(corpus), f"{root}/bands", ["band", "band_key"]
+        # r16 (guide §2.6): eager checkpoint (one materialization of the
+        # shared corpus), then the six independent state builds overlap —
+        # the prime wall is ~max() of the builds, not their sum
+        corpus_ck = corpus.localCheckpoint()
+        parallel_actions(
+            lambda: keyed_state_append(corpus_ck, f"{root}/docs", ["doc_id"]),
+            lambda: keyed_state_append(
+                corpus_signature_state(corpus_ck),
+                f"{root}/bands",
+                ["band", "band_key"],
+            ),
+            lambda: keyed_state_append(
+                corpus_digest_state(corpus_ck), f"{root}/digests", ["digest"]
+            ),
+            lambda: keyed_state_append(
+                corpus_gram_state(corpus_ck), f"{root}/grams", ["g"]
+            ),
+            lambda: corpus_vocabulary(corpus_ck)
+            .write.mode("overwrite")
+            .parquet(f"{root}/vocab"),
+            # the frozen per-corpus-version holdout shingle set (v3 tick
+            # probe) — built unconditionally so both twins share one root
+            lambda: holdout_shingle_state(corpus_ck, holdout_mod=50)
+            .write.mode("overwrite")
+            .parquet(f"{root}/holdout_shingles"),
         )
-        keyed_state_append(corpus_digest_state(corpus), f"{root}/digests", ["digest"])
-        keyed_state_append(corpus_gram_state(corpus), f"{root}/grams", ["g"])
-        corpus_vocabulary(corpus).write.mode("overwrite").parquet(f"{root}/vocab")
-        # the frozen per-corpus-version holdout shingle set (v3 tick
-        # probe) — built unconditionally so both twins share one root
-        holdout_shingle_state(corpus, holdout_mod=50).write.mode(
-            "overwrite"
-        ).parquet(f"{root}/holdout_shingles")
         with open(marker, "w") as mf:
             mf.write(tag)
     bbands = corpus_signature_state(batch).localCheckpoint(eager=False)
@@ -10386,6 +10401,7 @@ def tombstone_purge_emission_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mistocksync_spark.sinks.layout import (
         keyed_state_append,
         keyed_state_read,
+        parallel_actions,
         purge_keyed_state,
     )
 
@@ -10397,20 +10413,24 @@ def tombstone_purge_emission_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     marker = os.path.join(root, "_STATE_READY")
     if not os.path.exists(marker):
         shutil.rmtree(root, ignore_errors=True)  # append sink: start clean
-        docs = docs_aug(spark, sf_dir).select("doc_id", "text").localCheckpoint(
-            eager=False
-        )
-        keyed_state_append(docs, os.path.join(root, "docs"), ["doc_id"], batch_id=-1)
-        keyed_state_append(
-            docs.select(F.md5("text").alias("digest"), "doc_id")
-            .groupBy("digest")
-            .agg(F.min("doc_id").alias("keeper")),
-            os.path.join(root, "digest_keepers"),
-            ["digest"],
-        )
-        # frozen ORIGINAL-corpus vocabulary (pure function of the corpus)
-        corpus_vocabulary(docs).write.mode("overwrite").parquet(
-            os.path.join(root, "vocab")
+        # r16 (guide §2.6): eager checkpoint (one materialization of the
+        # shared corpus), then the three independent store builds overlap
+        docs = docs_aug(spark, sf_dir).select("doc_id", "text").localCheckpoint()
+        parallel_actions(
+            lambda: keyed_state_append(
+                docs, os.path.join(root, "docs"), ["doc_id"], batch_id=-1
+            ),
+            lambda: keyed_state_append(
+                docs.select(F.md5("text").alias("digest"), "doc_id")
+                .groupBy("digest")
+                .agg(F.min("doc_id").alias("keeper")),
+                os.path.join(root, "digest_keepers"),
+                ["digest"],
+            ),
+            # frozen ORIGINAL-corpus vocabulary (pure function of the corpus)
+            lambda: corpus_vocabulary(docs)
+            .write.mode("overwrite")
+            .parquet(os.path.join(root, "vocab")),
         )
         with open(marker, "w") as mf:
             mf.write(tag)
@@ -10571,6 +10591,7 @@ def vector_purge_emission_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mistocksync_spark.sinks.layout import (
         keyed_state_append,
         keyed_state_read,
+        parallel_actions,
         purge_keyed_state,
         touched_buckets,
     )
@@ -10587,19 +10608,24 @@ def vector_purge_emission_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim = inferred_dim(corpus, "embedding")
         n_cells = max(16, corpus.count() // 200)
         cents = ivf_train(corpus, n_centroids=n_cells, iterations=2)
-        keyed_state_append(
-            corpus.select(
-                "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        # r16 (guide §2.6): two independent table builds over the already-
+        # materialized corpus checkpoint — overlap them
+        parallel_actions(
+            lambda: keyed_state_append(
+                corpus.select(
+                    "vec_id",
+                    F.col("embedding").cast("array<double>").alias("embedding"),
+                ),
+                os.path.join(root, "vecs"),
+                ["vec_id"],
+                batch_id=-1,
             ),
-            os.path.join(root, "vecs"),
-            ["vec_id"],
-            batch_id=-1,
-        )
-        keyed_state_append(
-            ivf_assign(corpus, cents, n_assign=2),
-            os.path.join(root, "cells"),
-            ["centroid"],
-            batch_id=-1,
+            lambda: keyed_state_append(
+                ivf_assign(corpus, cents, n_assign=2),
+                os.path.join(root, "cells"),
+                ["centroid"],
+                batch_id=-1,
+            ),
         )
         with open(os.path.join(root, "_quantizer.json"), "w") as qf:
             _json.dump({"centroids": cents, "dim": dim}, qf)
@@ -10626,13 +10652,18 @@ def vector_purge_emission_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") % 40 == 0)
         .localCheckpoint()
     )
-    purge_keyed_state(spark, p_vecs, tomb.select("vec_id"), ["vec_id"])
-    purge_keyed_state(
-        spark,
-        p_cells,
-        ivf_assign(tomb, cents, n_assign=2),
-        ["centroid"],
-        match_cols=["vec_id"],
+    # r16 (guide §2.6): the two purges are independent jobs on distinct
+    # tables (the request is eagerly checkpointed above, so neither purge
+    # reads files the other rewrites) — overlap them
+    parallel_actions(
+        lambda: purge_keyed_state(spark, p_vecs, tomb.select("vec_id"), ["vec_id"]),
+        lambda: purge_keyed_state(
+            spark,
+            p_cells,
+            ivf_assign(tomb, cents, n_assign=2),
+            ["centroid"],
+            match_cols=["vec_id"],
+        ),
     )
 
     # emission over the purged store: the production ingest tick, reads
@@ -10885,6 +10916,7 @@ def purge_remediation_emission_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         keyed_state_read,
         pack_emission_manifest,
         pack_emission_write,
+        parallel_actions,
         purge_keyed_state,
     )
 
@@ -10896,19 +10928,23 @@ def purge_remediation_emission_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     marker = os.path.join(root, "_STATE_READY")
     if not os.path.exists(marker):
         shutil.rmtree(root, ignore_errors=True)  # append sink: start clean
-        docs = docs_aug(spark, sf_dir).select("doc_id", "text").localCheckpoint(
-            eager=False
-        )
-        keyed_state_append(docs, os.path.join(root, "docs"), ["doc_id"], batch_id=-1)
-        keyed_state_append(
-            docs.select(F.md5("text").alias("digest"), "doc_id")
-            .groupBy("digest")
-            .agg(F.min("doc_id").alias("keeper")),
-            os.path.join(root, "digest_keepers"),
-            ["digest"],
-        )
-        corpus_vocabulary(docs).write.mode("overwrite").parquet(
-            os.path.join(root, "vocab")
+        # r16 (guide §2.6): eager checkpoint, then overlap the three
+        # independent store builds (same shared root as the tombstone twin)
+        docs = docs_aug(spark, sf_dir).select("doc_id", "text").localCheckpoint()
+        parallel_actions(
+            lambda: keyed_state_append(
+                docs, os.path.join(root, "docs"), ["doc_id"], batch_id=-1
+            ),
+            lambda: keyed_state_append(
+                docs.select(F.md5("text").alias("digest"), "doc_id")
+                .groupBy("digest")
+                .agg(F.min("doc_id").alias("keeper")),
+                os.path.join(root, "digest_keepers"),
+                ["digest"],
+            ),
+            lambda: corpus_vocabulary(docs)
+            .write.mode("overwrite")
+            .parquet(os.path.join(root, "vocab")),
         )
         with open(marker, "w") as mf:
             mf.write(tag)

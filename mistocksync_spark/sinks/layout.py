@@ -55,6 +55,36 @@ def compact_files(
     return n
 
 
+def parallel_actions(*thunks) -> None:
+    """Run independent Spark driver actions concurrently from a small
+    thread pool (optimization guide §2.6: actions are only sequential
+    because the driver calls them sequentially — concurrent jobs back-fill
+    executor slots freed by each other's stage tails, so K small
+    independent writes cost ~max() instead of sum() of their walls).
+
+    Contract: every thunk must be a genuinely independent job — distinct
+    output directories, and any SHARED lazy ``localCheckpoint`` input must
+    already be materialized by an earlier action (so no two threads race
+    to compute the same checkpoint).  All actions complete before this
+    returns; the first exception propagates (remaining futures are still
+    awaited, so no write is left silently in flight)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(thunks) == 1:
+        thunks[0]()
+        return
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        errs = []
+        for f in futures:
+            try:
+                f.result()
+            except BaseException as e:  # await ALL, then raise the first
+                errs.append(e)
+        if errs:
+            raise errs[0]
+
+
 def state_bucket(key_cols: list[str], n_buckets: int = 64):
     """Deterministic bucket id for a state-table join key: pmod(xxhash64)
     over the key columns.  The SAME expression computes (a) the partition

@@ -193,28 +193,35 @@ def prime_embedding_dedup_state(
     from pyspark.sql import functions as F
 
     from mistocksync_spark.operators.vectors import ivf_assign
-    from mistocksync_spark.sinks.layout import keyed_state_append
+    from mistocksync_spark.sinks.layout import (
+        keyed_state_append,
+        parallel_actions,
+    )
 
     # one appended table holds every batch's rows, so the embedding
     # element type must be uniform across appends: widen to double at
     # the boundary (exact for float inputs; the cosine math is already
-    # double)
-    keyed_state_append(
-        corpus.select(
-            "vec_id",
-            F.col("embedding").cast("array<double>").alias("embedding"),
-            F.lit("corpus").alias("origin"),
-            F.lit(True).alias("accepted"),
+    # double).  r16 (guide §2.6): eager-checkpoint the shared corpus
+    # once, then overlap the two independent table builds
+    corpus = corpus.localCheckpoint()
+    parallel_actions(
+        lambda: keyed_state_append(
+            corpus.select(
+                "vec_id",
+                F.col("embedding").cast("array<double>").alias("embedding"),
+                F.lit("corpus").alias("origin"),
+                F.lit(True).alias("accepted"),
+            ),
+            os.path.join(state_dir, "vecs"),
+            ["vec_id"],
+            batch_id=-1,
         ),
-        os.path.join(state_dir, "vecs"),
-        ["vec_id"],
-        batch_id=-1,
-    )
-    keyed_state_append(
-        ivf_assign(corpus, centroids, n_assign=n_assign),
-        os.path.join(state_dir, "cells"),
-        ["centroid"],
-        batch_id=-1,
+        lambda: keyed_state_append(
+            ivf_assign(corpus, centroids, n_assign=n_assign),
+            os.path.join(state_dir, "cells"),
+            ["centroid"],
+            batch_id=-1,
+        ),
     )
     return state_dir
 
@@ -248,6 +255,7 @@ def embedding_dedup_tick_against_state(
     from mistocksync_spark.sinks.layout import (
         keyed_state_append,
         keyed_state_read,
+        parallel_actions,
         touched_buckets,
         touched_buckets_multi,
     )
@@ -291,8 +299,14 @@ def embedding_dedup_tick_against_state(
         F.lit("batch").alias("origin"),
         F.col("__rej").isNull().alias("accepted"),
     )
-    keyed_state_append(new_rows, p_vecs, ["vec_id"], batch_id=batch_id)
-    keyed_state_append(bcells, p_cells, ["centroid"], batch_id=batch_id)
+    # r16 (guide §2.6): the two appends are independent jobs on distinct
+    # tables (bcells already materialized by the touched-buckets probe;
+    # new_rows' rejected DAG is self-contained) — overlap them instead of
+    # paying two sequential driver round-trips per micro-batch
+    parallel_actions(
+        lambda: keyed_state_append(new_rows, p_vecs, ["vec_id"], batch_id=batch_id),
+        lambda: keyed_state_append(bcells, p_cells, ["centroid"], batch_id=batch_id),
+    )
 
 
 def incremental_corpus_dedup(
@@ -400,25 +414,32 @@ def prime_corpus_dedup_state(corpus, state_dir: str) -> str:
     from pyspark.sql import functions as F
 
     from mistocksync_spark.operators.dedup import corpus_signature_state
-    from mistocksync_spark.sinks.layout import keyed_state_append
-
-    corpus_docs = corpus.select("doc_id", "text")
-    keyed_state_append(
-        corpus_docs.select(
-            "doc_id",
-            "text",
-            F.lit("corpus").alias("origin"),
-            F.lit(True).alias("accepted"),
-        ),
-        os.path.join(state_dir, "docs"),
-        ["doc_id"],
-        batch_id=-1,
+    from mistocksync_spark.sinks.layout import (
+        keyed_state_append,
+        parallel_actions,
     )
-    keyed_state_append(
-        corpus_signature_state(corpus_docs),
-        os.path.join(state_dir, "bands"),
-        ["band", "band_key"],
-        batch_id=-1,
+
+    # r16 (guide §2.6): eager-checkpoint the shared corpus once, then
+    # overlap the two independent table builds
+    corpus_docs = corpus.select("doc_id", "text").localCheckpoint()
+    parallel_actions(
+        lambda: keyed_state_append(
+            corpus_docs.select(
+                "doc_id",
+                "text",
+                F.lit("corpus").alias("origin"),
+                F.lit(True).alias("accepted"),
+            ),
+            os.path.join(state_dir, "docs"),
+            ["doc_id"],
+            batch_id=-1,
+        ),
+        lambda: keyed_state_append(
+            corpus_signature_state(corpus_docs),
+            os.path.join(state_dir, "bands"),
+            ["band", "band_key"],
+            batch_id=-1,
+        ),
     )
     return state_dir
 
@@ -449,6 +470,7 @@ def corpus_dedup_tick_against_state(
     from mistocksync_spark.sinks.layout import (
         keyed_state_append,
         keyed_state_read,
+        parallel_actions,
         touched_buckets,
         touched_buckets_multi,
     )
@@ -485,8 +507,14 @@ def corpus_dedup_tick_against_state(
         F.lit("batch").alias("origin"),
         F.col("__rej").isNull().alias("accepted"),
     )
-    keyed_state_append(new_rows, p_docs, ["doc_id"], batch_id=batch_id)
-    keyed_state_append(bbands, p_bands, ["band", "band_key"], batch_id=batch_id)
+    # r16 (guide §2.6): independent jobs on distinct tables (bbands already
+    # materialized by the touched-buckets probe) — overlap the appends
+    parallel_actions(
+        lambda: keyed_state_append(new_rows, p_docs, ["doc_id"], batch_id=batch_id),
+        lambda: keyed_state_append(
+            bbands, p_bands, ["band", "band_key"], batch_id=batch_id
+        ),
+    )
 
 
 def prepare_tick_against_state(
@@ -523,6 +551,7 @@ def prepare_tick_against_state(
     from mistocksync_spark.sinks.layout import (
         keyed_state_append,
         keyed_state_read,
+        parallel_actions,
         touched_buckets,
         touched_buckets_multi,
     )
@@ -579,11 +608,22 @@ def prepare_tick_against_state(
     )
     # seen-set append: EVERY arrival joins the state (accepted or
     # not), the prefix-decomposability invariant; appends derive
-    # only from the batch, so per-tick write bytes ∝ batch size
-    keyed_state_append(batch_df, p_docs, ["doc_id"], batch_id=batch_id)
-    keyed_state_append(bbands, p_bands, ["band", "band_key"], batch_id=batch_id)
-    keyed_state_append(bdig, p_dig, ["digest"], batch_id=batch_id)
-    keyed_state_append(bgrams, p_grams, ["g"], batch_id=batch_id)
+    # only from the batch, so per-tick write bytes ∝ batch size.
+    # r16 (guide §2.6): the four appends are independent jobs on distinct
+    # tables, and every input frame is already materialized (batch_df via
+    # the decisions write, the other three via the touched-buckets probe)
+    # — overlap them instead of paying four sequential driver round-trips
+    # per micro-batch.  The decisions write stays sequential ABOVE so the
+    # tick's externally observable commit order (decisions, then state)
+    # is unchanged.
+    parallel_actions(
+        lambda: keyed_state_append(batch_df, p_docs, ["doc_id"], batch_id=batch_id),
+        lambda: keyed_state_append(
+            bbands, p_bands, ["band", "band_key"], batch_id=batch_id
+        ),
+        lambda: keyed_state_append(bdig, p_dig, ["digest"], batch_id=batch_id),
+        lambda: keyed_state_append(bgrams, p_grams, ["g"], batch_id=batch_id),
+    )
 
 
 def prime_prepare_state(
@@ -609,39 +649,54 @@ def prime_prepare_state(
         corpus_signature_state,
     )
     from mistocksync_spark.operators.textual import corpus_vocabulary
-    from mistocksync_spark.sinks.layout import keyed_state_append
+    from mistocksync_spark.sinks.layout import (
+        keyed_state_append,
+        parallel_actions,
+    )
 
-    corpus_docs = corpus.select("doc_id", "text")
-    keyed_state_append(corpus_docs, os.path.join(state_dir, "docs"), ["doc_id"], batch_id=-1)
-    keyed_state_append(
-        corpus_signature_state(corpus_docs),
-        os.path.join(state_dir, "bands"),
-        ["band", "band_key"],
-        batch_id=-1,
-    )
-    keyed_state_append(
-        corpus_digest_state(corpus_docs),
-        os.path.join(state_dir, "digests"),
-        ["digest"],
-        batch_id=-1,
-    )
-    keyed_state_append(
-        corpus_gram_state(corpus_docs),
-        os.path.join(state_dir, "grams"),
-        ["g"],
-        batch_id=-1,
-    )
-    corpus_vocabulary(corpus_docs, rel_threshold=rel_threshold).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(state_dir, "vocab"))
+    # r16 (guide §2.6 + §5): the five/six state builds are independent
+    # jobs over ONE shared input — eager-checkpoint the corpus once (so
+    # no two concurrent jobs race to materialize the same lazy
+    # checkpoint, and none re-derives the feed lineage), then overlap the
+    # writes; the prime wall becomes ~max() of the builds, not their sum
+    corpus_docs = corpus.select("doc_id", "text").localCheckpoint()
+    builds = [
+        lambda: keyed_state_append(
+            corpus_docs, os.path.join(state_dir, "docs"), ["doc_id"], batch_id=-1
+        ),
+        lambda: keyed_state_append(
+            corpus_signature_state(corpus_docs),
+            os.path.join(state_dir, "bands"),
+            ["band", "band_key"],
+            batch_id=-1,
+        ),
+        lambda: keyed_state_append(
+            corpus_digest_state(corpus_docs),
+            os.path.join(state_dir, "digests"),
+            ["digest"],
+            batch_id=-1,
+        ),
+        lambda: keyed_state_append(
+            corpus_gram_state(corpus_docs),
+            os.path.join(state_dir, "grams"),
+            ["g"],
+            batch_id=-1,
+        ),
+        lambda: corpus_vocabulary(corpus_docs, rel_threshold=rel_threshold)
+        .write.mode("overwrite")
+        .parquet(os.path.join(state_dir, "vocab")),
+    ]
     if holdout_mod is not None:
         # v3: the frozen per-corpus-version holdout shingle state the
         # decontamination gate probes (never grows on ingest ticks)
         from mistocksync_spark.operators.dedup import holdout_shingle_state
 
-        holdout_shingle_state(corpus_docs, holdout_mod=holdout_mod).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(state_dir, "holdout_shingles"))
+        builds.append(
+            lambda: holdout_shingle_state(corpus_docs, holdout_mod=holdout_mod)
+            .write.mode("overwrite")
+            .parquet(os.path.join(state_dir, "holdout_shingles"))
+        )
+    parallel_actions(*builds)
     return state_dir
 
 

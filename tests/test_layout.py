@@ -1001,3 +1001,54 @@ def test_purge_match_cols_deletes_by_nonkey_with_bucket_pruning(
         if b not in tomb_buckets:
             assert os.path.exists(f)
             assert (os.path.getmtime(f), os.path.getsize(f)) == s
+
+
+def test_parallel_actions_runs_all_and_propagates_first_error(spark, tmp_path):
+    """r16 (guide §2.6): ``parallel_actions`` overlaps independent driver
+    actions.  Semantics pinned here: (a) every thunk runs to completion
+    (no silently skipped write), (b) results on disk equal the sequential
+    composition, (c) a failing thunk's exception propagates AFTER the
+    surviving thunks finish (no write left in flight when the tick
+    aborts and the replay contract takes over)."""
+    from mistocksync_spark.sinks.layout import (
+        keyed_state_append,
+        keyed_state_read,
+        parallel_actions,
+    )
+
+    df = spark.range(0, 200).select(
+        F.col("id").alias("doc_id"), F.md5(F.col("id").cast("string")).alias("text")
+    ).localCheckpoint()
+    seqd, pard = str(tmp_path / "seq"), str(tmp_path / "par")
+    for base in (seqd, pard):
+        thunks = [
+            (lambda b=base: keyed_state_append(df, os.path.join(b, "a"), ["doc_id"], batch_id=0)),
+            (lambda b=base: keyed_state_append(
+                df.select(F.col("text").alias("digest"), "doc_id"),
+                os.path.join(b, "b"), ["digest"], batch_id=0)),
+        ]
+        if base == seqd:
+            for t in thunks:
+                t()
+        else:
+            parallel_actions(*thunks)
+    for t in ("a", "b"):
+        s = {tuple(r) for r in keyed_state_read(spark, os.path.join(seqd, t)).collect()}
+        p = {tuple(r) for r in keyed_state_read(spark, os.path.join(pard, t)).collect()}
+        assert s == p and len(p) == 200
+    # error propagation: one thunk raises, the other still completes
+    done = []
+
+    def ok():
+        keyed_state_append(df, str(tmp_path / "c"), ["doc_id"], batch_id=0)
+        done.append(True)
+
+    def boom():
+        raise RuntimeError("tick failed")
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="tick failed"):
+        parallel_actions(boom, ok)
+    assert done == [True]
+    assert keyed_state_read(spark, str(tmp_path / "c")).count() == 200
