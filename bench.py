@@ -356,6 +356,27 @@ def main():
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         return round(time.monotonic() - t0, 3)
 
+    def calibration() -> float:
+        """Host-tide canary (r16 verdict item 6): a fixed, data-independent
+        CPU-bound job — sum of xxhash64 over range(5e8) — timed at session
+        start and end so round-over-round PERF comparisons can normalize
+        out the ±25% host drift documented in r15/r16.  Pure addition to
+        the blob; headline membership and totals untouched."""
+        from pyspark.sql import functions as F
+
+        spark.sparkContext.setJobDescription("calibration: sum(xxhash64) over range(5e8)")
+        t0 = time.monotonic()
+        (
+            spark.range(500_000_000)
+            .select(F.sum(F.xxhash64("id")).alias("h"))
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        dt = round(time.monotonic() - t0, 3)
+        spark.sparkContext.setJobDescription(None)
+        return dt
+
     def sample_cold(name: str) -> list[float]:
         samples = []
         for i in range(cold_samples):
@@ -399,6 +420,8 @@ def main():
             _reset(spark)
             run_once(wq)
 
+    calibration_start = calibration()
+
     timings, cold_runs, warm = {}, {}, {}
     for name in headline:
         cold_runs[name] = sample_cold(name)
@@ -426,6 +449,8 @@ def main():
     _reset(spark)
     pairs = fuzzy_match_pair_count(spark, sf_dir)
 
+    calibration_end = calibration()
+
     # Full blob: totals LAST so a head-truncating window still shows the
     # per-query data and the dict ends with the gated numbers.
     blob = {
@@ -441,6 +466,8 @@ def main():
         "extension_queries": ext_timings,
         "extension_cold_runs": ext_runs,
         "fuzzy_match_candidate_pairs": pairs,
+        "calibration_sec_start": calibration_start,
+        "calibration_sec_end": calibration_end,
         "value": total,
         "value_warm": total_warm,
     }

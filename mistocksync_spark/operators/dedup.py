@@ -1643,20 +1643,21 @@ def span_anchor_recall(
     the anchor candidate generator against the exact span pairs (the
     embedding family's ``vector_pair_quality`` analogue for text spans).
     Output: n_exact_pairs, n_candidate_pairs, n_recalled, pair_recall."""
-    # lazy checkpoints (r16, guide §2.4): both arms appear twice in the
-    # audit plan (direct count + the recalled semi-join) and the exact
-    # span sweep — gram self-join + maximal-span windows — is the
-    # expensive one; materialize each arm once instead of re-deriving it
-    # per reference (the before-plan scanned the positions checkpoint 16×)
+    # r17: the r16 checkpoint-each-arm change REVERTED on measurement.
+    # The driver recorded 11.71 → 18.79 s (+60%); a focused 6-round
+    # interleaved A/B confirmed the no-checkpoint form wins every paired
+    # round (median 12.35 vs 13.40 s).  Each arm does appear twice in the
+    # plan (count + recalled semi-join), but materializing the full
+    # distinct pair lists costs more than the optimizer's partial-agg
+    # handling of the duplicate references — the expensive span sweep's
+    # dominant stage (the match-row window sort) re-runs either way, and
+    # the checkpoint adds storage + blocks the semi-join's pushdown.
     exact_pairs = (
         duplicated_spans(positions, gram_len, min_span)
         .select("doc_a", "doc_b")
         .distinct()
-        .localCheckpoint(eager=False)
     )
-    cand = anchored_span_candidates(positions, anchor_hex).localCheckpoint(
-        eager=False
-    )
+    cand = anchored_span_candidates(positions, anchor_hex)
     recalled = exact_pairs.join(cand, on=["doc_a", "doc_b"], how="left_semi")
     u = (
         exact_pairs.select(F.lit(1).alias("__e"), F.lit(0).alias("__c"), F.lit(0).alias("__r"))

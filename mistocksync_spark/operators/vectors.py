@@ -1053,13 +1053,18 @@ def vector_pair_quality(
     pairs materialized here); each statistic is a 1-row aggregate and the
     cross joins are trivial 1×1 combines.
     """
-    # lazy checkpoints (r16, guide §2.4): e appears three times in the
-    # audit plan (count + both anti-join probes) and b/i twice each, with
-    # no optimizer subtree reuse — materialize each candidate/exact pair
-    # list once; the aggregates then read the checkpointed lists
-    b = banded_cand.select("vec_a", "vec_b").distinct().localCheckpoint(eager=False)
-    i = ivf_cand.select("vec_a", "vec_b").distinct().localCheckpoint(eager=False)
-    e = exact_pairs.select("vec_a", "vec_b").distinct().localCheckpoint(eager=False)
+    # r17: the r16 checkpoint-each-arm change REVERTED on measurement.
+    # The driver recorded 4.91 → 9.66 s (+97%, the round's worst) and an
+    # interleaved 4-round A/B on a quiet box confirmed it was the plan,
+    # not tide: all-arms-checkpointed median 7.92 s, exact-arm-only 5.78,
+    # NO checkpoints 5.19.  Mechanism: materializing the distinct pair
+    # lists forces full pair storage where the optimizer serves the
+    # count(*) arms as partial aggregates over the (already-checkpointed-
+    # upstream) candidate joins, and the checkpoint blocks aggregate
+    # pushdown into the arms.  Guide §1: measure, keep only what wins.
+    b = banded_cand.select("vec_a", "vec_b").distinct()
+    i = ivf_cand.select("vec_a", "vec_b").distinct()
+    e = exact_pairs.select("vec_a", "vec_b").distinct()
     on = ["vec_a", "vec_b"]
     row = (
         e.agg(F.count("*").cast("long").alias("n_exact_pairs"))

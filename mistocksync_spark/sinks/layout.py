@@ -67,9 +67,20 @@ def parallel_actions(*thunks) -> None:
     already be materialized by an earlier action (so no two threads race
     to compute the same checkpoint).  All actions complete before this
     returns; the first exception propagates (remaining futures are still
-    awaited, so no write is left silently in flight)."""
+    awaited, so no write is left silently in flight), with the other
+    failures attached as notes so multi-write failures keep their
+    diagnostics.
+
+    Limitation: the pool uses plain ``ThreadPoolExecutor`` threads, not
+    ``pyspark.InheritableThread`` — caller-thread JVM-local properties
+    (job groups/tags, scheduler pools) do NOT propagate to the overlapped
+    jobs.  Nothing in this repo sets those today; if job-group
+    cancellation is ever adopted, switch to InheritableThread (or copy
+    local properties) or these writes will silently escape the group."""
     from concurrent.futures import ThreadPoolExecutor
 
+    if not thunks:
+        return
     if len(thunks) == 1:
         thunks[0]()
         return
@@ -82,6 +93,10 @@ def parallel_actions(*thunks) -> None:
             except BaseException as e:  # await ALL, then raise the first
                 errs.append(e)
         if errs:
+            for other in errs[1:]:
+                errs[0].add_note(
+                    f"parallel_actions: concurrent action also failed: {other!r}"
+                )
             raise errs[0]
 
 

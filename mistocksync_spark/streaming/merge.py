@@ -300,9 +300,14 @@ def embedding_dedup_tick_against_state(
         F.col("__rej").isNull().alias("accepted"),
     )
     # r16 (guide §2.6): the two appends are independent jobs on distinct
-    # tables (bcells already materialized by the touched-buckets probe;
-    # new_rows' rejected DAG is self-contained) — overlap them instead of
-    # paying two sequential driver round-trips per micro-batch
+    # tables (bcells already materialized by the touched-buckets probe).
+    # new_rows' rejected lineage still scans the vecs/cells state tables
+    # concurrently with the sibling append into p_cells; that is safe
+    # because keyed_state_read snapshots the file index eagerly at read
+    # time AND prunes batch=<id> partitions >= the current batch, so a
+    # concurrent append (or a replayed dynamic overwrite) can never change
+    # which files the rejected DAG reads — overlap them instead of paying
+    # two sequential driver round-trips per micro-batch
     parallel_actions(
         lambda: keyed_state_append(new_rows, p_vecs, ["vec_id"], batch_id=batch_id),
         lambda: keyed_state_append(bcells, p_cells, ["centroid"], batch_id=batch_id),
