@@ -1,0 +1,60 @@
+"""Memoize expensive Column-EXPRESSION construction (r17, guide §7.3).
+
+Building the big extractor expressions is driver-side, single-threaded
+py4j work: every ``F.xxx`` call is a JVM round trip, and the ordered
+multi-pattern extractors make hundreds of them — measured 315 ms per
+``product_code_unified(col)`` CONSTRUCTION (before any data is touched),
+rebuilt five times per cascade stage.  At sf0.1 this made plan
+construction ~60% of the matching cascade's wall.
+
+A ``Column`` is an immutable, unresolved expression tree with no binding
+to any DataFrame or plan, so the SAME Column object can be reused across
+queries — the established pattern for module-level Column constants (and
+this repo's memoized pandas_udf objects).  This decorator caches the
+built tree per (active SparkContext, input-expression string, extra
+args).  It caches no data, no results, and no plan state: a fresh query
+gets a bit-identical expression tree, merely without re-paying the py4j
+chatter to rebuild it — which is also why it deliberately survives the
+bench's ``_reset`` (that clears DATA caches so entries are measured
+cold; the expression memo is syntax, not state).
+
+The SparkContext itself is held in the memo value so CPython cannot
+recycle its ``id()`` for a later context while entries are alive; a
+restarted session therefore always misses and rebuilds against the new
+JVM."""
+
+from __future__ import annotations
+
+import functools
+
+from pyspark.sql import Column
+
+#: measurement kill switch: True bypasses every memo (used by the A/B
+#: harness to time construction-per-call vs construction-once in one
+#: interleaved session; never set in production paths)
+DISABLED = False
+
+
+def memoized_column(fn):
+    """Decorator for pure ``Column -> Column`` builders (extra positional/
+    keyword args allowed if hashable).  The cache key is the *rendered
+    expression string* of the input column — two Columns that print the
+    same unresolved expression are the same tree semantically."""
+    memo: dict = {}
+
+    @functools.wraps(fn)
+    def wrapper(col: Column, *args, **kwargs):
+        from pyspark import SparkContext
+
+        sc = SparkContext._active_spark_context
+        if DISABLED or sc is None:
+            return fn(col, *args, **kwargs)
+        key = (id(sc), str(col), args, tuple(sorted(kwargs.items())))
+        hit = memo.get(key)
+        if hit is not None and hit[0] is sc:
+            return hit[1]
+        built = fn(col, *args, **kwargs)
+        memo[key] = (sc, built)
+        return built
+
+    return wrapper
