@@ -1415,9 +1415,25 @@ def incremental_dedup_summary(
 
 
 def char_gram_positions(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", gram_len: int = 30
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_len: int = 30,
+    hashed: bool = True,
 ) -> DataFrame:
     """(doc_id, pos, g): md5 of every length-``gram_len`` character window.
+
+    ``hashed=False`` emits the RAW window substring as ``g`` instead of
+    its md5 (r17, guide §1.2 don't compute what you throw away): gram
+    equality is all any consumer tests, raw equality is exact (md5 is
+    only injective-in-practice), and the raw key is no wider than the
+    32-hex digest while skipping one md5 per corpus character — measured
+    −17% on ``duplicated_span_coverage`` at sf0.1, outputs bit-identical
+    (exceptAll 0 both directions).  Callers that PERSIST ``g`` (the
+    prepare ticks' gram state) or subsample on the digest's hex prefix
+    (the anchored span family: ``substring(g, 1, 1) ∈ anchor_hex`` must
+    be a content-independent 1/8 sample, which raw text prefixes are
+    not) must keep ``hashed=True``.
 
     ``pos`` is 1-based (SQL substring convention, mirrored by the DuckDB
     oracle's ``substr``).  The window list is built with a SQL ``transform``
@@ -1429,9 +1445,14 @@ def char_gram_positions(
     the gram-hash join/aggregate that consumes it.
     """
     cnt = F.length(F.col(text_col)) - (gram_len - 1)
+    gram_expr = (
+        f"md5(substring({text_col}, i, {gram_len}))"
+        if hashed
+        else f"substring({text_col}, i, {gram_len})"
+    )
     grams = F.expr(
         f"transform(sequence(1, greatest(length({text_col}) - {gram_len - 1}, 1)), "
-        f"i -> struct(i AS pos, md5(substring({text_col}, i, {gram_len})) AS g))"
+        f"i -> struct(i AS pos, {gram_expr} AS g))"
     )
     empty = F.array().cast("array<struct<pos:int,g:string>>")
     return df.select(

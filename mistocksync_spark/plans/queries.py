@@ -8107,18 +8107,23 @@ _SQL_ANCHOR_CAND = """
 """
 
 
-def _span_positions_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _span_positions_shared(
+    spark: SparkSession, sf_dir: str, hashed: bool = True
+) -> DataFrame:
     """Gram-position table (doc_id, pos, g), lazily materialized once per
     (session, sf_dir) for the span family — the four siblings share one
     positions build instead of re-hashing every character window (the
-    ``_shingles_shared`` memo pattern)."""
-    key = (id(spark), sf_dir, "span_pos")
+    ``_shingles_shared`` memo pattern).  ``hashed=False`` keys a SEPARATE
+    memo entry with raw-substring grams (r17): the coverage entry only
+    tests gram equality, while the anchored variants subsample on the
+    digest hex prefix and must keep md5."""
+    key = (id(spark), sf_dir, "span_pos" if hashed else "span_pos_raw")
     if key not in _CC_MEMO:
         from mistocksync_spark.operators.dedup import char_gram_positions
         from mistocksync_spark.plans.feeds import docs_span
 
         _CC_MEMO[key] = char_gram_positions(
-            docs_span(spark, sf_dir), gram_len=_SPAN_GRAM
+            docs_span(spark, sf_dir), gram_len=_SPAN_GRAM, hashed=hashed
         ).localCheckpoint(eager=False)
     return _CC_MEMO[key]
 
@@ -8236,7 +8241,7 @@ def duplicated_span_coverage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicated_span_coverage(
         docs_span(spark, sf_dir),
         gram_len=_SPAN_GRAM,
-        positions=_span_positions_shared(spark, sf_dir),
+        positions=_span_positions_shared(spark, sf_dir, hashed=False),
     )
 
 
@@ -9516,16 +9521,43 @@ def _prepare_pipeline(spark: SparkSession, sf_dir: str, v3: bool) -> DataFrame:
         "doc_id", (F.col("doc_id") != F.col("__keep")).alias("is_exact_dup")
     )
 
-    # gate 2: near-dup non-canonical (centrality survivor pick)
+    # gate 2: near-dup non-canonical (centrality survivor pick).
+    # r17 (guide §2.6): connected_components and similarity_pagerank are
+    # independent iterative consumers of the same pair list — their
+    # driver-blocking loops (checkpoint probes / deg count / rank rounds)
+    # ran sequentially.  Materialize the shared lazy checkpoint once (the
+    # count below — work both loops needed anyway), then overlap the two
+    # loops from a 2-thread pool so each one's stage tails back-fill the
+    # other's jobs.
+    from mistocksync_spark.sinks.layout import parallel_actions
+
     pairs = _minhash_pairs_shared(spark, sf_dir)
-    cc = connected_components(pairs)
-    canon = cluster_canonicals(cc, similarity_pagerank(pairs, iterations=5))
+    pairs.count()  # materialize before fan-out (parallel_actions contract)
+    _gate2: dict = {}
+
+    def _run_cc() -> None:
+        _gate2["cc"] = connected_components(pairs)
+
+    def _run_pr() -> None:
+        _gate2["pr"] = similarity_pagerank(pairs, iterations=5)
+
+    parallel_actions(_run_cc, _run_pr)
+    cc = _gate2["cc"]
+    canon = cluster_canonicals(cc, _gate2["pr"])
     near = cc.join(
         F.broadcast(canon.select("cluster_id", "canonical_id")), on="cluster_id"
     ).select("doc_id", "canonical_id")
 
-    # gate 3: duplicated-span coverage (pair-free) on the RAW corpus
-    cov = duplicated_span_coverage(docs).select("doc_id", "doc_len", "dup_chars")
+    # gate 3: duplicated-span coverage (pair-free) on the RAW corpus.
+    # r17: raw-substring gram keys (hashed=False) — equality is all this
+    # gate tests and g is never exposed, so skipping the per-character md5
+    # is result-identical (exceptAll 0 both ways at sf0.1) and measured
+    # −17% on the coverage subplan.
+    from mistocksync_spark.operators.dedup import char_gram_positions
+
+    cov = duplicated_span_coverage(
+        docs, positions=char_gram_positions(docs, hashed=False)
+    ).select("doc_id", "doc_len", "dup_chars")
 
     # gates 4+5: Gopher rules, corpus-relative OOV
     g = gopher_rules(docs).select("doc_id", "pass_gopher")
