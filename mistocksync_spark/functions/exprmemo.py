@@ -42,6 +42,11 @@ def memoized_column(fn):
     same unresolved expression are the same tree semantically."""
     memo: dict = {}
 
+    def _key_part(v):
+        # Columns are identity-hashed; key them by their rendered
+        # expression so equal trees hit the same entry
+        return str(v) if isinstance(v, Column) else v
+
     @functools.wraps(fn)
     def wrapper(col: Column, *args, **kwargs):
         from pyspark import SparkContext
@@ -49,11 +54,42 @@ def memoized_column(fn):
         sc = SparkContext._active_spark_context
         if DISABLED or sc is None:
             return fn(col, *args, **kwargs)
-        key = (id(sc), str(col), args, tuple(sorted(kwargs.items())))
+        key = (
+            id(sc),
+            _key_part(col),
+            tuple(_key_part(a) for a in args),
+            tuple(sorted((k, _key_part(v)) for k, v in kwargs.items())),
+        )
         hit = memo.get(key)
         if hit is not None and hit[0] is sc:
             return hit[1]
         built = fn(col, *args, **kwargs)
+        memo[key] = (sc, built)
+        return built
+
+    return wrapper
+
+
+def memoized_exprs(fn):
+    """Memoize a builder whose inputs are plain hashable args (no Column
+    inputs) and whose output is a Column or a tuple/list of Columns bound
+    to FIXED column names — e.g. the 60-term simhash vote expressions,
+    which depend only on ``nbits``.  Same contract and caveats as
+    ``memoized_column``."""
+    memo: dict = {}
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        from pyspark import SparkContext
+
+        sc = SparkContext._active_spark_context
+        if DISABLED or sc is None:
+            return fn(*args, **kwargs)
+        key = (id(sc), args, tuple(sorted(kwargs.items())))
+        hit = memo.get(key)
+        if hit is not None and hit[0] is sc:
+            return hit[1]
+        built = fn(*args, **kwargs)
         memo[key] = (sc, built)
         return built
 

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from mistocksync_spark.functions.exprmemo import memoized_exprs
+
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup groups: md5(text) → keep-id (min), occurrence count."""
@@ -76,12 +78,23 @@ def minhash_signatures(
     carries |docs| × num_hashes values, not |shingles| × num_hashes rows),
     then unpivoted to the (doc_id, seed, minhash) long format.
     """
-    wide = shingles.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat_ws("|", F.lit(s), F.col("shingle")))).alias(f"mh{s}")
-            for s in range(num_hashes)
-        ]
+    min_aggs, pairs = _minhash_exprs(num_hashes)
+    wide = shingles.groupBy("doc_id").agg(*min_aggs)
+    return wide.select("doc_id", pairs.alias("p")).select(
+        "doc_id", F.col("p.seed").alias("seed"), F.col("p.minhash").alias("minhash")
     )
+
+
+@memoized_exprs
+def _minhash_exprs(num_hashes: int):
+    """The per-seed min-hash aggregates and the unpivot explode, bound to
+    the fixed ``shingle``/``mh{s}`` names — pure function of
+    ``num_hashes``, memoized for the same reason as ``_simhash_exprs``
+    (~0.8 s of py4j construction per call)."""
+    min_aggs = [
+        F.min(F.md5(F.concat_ws("|", F.lit(s), F.col("shingle")))).alias(f"mh{s}")
+        for s in range(num_hashes)
+    ]
     pairs = F.explode(
         F.array(
             *[
@@ -90,9 +103,7 @@ def minhash_signatures(
             ]
         )
     )
-    return wide.select("doc_id", pairs.alias("p")).select(
-        "doc_id", F.col("p.seed").alias("seed"), F.col("p.minhash").alias("minhash")
-    )
+    return min_aggs, pairs
 
 
 def lsh_bands(signatures: DataFrame, rows_per_band: int = 2) -> DataFrame:
@@ -174,6 +185,19 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", nbits
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))).alias("token"),
     )
+    contrib, vote_aggs, sig = _simhash_exprs(nbits)
+    votes = tokens.select("doc_id", contrib.alias("c")).groupBy("doc_id").agg(*vote_aggs)
+    return votes.select("doc_id", sig.alias("simhash"))
+
+
+@memoized_exprs
+def _simhash_exprs(nbits: int):
+    """The nbits-term simhash expression set (contrib array, vote
+    aggregates, signature fold), bound to the fixed ``token``/``c``/
+    ``s{b}`` names ``simhash`` projects — a pure function of ``nbits``.
+    Memoized (r17, guide §7.3): building these is ~500 py4j round trips
+    (~3.9 s measured per ``simhash()`` call at session load), re-paid on
+    every cold run of every simhash-family entry before any data moved."""
     h = F.md5(F.col("token"))
     contrib = F.array(
         *[
@@ -186,14 +210,14 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", nbits
             for b in range(nbits)
         ]
     )
-    votes = tokens.select("doc_id", contrib.alias("c")).groupBy("doc_id").agg(
-        *[F.sum(F.element_at(F.col("c"), b + 1)).alias(f"s{b}") for b in range(nbits)]
-    )
+    vote_aggs = [
+        F.sum(F.element_at(F.col("c"), b + 1)).alias(f"s{b}") for b in range(nbits)
+    ]
     sig = sum(
         [F.when(F.col(f"s{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0)) for b in range(nbits)],
         start=F.lit(0).cast("long"),
     )
-    return votes.select("doc_id", sig.alias("simhash"))
+    return contrib, vote_aggs, sig
 
 
 def connected_components(pairs: DataFrame, max_iterations: int = 25) -> DataFrame:

@@ -24,7 +24,10 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from mistocksync_spark.functions.exprmemo import memoized_column
 
+
+@memoized_column
 def _to_double(arr: Column) -> Column:
     return F.transform(arr, lambda x: x.cast("double"))
 
@@ -38,6 +41,7 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+@memoized_column
 def norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(_to_double(a), F.lit(0.0), lambda acc, x: acc + x * x))
 
@@ -258,6 +262,7 @@ def cosine_contamination(
     return src.mapInPandas(score, out_schema)
 
 
+@memoized_column
 def unrolled_dot(a: Column, b: Column, dim: int) -> Column:
     """Fixed-dimension dot product as a flat expression chain.
 

@@ -30,6 +30,32 @@ def test_memo_disabled_bypasses(spark):
         exprmemo.DISABLED = False
 
 
+def test_memoized_exprs_returns_same_tuple_for_equal_args(spark):
+    from mistocksync_spark.operators.dedup import _simhash_exprs
+
+    a = _simhash_exprs(60)
+    b = _simhash_exprs(60)
+    assert a is b
+    c = _simhash_exprs(16)
+    assert c is not a
+
+
+def test_simhash_memoized_vs_bypassed_identical(spark):
+    from mistocksync_spark.operators.dedup import simhash
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "other words here"), (4, None)],
+        "doc_id long, text string",
+    ).filter("text is not null")
+    memod = sorted(simhash(df).collect())
+    exprmemo.DISABLED = True
+    try:
+        plain = sorted(simhash(df).collect())
+    finally:
+        exprmemo.DISABLED = False
+    assert memod == plain
+
+
 def test_memoized_and_bypassed_trees_compute_identically(spark):
     from mistocksync_spark.functions.codes import product_code_unified
 
