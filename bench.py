@@ -358,22 +358,30 @@ def main():
 
     def calibration() -> float:
         """Host-tide canary (r16 verdict item 6): a fixed, data-independent
-        CPU-bound job — sum of xxhash64 over range(5e8) — timed at session
-        start and end so round-over-round PERF comparisons can normalize
-        out the ±25% host drift documented in r15/r16.  Pure addition to
-        the blob; headline membership and totals untouched."""
+        CPU-bound job — bit_xor of xxhash64 over range(4e9) — timed at
+        session start and end so round-over-round PERF comparisons can
+        normalize out the ±25% host drift documented in r15/r16.  bit_xor,
+        not sum: summing uniform 64-bit hashes overflows long under ANSI
+        mode.  4e9 rows ≈ 2–3 s on local[32] — big enough that scheduler
+        jitter is a small fraction of the reading, small enough to be
+        negligible in the bench wall.  Pure addition to the blob; headline
+        membership and totals untouched."""
         from pyspark.sql import functions as F
 
-        spark.sparkContext.setJobDescription("calibration: sum(xxhash64) over range(5e8)")
-        t0 = time.monotonic()
-        (
-            spark.range(500_000_000)
-            .select(F.sum(F.xxhash64("id")).alias("h"))
-            .write.format("noop")
-            .mode("overwrite")
-            .save()
-        )
-        dt = round(time.monotonic() - t0, 3)
+        def run() -> float:
+            t0 = time.monotonic()
+            (
+                spark.range(4_000_000_000)
+                .select(F.expr("bit_xor(xxhash64(id))").alias("h"))
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            )
+            return round(time.monotonic() - t0, 3)
+
+        spark.sparkContext.setJobDescription("calibration: bit_xor(xxhash64) over range(4e9)")
+        run()  # untimed: eat the canary's own codegen compile (~3 s once)
+        dt = run()  # the instrument: steady-state CPU throughput reading
         spark.sparkContext.setJobDescription(None)
         return dt
 
